@@ -1,0 +1,244 @@
+"""Batched greedy decode as a jitted ``lax.while_loop`` with on-device stop
+detection and fused prober-capture pooling.
+
+Replaces ``CustomHookedTransformer.generate`` (exp_rag.py:38-211): the
+reference decodes token-by-token in Python, firing 6 hooks per forward with a
+device->host copy each (SURVEY.md §3.4 hot loop). Here the whole decode runs
+on device; the loop exits early once every row has stopped, and the
+per-generated-token residual activations are *accumulated into the gate's
+pooled sum* inside the loop (the gate only ever uses the sum over generated
+tokens — exp_rag.py:385-386) instead of being shipped to the host.
+
+Stop conditions (parity with exp_rag.py:173-200):
+- EOS sampled (per row; finished rows keep appending EOS padding),
+- the paragraph stop: generation halts once the decoded text gains a new
+  "\\n\\n" paragraph break. The reference re-decodes the full string every
+  token to count paragraphs; here it is detected on device from three
+  precomputed vocab tables (token contains "\\n\\n" / ends with "\\n" /
+  starts with "\\n") — ``StopTables``.
+- ``max_new_tokens`` appended (150 for CoT, exp_rag.py:234).
+
+Pooling parity (SURVEY.md §7 'hard parts'): the reference's gate pools
+``cache[name][1:]`` — activations of every generated token processed before
+the first stop trigger; the trigger token itself and the prompt forward are
+excluded. ``cap_mask`` in the loop reproduces that exactly.
+"""
+
+from __future__ import annotations
+
+import functools
+from dataclasses import dataclass
+from typing import List, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from probing_rag_tpu.models.gemma import (
+    CaptureSpec,
+    GemmaConfig,
+    Params,
+    forward,
+    init_kv_cache,
+)
+
+
+@dataclass(frozen=True)
+class StopTables:
+    """Vocab-indexed tables for on-device paragraph-stop detection."""
+
+    contains_dbl_nl: np.ndarray  # [V] bool: token string contains "\n\n"
+    ends_nl: np.ndarray  # [V] bool
+    starts_nl: np.ndarray  # [V] bool
+
+    @classmethod
+    def from_token_strings(cls, token_strings: Sequence[str]) -> "StopTables":
+        v = len(token_strings)
+        contains = np.zeros(v, bool)
+        ends = np.zeros(v, bool)
+        starts = np.zeros(v, bool)
+        for i, s in enumerate(token_strings):
+            if not s:
+                continue
+            contains[i] = "\n\n" in s
+            ends[i] = s.endswith("\n")
+            starts[i] = s.startswith("\n")
+        return cls(contains, ends, starts)
+
+    @classmethod
+    def disabled(cls, vocab_size: int) -> "StopTables":
+        z = np.zeros(vocab_size, bool)
+        return cls(z, z, z)
+
+
+@dataclass
+class DecodeResult:
+    tokens: np.ndarray  # [B, max_new] int32 — generated tokens (EOS-padded)
+    token_valid: np.ndarray  # [B, max_new] bool — token was really generated
+    pooled_captures: np.ndarray  # [n_sites, B, D] f32 — gate-parity summed acts
+    n_pooled: np.ndarray  # [B] int32 — tokens in the pooled sum
+    n_generated: np.ndarray  # [B] int32
+
+
+def _pad_batch(
+    prompt_ids: Sequence[Sequence[int]], pad_id: int, bucket: int = 128
+) -> Tuple[np.ndarray, np.ndarray]:
+    """Left-pad prompts to a bucketed common length (left padding keeps the
+    last prompt token at a fixed position for the prefill logit read)."""
+    max_len = max(len(p) for p in prompt_ids)
+    padded_len = ((max_len + bucket - 1) // bucket) * bucket
+    b = len(prompt_ids)
+    tokens = np.full((b, padded_len), pad_id, dtype=np.int32)
+    valid = np.zeros((b, padded_len), dtype=bool)
+    for i, p in enumerate(prompt_ids):
+        tokens[i, padded_len - len(p):] = p
+        valid[i, padded_len - len(p):] = True
+    return tokens, valid
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("cfg", "capture", "max_new_tokens", "eos_id"),
+)
+def decode_greedy(
+    params: Params,
+    prompt_tokens: jnp.ndarray,  # [B, T] int32, left-padded
+    prompt_valid: jnp.ndarray,  # [B, T] bool
+    stop_contains: jnp.ndarray,  # [V] bool
+    stop_ends: jnp.ndarray,  # [V] bool
+    stop_starts: jnp.ndarray,  # [V] bool
+    *,
+    cfg: GemmaConfig,
+    capture: CaptureSpec,
+    max_new_tokens: int,
+    eos_id: int,
+):
+    b, t = prompt_tokens.shape
+    total = t + max_new_tokens
+    kv = init_kv_cache(cfg, b, total, dtype=cfg.compute_dtype)
+
+    # Cache-slot validity: prompt pad slots never attendable; generated slots
+    # become attendable as the causal buffer index advances.
+    slot_valid = jnp.concatenate(
+        [prompt_valid, jnp.ones((b, max_new_tokens), bool)], axis=-1
+    )
+    rope_prompt = jnp.maximum(jnp.cumsum(prompt_valid.astype(jnp.int32), axis=-1) - 1, 0)
+    prompt_len = jnp.sum(prompt_valid.astype(jnp.int32), axis=-1)  # [B]
+
+    logits, kv, _ = forward(
+        params,
+        prompt_tokens,
+        cfg,
+        capture=CaptureSpec(),  # prompt-forward captures are excluded from the gate
+        kv_cache=kv,
+        positions=rope_prompt,
+        attn_valid=slot_valid,
+    )
+    g1 = jnp.argmax(logits[:, -1], axis=-1).astype(jnp.int32)
+
+    last_prompt_tok = prompt_tokens[:, -1]
+
+    def is_stop(cur: jnp.ndarray, prev: jnp.ndarray) -> jnp.ndarray:
+        return (
+            (cur == eos_id)
+            | stop_contains[cur]
+            | (stop_ends[prev] & stop_starts[cur])
+        )
+
+    finished0 = is_stop(g1, last_prompt_tok)
+
+    gen_buf = jnp.full((b, max_new_tokens), eos_id, jnp.int32).at[:, 0].set(g1)
+    valid_buf = jnp.zeros((b, max_new_tokens), bool).at[:, 0].set(True)
+    pooled = jnp.zeros((capture.n_sites, b, cfg.d_model), jnp.float32)
+    n_pooled = jnp.zeros((b,), jnp.int32)
+
+    def cond(state):
+        step, _, _, finished, *_ = state
+        return (step < max_new_tokens - 1) & ~jnp.all(finished)
+
+    def body(state):
+        step, prev, kv, finished, gen_buf, valid_buf, pooled, n_pooled = state
+        rope_pos = (prompt_len + step)[:, None]  # prev token's RoPE position
+        logits, kv, caps = forward(
+            params,
+            prev[:, None],
+            cfg,
+            capture=capture,
+            kv_cache=kv,
+            positions=rope_pos,
+            attn_valid=slot_valid,
+        )
+        cap_ok = ~finished  # parity: tokens processed before the stop trigger
+        if capture.n_sites:
+            pooled = pooled + caps[:, :, 0, :] * cap_ok[None, :, None]
+        n_pooled = n_pooled + cap_ok.astype(jnp.int32)
+
+        nxt = jnp.argmax(logits[:, -1], axis=-1).astype(jnp.int32)
+        nxt = jnp.where(finished, eos_id, nxt)
+        valid_buf = valid_buf.at[:, step + 1].set(~finished)
+        gen_buf = gen_buf.at[:, step + 1].set(nxt)
+        finished = finished | is_stop(nxt, prev)
+        return step + 1, nxt, kv, finished, gen_buf, valid_buf, pooled, n_pooled
+
+    state = (jnp.asarray(0, jnp.int32), g1, kv, finished0, gen_buf, valid_buf, pooled, n_pooled)
+    state = jax.lax.while_loop(cond, body, state)
+    step, _, _, _, gen_buf, valid_buf, pooled, n_pooled = state
+    n_generated = jnp.sum(valid_buf.astype(jnp.int32), axis=-1)
+    return gen_buf, valid_buf, pooled, n_pooled, n_generated
+
+
+def generate(
+    params: Params,
+    cfg: GemmaConfig,
+    tokenizer,
+    prompts: Sequence[str],
+    *,
+    max_new_tokens: int = 150,
+    capture: Optional[CaptureSpec] = None,
+    stop_tables: Optional[StopTables] = None,
+    paragraph_stop: bool = True,
+) -> Tuple[List[str], DecodeResult]:
+    """End-to-end batched generation: tokenize, decode on device, detokenize.
+
+    Returns (full_texts, DecodeResult) where ``full_texts[i]`` is
+    prompt + generation — the shape ``model.to_string(output)[0]`` has in the
+    reference, which the answer extractor expects.
+    """
+    capture = capture if capture is not None else CaptureSpec.for_probing(cfg)
+    if stop_tables is None:
+        stop_tables = (
+            StopTables.from_token_strings(tokenizer.token_strings())
+            if paragraph_stop
+            else StopTables.disabled(tokenizer.vocab_size)
+        )
+    prompt_ids = [tokenizer.encode(p, add_bos=True) for p in prompts]
+    tokens, valid = _pad_batch(prompt_ids, tokenizer.pad_id)
+
+    gen, gen_valid, pooled, n_pooled, n_gen = decode_greedy(
+        params,
+        jnp.asarray(tokens),
+        jnp.asarray(valid),
+        jnp.asarray(stop_tables.contains_dbl_nl),
+        jnp.asarray(stop_tables.ends_nl),
+        jnp.asarray(stop_tables.starts_nl),
+        cfg=cfg,
+        capture=capture,
+        max_new_tokens=max_new_tokens,
+        eos_id=tokenizer.eos_id,
+    )
+    gen = np.asarray(gen)
+    gen_valid = np.asarray(gen_valid)
+    n_gen = np.asarray(n_gen)
+
+    texts = []
+    for i, prompt in enumerate(prompts):
+        ids = gen[i, : n_gen[i]][gen_valid[i, : n_gen[i]]]
+        texts.append(prompt + tokenizer.decode([int(x) for x in ids]))
+    result = DecodeResult(
+        tokens=gen,
+        token_valid=gen_valid,
+        pooled_captures=np.asarray(pooled),
+        n_pooled=np.asarray(n_pooled),
+        n_generated=n_gen,
+    )
+    return texts, result

@@ -1,0 +1,311 @@
+"""Gemma-architecture LM in pure JAX with functional activation capture.
+
+This replaces the reference's transformer_lens ``HookedTransformer`` stack
+(exp_rag.py:302, train.py:34): instead of mutable forward hooks appending to a
+Python dict (exp_rag.py:315-329), the forward *returns* the residual-stream
+activations at the requested (layer, site) pairs as part of its output pytree
+— jit-friendly, donation-friendly, and shardable.
+
+Architecture (Gemma 1, google/gemma-2b):
+- embeddings scaled by sqrt(d_model); tied LM head
+- RMSNorm with (1 + w) scaling, pre-norm blocks
+- rotary position embeddings on q/k, theta 10000
+- multi-query attention (1 kv head for the 2B config), head_dim 256
+- GeGLU MLP (gelu(gate) * up)
+
+Capture sites follow transformer_lens naming (SURVEY.md C3/C7):
+``resid_mid``  = residual stream after the attention branch is added,
+``resid_post`` = after the MLP branch is added.
+
+Params are a nested dict pytree with layer-stacked leaves (``[L, ...]``); the
+layer loop is unrolled so that only the probed layers' activations are ever
+materialized. Matmuls run in bfloat16 on the MXU with f32 accumulation; the
+residual stream and norms stay f32 for parity-grade numerics.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field, replace
+from typing import Any, Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+Params = Dict[str, Any]
+
+
+@dataclass(frozen=True)
+class GemmaConfig:
+    vocab_size: int = 256_000
+    d_model: int = 2048
+    n_layers: int = 18
+    n_heads: int = 8
+    n_kv_heads: int = 1
+    head_dim: int = 256
+    d_ff: int = 16_384
+    rope_theta: float = 10_000.0
+    norm_eps: float = 1e-6
+    # probers read these layers (range(6, 17, 2) for gemma-2b, exp_rag.py:311)
+    probe_layers: Tuple[int, ...] = (6, 8, 10, 12, 14, 16)
+    compute_dtype: Any = jnp.bfloat16
+
+    @classmethod
+    def gemma_2b(cls) -> "GemmaConfig":
+        return cls()
+
+    @classmethod
+    def mistral_7b(cls) -> "GemmaConfig":
+        # The reference's optional second model family (utils.py:295-297):
+        # probers on layers {12,14,16,18,20,22}.
+        return cls(
+            vocab_size=32_000,
+            d_model=4096,
+            n_layers=32,
+            n_heads=32,
+            n_kv_heads=8,
+            head_dim=128,
+            d_ff=14_336,
+            probe_layers=(12, 14, 16, 18, 20, 22),
+        )
+
+    @classmethod
+    def tiny(cls, vocab_size: int = 512) -> "GemmaConfig":
+        """A scaled-down config with the full code path, for tests."""
+        return cls(
+            vocab_size=vocab_size,
+            d_model=64,
+            n_layers=4,
+            n_heads=2,
+            n_kv_heads=1,
+            head_dim=32,
+            d_ff=128,
+            probe_layers=(1, 2),
+        )
+
+
+@dataclass(frozen=True)
+class CaptureSpec:
+    """Which residual-stream activations the forward returns.
+
+    ``sites`` is an ordered tuple of (layer, site) pairs; the forward output's
+    ``captures`` array is stacked in this order: [n_sites, batch, seq, d_model].
+    """
+
+    sites: Tuple[Tuple[int, str], ...] = ()
+
+    @classmethod
+    def for_probing(cls, cfg: GemmaConfig, position: str = "resid_post") -> "CaptureSpec":
+        return cls(tuple((l, position) for l in cfg.probe_layers))
+
+    @property
+    def n_sites(self) -> int:
+        return len(self.sites)
+
+
+# ------------------------------------------------------------------ params
+
+
+def init_params(cfg: GemmaConfig, key: jax.Array, dtype: Any = jnp.float32) -> Params:
+    keys = jax.random.split(key, 8)
+    d, h, kv, hd, f = cfg.d_model, cfg.n_heads, cfg.n_kv_heads, cfg.head_dim, cfg.d_ff
+    L = cfg.n_layers
+
+    def norm_init(*shape):
+        return jnp.zeros(shape, dtype)  # (1 + w) scaling: zero == identity
+
+    def dense_init(key, *shape):
+        fan_in = shape[-2] if len(shape) >= 2 else shape[0]
+        return (jax.random.normal(key, shape, dtype) / np.sqrt(fan_in)).astype(dtype)
+
+    return {
+        "embed": dense_init(keys[0], cfg.vocab_size, d),
+        "final_norm": norm_init(d),
+        "layers": {
+            "attn_norm": norm_init(L, d),
+            "wq": dense_init(keys[1], L, d, h * hd),
+            "wk": dense_init(keys[2], L, d, kv * hd),
+            "wv": dense_init(keys[3], L, d, kv * hd),
+            "wo": dense_init(keys[4], L, h * hd, d),
+            "mlp_norm": norm_init(L, d),
+            "w_gate": dense_init(keys[5], L, d, f),
+            "w_up": dense_init(keys[6], L, d, f),
+            "w_down": dense_init(keys[7], L, f, d),
+        },
+    }
+
+
+def param_count(params: Params) -> int:
+    return sum(int(np.prod(x.shape)) for x in jax.tree.leaves(params))
+
+
+# ----------------------------------------------------------------- modules
+
+
+def rms_norm(x: jnp.ndarray, weight: jnp.ndarray, eps: float) -> jnp.ndarray:
+    x32 = x.astype(jnp.float32)
+    var = jnp.mean(jnp.square(x32), axis=-1, keepdims=True)
+    normed = x32 * jax.lax.rsqrt(var + eps)
+    return (normed * (1.0 + weight.astype(jnp.float32))).astype(x.dtype)
+
+
+def rope(x: jnp.ndarray, positions: jnp.ndarray, theta: float) -> jnp.ndarray:
+    """Rotary embedding. x: [B, T, n, head_dim], positions: [B, T]."""
+    hd = x.shape[-1]
+    freqs = theta ** (-jnp.arange(0, hd // 2, dtype=jnp.float32) / (hd // 2))
+    angles = positions[..., None].astype(jnp.float32) * freqs  # [B, T, hd/2]
+    cos = jnp.cos(angles)[..., None, :]
+    sin = jnp.sin(angles)[..., None, :]
+    x1, x2 = jnp.split(x.astype(jnp.float32), 2, axis=-1)
+    out = jnp.concatenate([x1 * cos - x2 * sin, x2 * cos + x1 * sin], axis=-1)
+    return out.astype(x.dtype)
+
+
+def _attention(
+    q: jnp.ndarray,  # [B, T, H, hd]
+    k: jnp.ndarray,  # [B, S, KV, hd]
+    v: jnp.ndarray,  # [B, S, KV, hd]
+    mask: jnp.ndarray,  # [B, 1, T, S] bool (True = attend)
+) -> jnp.ndarray:
+    b, t, h, hd = q.shape
+    kv = k.shape[2]
+    groups = h // kv
+    q = q.reshape(b, t, kv, groups, hd)
+    scores = jnp.einsum("btkgh,bskh->bkgts", q, k, preferred_element_type=jnp.float32)
+    scores = scores / np.sqrt(hd)
+    scores = jnp.where(mask[:, :, None], scores, -1e30)  # mask: [B,1,T,S]->[B,1,1,T,S]
+    probs = jax.nn.softmax(scores, axis=-1).astype(v.dtype)
+    out = jnp.einsum("bkgts,bskh->btkgh", probs, v, preferred_element_type=jnp.float32)
+    return out.reshape(b, t, h * hd)
+
+
+def _block(
+    lp: Params,  # this layer's params (leaves without the L axis)
+    x: jnp.ndarray,  # [B, T, D] f32 residual stream
+    positions: jnp.ndarray,
+    mask: jnp.ndarray,
+    cfg: GemmaConfig,
+    cache_kv: Optional[Tuple[jnp.ndarray, jnp.ndarray]],  # ([B,S,KV,hd], ...)
+    cache_pos: Optional[jnp.ndarray],
+):
+    """One transformer block. Returns (resid_mid, resid_post, (k, v))."""
+    b, t, d = x.shape
+    dt = cfg.compute_dtype
+    h, kvh, hd = cfg.n_heads, cfg.n_kv_heads, cfg.head_dim
+
+    attn_in = rms_norm(x, lp["attn_norm"], cfg.norm_eps).astype(dt)
+    q = (attn_in @ lp["wq"].astype(dt)).reshape(b, t, h, hd)
+    k = (attn_in @ lp["wk"].astype(dt)).reshape(b, t, kvh, hd)
+    v = (attn_in @ lp["wv"].astype(dt)).reshape(b, t, kvh, hd)
+    q = rope(q, positions, cfg.rope_theta)
+    k = rope(k, positions, cfg.rope_theta)
+
+    if cache_kv is not None:
+        ck, cv = cache_kv
+        k = jax.lax.dynamic_update_slice(ck, k.astype(ck.dtype), (0, cache_pos, 0, 0))
+        v = jax.lax.dynamic_update_slice(cv, v.astype(cv.dtype), (0, cache_pos, 0, 0))
+
+    attn = _attention(q, k.astype(dt), v.astype(dt), mask)
+    attn_out = (attn.astype(dt) @ lp["wo"].astype(dt)).astype(jnp.float32)
+    resid_mid = x + attn_out
+
+    mlp_in = rms_norm(resid_mid, lp["mlp_norm"], cfg.norm_eps).astype(dt)
+    gate = jax.nn.gelu(mlp_in @ lp["w_gate"].astype(dt), approximate=True)
+    up = mlp_in @ lp["w_up"].astype(dt)
+    mlp_out = ((gate * up) @ lp["w_down"].astype(dt)).astype(jnp.float32)
+    resid_post = resid_mid + mlp_out
+    return resid_mid, resid_post, (k, v)
+
+
+def forward(
+    params: Params,
+    tokens: jnp.ndarray,  # [B, T] int32
+    cfg: GemmaConfig,
+    *,
+    capture: CaptureSpec = CaptureSpec(),
+    kv_cache: Optional[Params] = None,  # {"k": [L,B,S,KV,hd], "v": ..., "pos": int32}
+    positions: Optional[jnp.ndarray] = None,  # [B, T] RoPE positions
+    attn_valid: Optional[jnp.ndarray] = None,  # no-cache: [B,T]; cache: [B,S] slot validity
+):
+    """LM forward. Returns (logits [B,T,V], new_kv_cache | None,
+    captures [n_sites, B, T, D] f32 | None).
+
+    With ``kv_cache``, ``tokens`` are the T new tokens appended at buffer
+    offset ``kv_cache['pos']`` and attention spans the cache prefix plus the
+    new tokens (causal within the new block). For left-padded prompts, pass
+    per-row RoPE ``positions`` (pad slots excluded from the count) and mark
+    pad slots invalid in ``attn_valid`` — masking always uses buffer indices,
+    rotation uses ``positions``.
+    """
+    b, t = tokens.shape
+    x = params["embed"][tokens].astype(jnp.float32) * np.sqrt(cfg.d_model)
+
+    if kv_cache is not None:
+        base = kv_cache["pos"]
+        s = kv_cache["k"].shape[2]
+        buf_idx = base + jnp.arange(t, dtype=jnp.int32)[None, :]  # [1, T]
+        if positions is None:
+            positions = jnp.broadcast_to(buf_idx, (b, t))
+        key_pos = jnp.arange(s, dtype=jnp.int32)
+        mask = key_pos[None, None, :] <= buf_idx[:, :, None]  # [B|1, T, S]
+        mask = jnp.broadcast_to(mask, (b, t, s))
+        if attn_valid is not None:
+            mask = mask & attn_valid[:, None, :]
+    else:
+        positions = (
+            jnp.broadcast_to(jnp.arange(t, dtype=jnp.int32)[None, :], (b, t))
+            if positions is None
+            else positions
+        )
+        mask = positions[:, :, None] >= positions[:, None, :]  # causal
+        if attn_valid is not None:
+            mask = mask & attn_valid[:, None, :]
+    mask = mask[:, None]  # [B, 1, T, S]
+
+    want = {}
+    for i, (layer, site) in enumerate(capture.sites):
+        want.setdefault(layer, []).append((i, site))
+
+    caps = [None] * capture.n_sites
+    new_k, new_v = [], []
+    lp_all = params["layers"]
+    for layer in range(cfg.n_layers):
+        lp = {k_: v_[layer] for k_, v_ in lp_all.items()}
+        cache_kv = None
+        cache_pos = None
+        if kv_cache is not None:
+            cache_kv = (kv_cache["k"][layer], kv_cache["v"][layer])
+            cache_pos = kv_cache["pos"]
+        resid_mid, resid_post, (k, v) = _block(
+            lp, x, positions, mask, cfg, cache_kv, cache_pos
+        )
+        for i, site in want.get(layer, ()):
+            caps[i] = resid_mid if site == "resid_mid" else resid_post
+        if kv_cache is not None:
+            new_k.append(k)
+            new_v.append(v)
+        x = resid_post
+
+    x = rms_norm(x, params["final_norm"], cfg.norm_eps)
+    logits = (
+        x.astype(cfg.compute_dtype) @ params["embed"].astype(cfg.compute_dtype).T
+    ).astype(jnp.float32)
+
+    new_cache = None
+    if kv_cache is not None:
+        new_cache = {
+            "k": jnp.stack(new_k),
+            "v": jnp.stack(new_v),
+            "pos": kv_cache["pos"] + t,
+        }
+    captures = jnp.stack(caps) if caps else None
+    return logits, new_cache, captures
+
+
+def init_kv_cache(cfg: GemmaConfig, batch: int, max_len: int, dtype: Any = jnp.bfloat16) -> Params:
+    shape = (cfg.n_layers, batch, max_len, cfg.n_kv_heads, cfg.head_dim)
+    return {
+        "k": jnp.zeros(shape, dtype),
+        "v": jnp.zeros(shape, dtype),
+        "pos": jnp.asarray(0, jnp.int32),
+    }

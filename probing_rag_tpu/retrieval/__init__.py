@@ -1,0 +1,5 @@
+from probing_rag_tpu.retrieval.bm25_index import BM25Config, BM25Index
+from probing_rag_tpu.retrieval.bm25 import BM25Engine
+from probing_rag_tpu.retrieval.text import Analyzer
+
+__all__ = ["Analyzer", "BM25Config", "BM25Engine", "BM25Index"]

@@ -1,0 +1,204 @@
+"""From-scratch BM25 inverted index: CSR term->posting arrays with
+precomputed per-posting impact scores.
+
+This is the TPU-native replacement for the reference's llama-index
+``BM25Retriever`` + ``SimpleDocumentStore`` JSON (exp_rag.py:236-242,
+make_indexer.py:434-444). Design (SURVEY.md §7 step 2):
+
+- The BM25 term-document contribution depends only on (term, doc):
+  ``idf(t) * tf * (k1+1) / (tf + k1*(1 - b + b*dl/avgdl))`` — so it is
+  precomputed at build time into a flat ``f32`` impact array aligned with the
+  postings. Query scoring on device is then a pure sparse-gather + segment-sum
+  + top-k with no per-posting math (probing_rag_tpu/retrieval/bm25.py).
+- Layout: ``term_offsets[T+1] (int64)``, ``postings_doc[NNZ] (int32)``
+  (sorted by doc within each term), ``postings_impact[NNZ] (f32)``. This is
+  the HBM layout the search kernel DMA-slices from.
+- Scoring variant ``okapi`` reproduces rank_bm25.BM25Okapi exactly (the
+  engine inside llama-index's retriever): ``idf = ln((N-n+0.5)/(n+0.5))``
+  with negative idfs floored to ``0.25 * mean(idf)``; ``lucene`` uses the
+  non-negative ``ln(1 + (N-n+0.5)/(n+0.5))``.
+
+The builder is pure numpy on host (index build is offline); a C++ native
+builder with the same artifact format lives in probing_rag_tpu/native.
+"""
+
+from __future__ import annotations
+
+import json
+from dataclasses import asdict, dataclass
+from pathlib import Path
+from typing import Dict, List, Optional, Sequence
+
+import numpy as np
+
+from probing_rag_tpu.retrieval.text import Analyzer
+
+
+@dataclass(frozen=True)
+class BM25Config:
+    k1: float = 1.5
+    b: float = 0.75
+    variant: str = "okapi"  # "okapi" (rank_bm25-compatible) | "lucene"
+    epsilon: float = 0.25  # okapi negative-idf floor factor
+    lowercase: bool = True
+    remove_stopwords: bool = True
+    stem: bool = True
+
+    def analyzer(self) -> Analyzer:
+        return Analyzer(
+            lowercase=self.lowercase,
+            remove_stopwords=self.remove_stopwords,
+            stem=self.stem,
+        )
+
+
+def _compute_idf(n_docs: int, doc_freqs: np.ndarray, config: BM25Config) -> np.ndarray:
+    if config.variant == "lucene":
+        return np.log(1.0 + (n_docs - doc_freqs + 0.5) / (doc_freqs + 0.5))
+    if config.variant != "okapi":
+        raise ValueError(f"unknown BM25 variant {config.variant!r}")
+    idf = np.log((n_docs - doc_freqs + 0.5) / (doc_freqs + 0.5))
+    eps = config.epsilon * idf.mean() if idf.size else 0.0
+    return np.where(idf < 0, eps, idf)
+
+
+@dataclass
+class BM25Index:
+    config: BM25Config
+    vocab: Dict[str, int]  # term -> term id
+    term_offsets: np.ndarray  # [T+1] int64, CSR offsets into postings
+    postings_doc: np.ndarray  # [NNZ] int32, doc ids (sorted within a term)
+    postings_impact: np.ndarray  # [NNZ] f32, precomputed BM25 contribution
+    doc_lens: np.ndarray  # [N] int32
+    doc_ids: List[str]  # external doc ids (row -> id)
+
+    @property
+    def n_docs(self) -> int:
+        return len(self.doc_lens)
+
+    @property
+    def n_terms(self) -> int:
+        return len(self.term_offsets) - 1
+
+    @property
+    def nnz(self) -> int:
+        return len(self.postings_doc)
+
+    # ---------------------------------------------------------------- build
+    @classmethod
+    def build(
+        cls,
+        texts: Sequence[str],
+        config: Optional[BM25Config] = None,
+        doc_ids: Optional[Sequence[str]] = None,
+    ) -> "BM25Index":
+        config = config or BM25Config()
+        analyzer = config.analyzer()
+        return cls.build_tokenized([analyzer(t) for t in texts], config, doc_ids)
+
+    @classmethod
+    def build_tokenized(
+        cls,
+        docs_tokens: Sequence[List[str]],
+        config: Optional[BM25Config] = None,
+        doc_ids: Optional[Sequence[str]] = None,
+    ) -> "BM25Index":
+        config = config or BM25Config()
+        n_docs = len(docs_tokens)
+        vocab: Dict[str, int] = {}
+        # One pass: term-frequency pairs as parallel flat arrays.
+        term_col: List[int] = []
+        doc_col: List[int] = []
+        tf_col: List[int] = []
+        doc_lens = np.zeros(n_docs, dtype=np.int32)
+        for d, tokens in enumerate(docs_tokens):
+            doc_lens[d] = len(tokens)
+            counts: Dict[int, int] = {}
+            for tok in tokens:
+                tid = vocab.setdefault(tok, len(vocab))
+                counts[tid] = counts.get(tid, 0) + 1
+            term_col.extend(counts.keys())
+            doc_col.extend([d] * len(counts))
+            tf_col.extend(counts.values())
+
+        term_arr = np.asarray(term_col, dtype=np.int64)
+        doc_arr = np.asarray(doc_col, dtype=np.int32)
+        tf_arr = np.asarray(tf_col, dtype=np.float32)
+
+        # Segment-sort into CSR: stable sort by term keeps docs ascending
+        # within each term (doc_col was appended in doc order).
+        order = np.argsort(term_arr, kind="stable")
+        term_arr, doc_arr, tf_arr = term_arr[order], doc_arr[order], tf_arr[order]
+
+        n_terms = len(vocab)
+        doc_freqs = np.bincount(term_arr, minlength=n_terms).astype(np.int64)
+        term_offsets = np.zeros(n_terms + 1, dtype=np.int64)
+        np.cumsum(doc_freqs, out=term_offsets[1:])
+
+        idf = _compute_idf(n_docs, doc_freqs.astype(np.float64), config)
+        avgdl = float(doc_lens.mean()) if n_docs else 0.0
+        dl_norm = config.k1 * (1.0 - config.b + config.b * doc_lens.astype(np.float64) / max(avgdl, 1e-9))
+        impact = idf[term_arr] * tf_arr * (config.k1 + 1.0) / (tf_arr + dl_norm[doc_arr])
+
+        return cls(
+            config=config,
+            vocab=vocab,
+            term_offsets=term_offsets,
+            postings_doc=doc_arr,
+            postings_impact=impact.astype(np.float32),
+            doc_lens=doc_lens,
+            doc_ids=list(doc_ids) if doc_ids is not None else [str(i) for i in range(n_docs)],
+        )
+
+    # ------------------------------------------------------------ queries
+    def encode_query(self, tokens: List[str]) -> np.ndarray:
+        """Map analyzed query tokens to term ids, dropping OOV. Duplicate
+        tokens are kept — rank_bm25 scores them once per occurrence."""
+        return np.asarray([self.vocab[t] for t in tokens if t in self.vocab], dtype=np.int32)
+
+    # ------------------------------------------------------------- oracle
+    def score_all(self, term_ids: np.ndarray) -> np.ndarray:
+        """Dense scores for one query over every doc — the exact host oracle
+        the device engines are tested against."""
+        scores = np.zeros(self.n_docs, dtype=np.float64)
+        for t in np.asarray(term_ids):
+            lo, hi = self.term_offsets[t], self.term_offsets[t + 1]
+            np.add.at(scores, self.postings_doc[lo:hi], self.postings_impact[lo:hi])
+        return scores.astype(np.float32)
+
+    # ------------------------------------------------------------ persist
+    def save(self, path: Path) -> None:
+        path = Path(path)
+        path.mkdir(parents=True, exist_ok=True)
+        np.savez(
+            path / "postings.npz",
+            term_offsets=self.term_offsets,
+            postings_doc=self.postings_doc,
+            postings_impact=self.postings_impact,
+            doc_lens=self.doc_lens,
+        )
+        manifest = {
+            "format": "probing-rag-tpu/bm25-csr/v1",
+            "config": asdict(self.config),
+            "n_docs": self.n_docs,
+            "n_terms": self.n_terms,
+            "nnz": self.nnz,
+        }
+        (path / "manifest.json").write_text(json.dumps(manifest, indent=2))
+        (path / "vocab.json").write_text(json.dumps(self.vocab))
+        (path / "doc_ids.json").write_text(json.dumps(self.doc_ids))
+
+    @classmethod
+    def load(cls, path: Path) -> "BM25Index":
+        path = Path(path)
+        manifest = json.loads((path / "manifest.json").read_text())
+        arrays = np.load(path / "postings.npz")
+        return cls(
+            config=BM25Config(**manifest["config"]),
+            vocab=json.loads((path / "vocab.json").read_text()),
+            term_offsets=arrays["term_offsets"],
+            postings_doc=arrays["postings_doc"],
+            postings_impact=arrays["postings_impact"],
+            doc_lens=arrays["doc_lens"],
+            doc_ids=json.loads((path / "doc_ids.json").read_text()),
+        )

@@ -1,0 +1,138 @@
+"""BM25 unit tests: hand-computed oracle scores, engine-vs-oracle top-k on a
+random corpus, persistence round trip (SURVEY.md §4)."""
+
+import math
+
+import numpy as np
+import pytest
+
+from probing_rag_tpu.retrieval.bm25 import BM25Engine
+from probing_rag_tpu.retrieval.bm25_index import BM25Config, BM25Index
+from probing_rag_tpu.retrieval.text import Analyzer
+
+CORPUS = [
+    "the quick brown fox jumps over the lazy dog",
+    "a quick brown dog outpaces a swift fox",
+    "the five boxing wizards jump quickly",
+    "dogs and foxes are canids",
+    "pack my box with five dozen liquor jugs",
+]
+
+# no stemming/stopwords for the hand-checked math
+PLAIN = BM25Config(stem=False, remove_stopwords=False, lowercase=True)
+
+
+def okapi_reference_scores(docs_tokens, query_tokens, k1=1.5, b=0.75, epsilon=0.25):
+    """Direct transliteration of the BM25Okapi formula for the oracle."""
+    n = len(docs_tokens)
+    df = {}
+    for toks in docs_tokens:
+        for t in set(toks):
+            df[t] = df.get(t, 0) + 1
+    raw_idf = {t: math.log((n - f + 0.5) / (f + 0.5)) for t, f in df.items()}
+    avg_idf = sum(raw_idf.values()) / len(raw_idf)
+    idf = {t: (v if v >= 0 else epsilon * avg_idf) for t, v in raw_idf.items()}
+    avgdl = sum(map(len, docs_tokens)) / n
+    scores = []
+    for toks in docs_tokens:
+        dl = len(toks)
+        s = 0.0
+        for q in query_tokens:
+            tf = toks.count(q)
+            if tf == 0 or q not in idf:
+                continue
+            s += idf[q] * tf * (k1 + 1) / (tf + k1 * (1 - b + b * dl / avgdl))
+        scores.append(s)
+    return np.asarray(scores, dtype=np.float32)
+
+
+def test_index_against_okapi_formula():
+    analyzer = PLAIN.analyzer()
+    docs_tokens = [analyzer(t) for t in CORPUS]
+    index = BM25Index.build(CORPUS, PLAIN)
+    for query in ["quick brown fox", "five dozen wizards", "dog dog"]:
+        q_toks = analyzer(query)
+        expected = okapi_reference_scores(docs_tokens, q_toks)
+        got = index.score_all(index.encode_query(q_toks))
+        np.testing.assert_allclose(got, expected, rtol=1e-5)
+
+
+def test_engine_matches_oracle_topk():
+    rng = np.random.default_rng(0)
+    vocab = [f"w{i}" for i in range(200)]
+    texts = [
+        " ".join(rng.choice(vocab, size=rng.integers(5, 40)))
+        for _ in range(300)
+    ]
+    index = BM25Index.build(texts, PLAIN)
+    engine = BM25Engine(index)
+    queries = [" ".join(rng.choice(vocab, size=rng.integers(1, 6))) for _ in range(32)]
+    k = 5
+    result = engine.search(queries, k=k)
+    analyzer = PLAIN.analyzer()
+    for qi, q in enumerate(queries):
+        dense = index.score_all(index.encode_query(analyzer(q)))
+        order = np.argsort(-dense, kind="stable")
+        expected_scores = np.sort(dense[order[:k]])[::-1]
+        got_scores = result.scores[qi]
+        n_hits = int((dense > 0).sum())
+        np.testing.assert_allclose(
+            got_scores[: min(k, n_hits)], expected_scores[: min(k, n_hits)], rtol=1e-4
+        )
+        # returned docs must actually have those scores (ties can permute)
+        for slot in range(min(k, n_hits)):
+            d = result.doc_indices[qi, slot]
+            assert d >= 0
+            np.testing.assert_allclose(dense[d], got_scores[slot], rtol=1e-4)
+
+
+def test_duplicate_query_terms_score_twice():
+    index = BM25Index.build(CORPUS, PLAIN)
+    engine = BM25Engine(index)
+    once = engine.search(["fox"], k=3)
+    twice = engine.search(["fox fox"], k=3)
+    np.testing.assert_allclose(twice.scores, once.scores * 2, rtol=1e-5)
+
+
+def test_empty_and_oov_query():
+    index = BM25Index.build(CORPUS, PLAIN)
+    engine = BM25Engine(index)
+    result = engine.search(["zzz unseen tokens"], k=5)
+    assert (result.doc_indices == -1).all()
+    assert (result.scores == 0).all()
+
+
+def test_fewer_hits_than_k():
+    index = BM25Index.build(CORPUS, PLAIN)
+    engine = BM25Engine(index)
+    result = engine.search(["wizards"], k=5)
+    assert (result.doc_indices[0] >= 0).sum() == 1
+    assert result.doc_indices[0, 0] == 2
+
+
+def test_save_load_roundtrip(tmp_path):
+    index = BM25Index.build(CORPUS, BM25Config())
+    index.save(tmp_path / "idx")
+    loaded = BM25Index.load(tmp_path / "idx")
+    assert loaded.vocab == index.vocab
+    np.testing.assert_array_equal(loaded.postings_doc, index.postings_doc)
+    np.testing.assert_allclose(loaded.postings_impact, index.postings_impact)
+    assert loaded.config == index.config
+    e1, e2 = BM25Engine(index), BM25Engine(loaded)
+    q = ["quick brown fox jumping"]
+    np.testing.assert_array_equal(e1.search(q).doc_indices, e2.search(q).doc_indices)
+
+
+def test_analyzer_chain():
+    a = Analyzer()
+    assert a("The running foxes jumped!") == ["run", "fox", "jump"]
+    plain = Analyzer(stem=False, remove_stopwords=False)
+    assert plain("The quick fox") == ["the", "quick", "fox"]
+
+
+def test_retrieve_single_query():
+    index = BM25Index.build(CORPUS, PLAIN)
+    engine = BM25Engine(index)
+    docs = engine.retrieve("quick brown fox", k=2)
+    assert len(docs) == 2
+    assert set(docs) <= {0, 1}

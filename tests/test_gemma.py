@@ -1,0 +1,173 @@
+"""LM core tests: cache/no-cache consistency, padding invariance, capture
+semantics, and decode parity against a Python reference simulation of the
+hook-based loop (SURVEY.md §4)."""
+
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from probing_rag_tpu.models.decode import StopTables, decode_greedy, generate
+from probing_rag_tpu.models.gemma import (
+    CaptureSpec,
+    GemmaConfig,
+    forward,
+    init_kv_cache,
+    init_params,
+    param_count,
+)
+from probing_rag_tpu.models.tokenizer import ByteTokenizer
+
+# float32 compute on the CPU test backend: keeps the cache/no-cache argmax
+# comparison deterministic (the TPU path runs bfloat16)
+CFG = dataclasses.replace(GemmaConfig.tiny(), compute_dtype=jnp.float32)
+
+
+@pytest.fixture(scope="module")
+def params():
+    return init_params(CFG, jax.random.PRNGKey(0))
+
+
+def test_forward_shapes_and_captures(params):
+    tokens = jnp.arange(12, dtype=jnp.int32).reshape(2, 6) % CFG.vocab_size
+    capture = CaptureSpec(((1, "resid_mid"), (2, "resid_post")))
+    logits, _, caps = forward(params, tokens, CFG, capture=capture)
+    assert logits.shape == (2, 6, CFG.vocab_size)
+    assert caps.shape == (2, 2, 6, CFG.d_model)
+    assert not np.allclose(np.asarray(caps[0]), np.asarray(caps[1]))
+
+
+def test_resid_sites_are_consistent(params):
+    # resid_post of layer l == resid_mid of layer l + mlp branch; check the
+    # stream actually differs between sites and layers feed forward.
+    tokens = jnp.ones((1, 4), jnp.int32)
+    capture = CaptureSpec(((0, "resid_mid"), (0, "resid_post"), (1, "resid_mid")))
+    _, _, caps = forward(params, tokens, CFG, capture=capture)
+    mid0, post0, mid1 = np.asarray(caps)
+    assert not np.allclose(mid0, post0)
+    # attention output of layer 1 is added to post0 to make mid1
+    assert not np.allclose(post0, mid1)
+
+
+def test_kv_cache_matches_full_forward(params):
+    tokens = jax.random.randint(jax.random.PRNGKey(1), (2, 10), 0, CFG.vocab_size)
+    full_logits, _, _ = forward(params, tokens, CFG)
+
+    kv = init_kv_cache(CFG, 2, 10, dtype=jnp.float32)
+    # prefill 6, then 4 single-token steps
+    logits_a, kv, _ = forward(params, tokens[:, :6], CFG, kv_cache=kv)
+    outs = [logits_a]
+    for i in range(6, 10):
+        step_logits, kv, _ = forward(params, tokens[:, i : i + 1], CFG, kv_cache=kv)
+        outs.append(step_logits)
+    inc_logits = jnp.concatenate(outs, axis=1)
+    np.testing.assert_allclose(
+        np.asarray(full_logits), np.asarray(inc_logits), rtol=2e-2, atol=2e-2
+    )
+    # argmax (greedy choice) must agree everywhere
+    np.testing.assert_array_equal(
+        np.argmax(np.asarray(full_logits), -1), np.argmax(np.asarray(inc_logits), -1)
+    )
+
+
+def test_left_padding_invariance(params):
+    ids = jax.random.randint(jax.random.PRNGKey(2), (1, 7), 0, CFG.vocab_size)
+    logits_plain, _, _ = forward(params, ids, CFG)
+
+    pad = 5
+    padded = jnp.concatenate([jnp.zeros((1, pad), jnp.int32), ids], axis=-1)
+    valid = jnp.concatenate([jnp.zeros((1, pad), bool), jnp.ones((1, 7), bool)], axis=-1)
+    positions = jnp.maximum(jnp.cumsum(valid.astype(jnp.int32), -1) - 1, 0)
+    logits_padded, _, _ = forward(
+        params, padded, CFG, positions=positions, attn_valid=valid
+    )
+    np.testing.assert_allclose(
+        np.asarray(logits_plain[0, -1]),
+        np.asarray(logits_padded[0, -1]),
+        rtol=2e-2,
+        atol=2e-2,
+    )
+
+
+def _simulate_reference_decode(params, prompt_ids, max_new, eos_id, capture, tok_strings):
+    """Python transliteration of the reference generate loop + hook cache
+    (exp_rag.py:129-200, 315-329): full re-forward each step, cache entry per
+    forward, paragraph stop on decoded text, pooling = sum of cache[1:]."""
+    tokens = list(prompt_ids)
+    cache = []  # list of [n_sites, d] activations, one entry per forward call
+    finished = False
+    for index in range(max_new):
+        arr = jnp.asarray([tokens], jnp.int32)
+        logits, _, caps = forward(params, arr, CFG, capture=capture)
+        cache.append(np.asarray(caps[:, 0, -1 if index else slice(None), :]))
+        nxt = int(jnp.argmax(logits[0, -1]))
+        if finished:
+            nxt = eos_id
+        tokens.append(nxt)
+        text = "".join(tok_strings[t] for t in tokens)
+        if text.count("\n\n") > "".join(tok_strings[t] for t in prompt_ids).count("\n\n"):
+            break
+        if nxt == eos_id:
+            finished = True
+        if finished:
+            break
+    pooled = np.zeros((capture.n_sites, CFG.d_model), np.float32)
+    for entry in cache[1:]:
+        pooled += entry if entry.ndim == 2 else entry[:, -1]
+    return tokens[len(prompt_ids):], pooled, len(cache) - 1
+
+
+def test_decode_matches_reference_simulation(params):
+    tok = ByteTokenizer(CFG.vocab_size)
+    capture = CaptureSpec.for_probing(CFG)
+    tok_strings = tok.token_strings()
+    prompt = "Question: who?\nRationale:"
+    prompt_ids = tok.encode(prompt, add_bos=True)
+    max_new = 12
+
+    ref_tokens, ref_pooled, ref_n = _simulate_reference_decode(
+        params, prompt_ids, max_new, tok.eos_id, capture, tok_strings
+    )
+
+    texts, result = generate(
+        params, CFG, tok, [prompt], max_new_tokens=max_new, capture=capture
+    )
+    got_tokens = [int(t) for t in result.tokens[0, : result.n_generated[0]]]
+    assert got_tokens == ref_tokens
+    assert int(result.n_pooled[0]) == ref_n
+    np.testing.assert_allclose(
+        result.pooled_captures[:, 0, :], ref_pooled, rtol=5e-2, atol=5e-2
+    )
+    assert texts[0].startswith(prompt)
+
+
+def test_decode_batch_rows_match_single(params):
+    tok = ByteTokenizer(CFG.vocab_size)
+    prompts = ["alpha beta", "some longer different prompt here"]
+    texts_batch, res_batch = generate(params, CFG, tok, prompts, max_new_tokens=8)
+    for i, p in enumerate(prompts):
+        texts_one, res_one = generate(params, CFG, tok, [p], max_new_tokens=8)
+        assert texts_one[0] == texts_batch[i]
+        np.testing.assert_allclose(
+            res_one.pooled_captures[:, 0], res_batch.pooled_captures[:, i],
+            rtol=5e-2, atol=5e-2,
+        )
+
+
+def test_stop_tables():
+    st = StopTables.from_token_strings(["a", "\n", "x\n\ny", "b\n", "\nc"])
+    assert list(st.contains_dbl_nl) == [False, False, True, False, False]
+    assert list(st.ends_nl) == [False, True, False, True, False]
+    assert list(st.starts_nl) == [False, True, False, False, True]
+
+
+def test_param_count_runs(params):
+    assert param_count(params) > 0
+
+
+def test_gemma_2b_config_matches_reference_geometry():
+    cfg = GemmaConfig.gemma_2b()
+    assert cfg.probe_layers == (6, 8, 10, 12, 14, 16)  # exp_rag.py:311
+    assert cfg.d_model == 2048 and cfg.n_layers == 18

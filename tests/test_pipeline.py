@@ -1,0 +1,92 @@
+"""Integration: generate -> probe -> retrieve loop on a fixture corpus with a
+deterministic tiny LM (SURVEY.md §4 'integration')."""
+
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from probing_rag_tpu.data.corpus import DocStore
+from probing_rag_tpu.models.gemma import GemmaConfig, init_params
+from probing_rag_tpu.models.tokenizer import ByteTokenizer
+from probing_rag_tpu.pipeline.rag import AdaptiveRAGPipeline, RAGConfig
+from probing_rag_tpu.prober.train import ProberTrainConfig, init_prober_stack
+from probing_rag_tpu.retrieval.bm25 import BM25Engine
+from probing_rag_tpu.retrieval.bm25_index import BM25Config, BM25Index
+
+CFG = dataclasses.replace(GemmaConfig.tiny(), compute_dtype=jnp.float32)
+
+CORPUS = [
+    "paris is the capital of france",
+    "berlin is the capital of germany",
+    "the mitochondria is the powerhouse of the cell",
+    "george washington was the first president",
+]
+
+
+@pytest.fixture(scope="module")
+def setup():
+    lm = init_params(CFG, jax.random.PRNGKey(0))
+    tok = ByteTokenizer(CFG.vocab_size)
+    index = BM25Index.build(CORPUS, BM25Config(stem=False, remove_stopwords=False))
+    engine = BM25Engine(index)
+    store = DocStore.from_texts(CORPUS)
+    tc = ProberTrainConfig(layers=CFG.probe_layers, positions=("resid_post",))
+    probers = init_prober_stack(tc, CFG.d_model, jax.random.PRNGKey(7))
+    return lm, tok, engine, store, probers
+
+
+def _pipeline(setup, **kw):
+    lm, tok, engine, store, probers = setup
+    rag = RAGConfig(batch_size=2, max_new_tokens=6, **kw)
+    return AdaptiveRAGPipeline(lm, CFG, tok, engine, store, probers, rag)
+
+
+def test_none_method(setup):
+    pipe = _pipeline(setup, retr_method="none")
+    res = pipe.run(["who is the president?", "what is the capital of france?"])
+    assert len(res.pred_list) == 2
+    assert res.retr_count_list == [0, 0]
+    for q, p in zip(["who is the president?", "what is the capital of france?"], res.pred_list):
+        assert q in p  # prediction text includes the prompt (reference shape)
+
+
+def test_simple_method(setup):
+    pipe = _pipeline(setup, retr_method="simple")
+    res = pipe.run(["capital of france"])
+    assert res.retr_count_list == [1]
+    assert "passage 1:" in res.pred_list[0]
+
+
+def test_probing_method_forced_stop(setup):
+    # threshold -> -inf forces the gate to stop immediately: no retrieval
+    pipe = _pipeline(setup, retr_method="probing", threshold=-1e6)
+    res = pipe.run(["capital of france", "first president"])
+    assert res.retr_count_list == [0, 0]
+    assert all(s is not None for s in res.gate_scores)
+
+
+def test_probing_method_forced_retrieve(setup):
+    # threshold -> +inf forces retrieval every round: hard cap applies
+    pipe = _pipeline(setup, retr_method="probing", threshold=1e6)
+    res = pipe.run(["capital of france"])
+    # retr_count caps at 3 with a forced 4th round (exp_rag.py:462-465)
+    assert res.retr_count_list == [3]
+    assert "passage 1:" in res.pred_list[0]
+
+
+def test_probing_batch_sizes_dont_change_results(setup):
+    lm, tok, engine, store, probers = setup
+    questions = ["capital of france", "first president", "powerhouse"]
+    res1 = AdaptiveRAGPipeline(
+        lm, CFG, tok, engine, store, probers,
+        RAGConfig(batch_size=1, max_new_tokens=6, threshold=0.0),
+    ).run(questions)
+    res3 = AdaptiveRAGPipeline(
+        lm, CFG, tok, engine, store, probers,
+        RAGConfig(batch_size=4, max_new_tokens=6, threshold=0.0),
+    ).run(questions)
+    assert res1.pred_list == res3.pred_list
+    assert res1.retr_count_list == res3.retr_count_list
