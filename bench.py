@@ -1,0 +1,101 @@
+"""Benchmark: BM25 queries/sec/chip on the device JAX sees (real TPU under
+the driver; CPU when forced). Prints ONE JSON line.
+
+Target (BASELINE.json): >=10k BM25 queries/sec/chip on v5e at recall parity.
+The reference has no published throughput (SURVEY.md §6); vs_baseline is
+measured against the 10k q/s/chip target.
+
+Corpus: synthetic Zipf-distributed corpus sized like the per-dataset eval
+indexes (100k docs, ~60 tokens/doc). Queries: 4-term, drawn from the same
+distribution. Scoring runs the production path: host term-id encode ->
+bucketed padded tiles -> jitted gather/sort/segment-sum/top-k on device.
+"""
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+import numpy as np
+
+N_DOCS = int(os.environ.get("BENCH_DOCS", 100_000))
+DOC_LEN = int(os.environ.get("BENCH_DOC_LEN", 60))
+VOCAB = int(os.environ.get("BENCH_VOCAB", 50_000))
+N_QUERIES = int(os.environ.get("BENCH_QUERIES", 4096))
+BATCH = int(os.environ.get("BENCH_BATCH", 512))
+K = 5
+TARGET_QPS = 10_000.0
+
+
+def main():
+    import jax
+
+    from probing_rag_tpu.ops.sparse import bm25_search_padded
+    from probing_rag_tpu.retrieval.bm25 import BM25Engine
+    from probing_rag_tpu.retrieval.bm25_index import BM25Config, BM25Index
+
+    rng = np.random.default_rng(0)
+    # Zipf term distribution with the head ranks dropped — mimicking the
+    # analyzer's stopword removal, which is what bounds posting lengths on
+    # real corpora (retrieval/text.py)
+    zipf = rng.zipf(1.3, size=N_DOCS * DOC_LEN * 2)
+    zipf = zipf[zipf >= 30][: N_DOCS * DOC_LEN]
+    term_ids = (zipf % VOCAB).astype(np.int64)
+    docs_tokens = [
+        [f"t{t}" for t in term_ids[i * DOC_LEN : (i + 1) * DOC_LEN]]
+        for i in range(N_DOCS)
+    ]
+    t0 = time.time()
+    index = BM25Index.build_tokenized(
+        docs_tokens, BM25Config(stem=False, remove_stopwords=False)
+    )
+    build_s = time.time() - t0
+
+    engine = BM25Engine(index, max_pad=1 << 17)
+    qz = rng.zipf(1.3, size=N_QUERIES * 16)
+    qz = qz[qz >= 30][: N_QUERIES * 4].reshape(N_QUERIES, 4)
+    q_terms = (qz % VOCAB).astype(np.int64)
+    query_ids = [
+        index.encode_query([f"t{t}" for t in row]) for row in q_terms
+    ]
+
+    batches = [
+        query_ids[i : i + BATCH] for i in range(0, N_QUERIES, BATCH)
+    ]
+    # warmup (compile)
+    engine.search_term_ids(batches[0], k=K)
+    jax.block_until_ready(jax.numpy.zeros(1))
+
+    t0 = time.time()
+    n_done = 0
+    for batch in batches:
+        res = engine.search_term_ids(batch, k=K)
+        n_done += len(batch)
+    elapsed = time.time() - t0
+    qps = n_done / elapsed
+
+    print(
+        json.dumps(
+            {
+                "metric": "bm25_queries_per_sec_per_chip",
+                "value": round(qps, 1),
+                "unit": "queries/s",
+                "vs_baseline": round(qps / TARGET_QPS, 3),
+                "detail": {
+                    "n_docs": N_DOCS,
+                    "nnz": index.nnz,
+                    "n_queries": n_done,
+                    "batch": BATCH,
+                    "k": K,
+                    "index_build_s": round(build_s, 1),
+                    "device": str(jax.devices()[0]),
+                },
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,350 @@
+"""Command-line workflow: the replacement for the reference's shell scripts
+(L7, SURVEY.md §1): ``index build -> dataset make -> prober train -> rag run
+-> analyze``.
+
+Usage (mirrors README.md:35-66 of the reference):
+
+    python -m probing_rag_tpu.cli index-build --dataset nq --raw-dir raw_data --out artifacts/nq
+    python -m probing_rag_tpu.cli dataset-make --retr-method simple --dataset nq ...
+    python -m probing_rag_tpu.cli prober-train --data dataset/extracted_*.csv --out artifacts/probers
+    python -m probing_rag_tpu.cli rag-run --retr-method probing --dataset nq ...
+    python -m probing_rag_tpu.cli param-audit
+"""
+
+from __future__ import annotations
+
+import argparse
+import dataclasses
+import sys
+import time
+from pathlib import Path
+
+import numpy as np
+
+
+def _force_platform(args):
+    import jax
+
+    if args.platform:
+        jax.config.update("jax_platforms", args.platform)
+
+
+def _load_model(args):
+    """LM params + tokenizer: HF checkpoint when provided, random-init tiny
+    model (ByteTokenizer) otherwise — the zero-checkpoint smoke path."""
+    import jax
+    import jax.numpy as jnp
+
+    from probing_rag_tpu.models.gemma import GemmaConfig, init_params
+    from probing_rag_tpu.models.tokenizer import ByteTokenizer, SentencePieceTokenizer
+
+    if args.checkpoint:
+        from probing_rag_tpu.models.hf_loader import load_gemma_params
+
+        cfg = (
+            GemmaConfig.mistral_7b()
+            if "mistral" in args.model_id.lower()
+            else GemmaConfig.gemma_2b()
+        )
+        params = load_gemma_params(Path(args.checkpoint), cfg)
+        params = jax.tree.map(lambda x: jnp.asarray(x, jnp.bfloat16), params)
+        if args.tokenizer:
+            tok = SentencePieceTokenizer(args.tokenizer)
+        else:
+            from transformers import AutoTokenizer
+
+            tok = SentencePieceTokenizer(
+                AutoTokenizer.from_pretrained(args.checkpoint)
+            )
+        return params, cfg, tok
+
+    print(
+        "[probing-rag-tpu] no --checkpoint: using random-init tiny model "
+        "(smoke-test mode; outputs are not meaningful)",
+        file=sys.stderr,
+    )
+    cfg = dataclasses.replace(GemmaConfig.tiny(), compute_dtype=jnp.float32)
+    return init_params(cfg, jax.random.PRNGKey(args.seed)), cfg, ByteTokenizer(cfg.vocab_size)
+
+
+def cmd_index_build(args):
+    _force_platform(args)
+    from probing_rag_tpu.data.corpus import DocStore, make_documents
+    from probing_rag_tpu.retrieval.bm25_index import BM25Config, BM25Index
+
+    if args.fixture:
+        texts = [line for line in Path(args.fixture).read_text().splitlines() if line.strip()]
+        ids = [str(i) for i in range(len(texts))]
+    else:
+        texts, ids = make_documents(args.dataset, Path(args.raw_dir))
+    out = Path(args.out)
+    DocStore.from_texts(texts, ids).save(out / "docstore.json")
+    if args.dense:
+        from probing_rag_tpu.retrieval.dense import DenseIndex
+
+        encode = _dense_encoder(args)
+        DenseIndex.build(texts, encode).save(out / "dense")
+    else:
+        t0 = time.time()
+        BM25Index.build(texts, BM25Config()).save(out / "bm25")
+        print(f"built sparse index over {len(texts)} docs in {time.time()-t0:.1f}s")
+    print(f"index written to {out}")
+
+
+def _dense_encoder(args):
+    """Contriever encoder closure (random-init without a checkpoint)."""
+    import jax
+    import jax.numpy as jnp
+
+    from probing_rag_tpu.models.encoder import (
+        EncoderConfig,
+        encoder_forward,
+        init_encoder_params,
+    )
+    from probing_rag_tpu.models.tokenizer import ByteTokenizer
+
+    cfg = EncoderConfig.tiny() if not args.checkpoint else EncoderConfig.contriever()
+    params = init_encoder_params(cfg, jax.random.PRNGKey(0))
+    tok = ByteTokenizer(max(cfg.vocab_size, 259))
+    fwd = jax.jit(lambda p, t, m: encoder_forward(p, t, m, cfg))
+
+    def encode(texts):
+        ids = [tok.encode(t)[: cfg.max_positions] for t in texts]
+        ml = max(max((len(i) for i in ids), default=1), 1)
+        arr = np.zeros((len(ids), ml), np.int32)
+        mask = np.zeros((len(ids), ml), bool)
+        for i, row in enumerate(ids):
+            arr[i, : len(row)] = [min(t, cfg.vocab_size - 1) for t in row]
+            mask[i, : len(row)] = True
+        return np.asarray(fwd(params, jnp.asarray(arr), jnp.asarray(mask)))
+
+    return encode
+
+
+def _build_pipeline(args, retr_method: str):
+    from probing_rag_tpu.data.corpus import DocStore
+    from probing_rag_tpu.pipeline.rag import AdaptiveRAGPipeline, RAGConfig
+    from probing_rag_tpu.retrieval.bm25 import BM25Engine
+    from probing_rag_tpu.retrieval.bm25_index import BM25Index
+
+    params, cfg, tok = _load_model(args)
+    index_dir = Path(args.index)
+    store = DocStore.load(index_dir / "docstore.json")
+    if args.dense:
+        from probing_rag_tpu.retrieval.dense import DenseEngine, DenseIndex
+
+        engine = DenseEngine(DenseIndex.load(index_dir / "dense"), _dense_encoder(args))
+    else:
+        engine = BM25Engine(BM25Index.load(index_dir / "bm25"))
+
+    probers = None
+    if retr_method == "probing":
+        from probing_rag_tpu.prober.train import ProberTrainConfig, init_prober_stack
+        from probing_rag_tpu.utils.checkpoint import load_pytree
+
+        tc = ProberTrainConfig(layers=cfg.probe_layers, positions=(args.position,))
+        template = init_prober_stack(tc, cfg.d_model, __import__("jax").random.PRNGKey(0))
+        if args.probers:
+            probers, _ = load_pytree(Path(args.probers), like=template)
+        else:
+            print("[probing-rag-tpu] no --probers: random gate (smoke only)", file=sys.stderr)
+            probers = template
+
+    rag = RAGConfig(
+        retr_method=retr_method,
+        threshold=args.threshold,
+        ablation=args.ablation,
+        top_k=args.top_k,
+        max_new_tokens=args.max_new_tokens,
+        batch_size=args.batch_size,
+        position=args.position,
+    )
+    return AdaptiveRAGPipeline(params, cfg, tok, engine, store, probers, rag), cfg
+
+
+def _load_questions(args):
+    from probing_rag_tpu.data.qa import load_qa_dataset
+
+    if args.fixture_qa:
+        import json
+
+        data = json.loads(Path(args.fixture_qa).read_text())
+        return [d["question"] for d in data], [d["answers"] for d in data]
+    examples = load_qa_dataset(Path(args.raw_dir), args.dataset, args.split)
+    examples = examples[: args.steps_limit + 1]
+    return [e.question for e in examples], [e.answers for e in examples]
+
+
+def cmd_rag_run(args):
+    _force_platform(args)
+    from probing_rag_tpu.eval.evaluator import evaluate_predictions
+    from probing_rag_tpu.eval.metrics import EmF1Metric, SupportEmF1Metric
+    from probing_rag_tpu.eval.results import RunRecord, result_filename, save_run
+
+    pipeline, cfg = _build_pipeline(args, args.retr_method)
+    questions, answers = _load_questions(args)
+    t0 = time.time()
+    result = pipeline.run(questions)
+    elapsed = time.time() - t0
+    multihop = args.dataset in ("hotpotqa", "2wikimultihopqa", "musique", "iirc")
+    metric = SupportEmF1Metric() if multihop else EmF1Metric()
+    acc, metric, _ = evaluate_predictions(
+        result.pred_list, answers, metric,
+        dataset_name=args.dataset, retr_method=args.retr_method,
+    )
+    record = RunRecord(
+        retr_method=args.retr_method,
+        dataset_name=args.dataset,
+        elapsed_s=elapsed,
+        acc=acc,
+        metric_out=metric.get_metric(),
+        retr_count_list=result.retr_count_list if args.retr_method == "probing" else None,
+        config={k: v for k, v in vars(args).items() if k != "fn"},
+    )
+    fname = result_filename(
+        args.ablation, "tpu", "dense" if args.dense else "sparse", args.dataset,
+        args.threshold, args.retr_method, "cot", args.split, args.steps_limit,
+    )
+    path = save_run(record, Path(args.results_dir), fname)
+    em, f1 = record.em_f1()
+    print(f"acc={record.accuracy:.4f} em={em} f1={f1} time={elapsed:.1f}s -> {path}")
+
+
+def cmd_dataset_make(args):
+    _force_platform(args)
+    from probing_rag_tpu.pipeline.dataset_builder import extract_cot_dataset, save_rows
+
+    pipeline, _ = _build_pipeline(args, args.retr_method)
+    questions, answers = _load_questions(args)
+    rows = extract_cot_dataset(pipeline, questions, answers, args.dataset)
+    out = Path(args.out)
+    save_rows(rows, out)
+    print(f"{len(rows)} rows -> {out}")
+
+
+def cmd_prober_train(args):
+    _force_platform(args)
+    import jax
+
+    from probing_rag_tpu.pipeline.dataset_builder import balance_and_merge, load_rows
+    from probing_rag_tpu.prober.train import ProberTrainConfig, train_probers
+    from probing_rag_tpu.utils.checkpoint import save_pytree
+    from probing_rag_tpu.utils.logging import JsonlWriter
+
+    params, cfg, tok = _load_model(args)
+    row_sets = [load_rows(Path(p)) for p in args.data]
+    examples = balance_and_merge(row_sets, pos_ratio=args.pos_ratio, seed=args.seed)
+    split = max(1, int(len(examples) * 0.9))
+    tc = ProberTrainConfig(
+        layers=cfg.probe_layers,
+        positions=tuple(args.positions.split(",")),
+        method=args.method,
+        lr=args.lr,
+        batch_size=args.batch_size,
+        epochs=args.epochs,
+        max_len=args.max_len,
+        seed=args.seed,
+    )
+    writer = JsonlWriter(Path(args.out) / "train_log.jsonl")
+    stacked, history = train_probers(
+        params, cfg, tok, examples[:split], examples[split:], tc, log=writer.write
+    )
+    save_pytree(
+        Path(args.out) / "probers",
+        stacked,
+        meta={"sites": [list(s) for s in tc.sites], "method": tc.method,
+              "model_id": args.model_id},
+    )
+    print(f"trained {len(tc.sites)} probers on {split} examples -> {args.out}")
+
+
+def cmd_param_audit(args):
+    """Prober-vs-classifier parameter audit (exp_parameter_check.py)."""
+    import jax
+
+    from probing_rag_tpu.prober.model import init_improved_probe, probe_param_count
+
+    probe = init_improved_probe(jax.random.PRNGKey(0), args.d_model)
+    n = probe_param_count(probe)
+    t5_large = 737_668_096  # Adaptive-RAG's T5-large classifier (exp_parameter_check.py:48-54)
+    print(f"prober params:            {n:>13,} ({n * 4 / 2**20:.2f} MB fp32)")
+    print(f"adaptive-rag T5 classifier:{t5_large:>13,} ({t5_large * 4 / 2**20:.2f} MB fp32)")
+    print(f"ratio: {t5_large / n:.0f}x")
+
+
+def build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(prog="probing-rag-tpu")
+    sub = p.add_subparsers(dest="cmd", required=True)
+
+    def common(sp):
+        sp.add_argument("--platform", default=None, help="force jax platform (cpu)")
+        sp.add_argument("--model-id", default="google/gemma-2b")
+        sp.add_argument("--checkpoint", default=None, help="HF checkpoint dir")
+        sp.add_argument("--tokenizer", default=None, help="sentencepiece model path")
+        sp.add_argument("--seed", type=int, default=42)
+        sp.add_argument("--dense", action="store_true", help="dense retrieval")
+
+    sp = sub.add_parser("index-build")
+    common(sp)
+    sp.add_argument("--dataset", required=True)
+    sp.add_argument("--raw-dir", default="raw_data")
+    sp.add_argument("--out", required=True)
+    sp.add_argument("--fixture", default=None, help="plain-text corpus file (one doc/line)")
+    sp.set_defaults(fn=cmd_index_build)
+
+    def rag_common(sp):
+        common(sp)
+        sp.add_argument("--dataset", required=True)
+        sp.add_argument("--split", default="dev")
+        sp.add_argument("--raw-dir", default="raw_data")
+        sp.add_argument("--fixture-qa", default=None, help="JSON [{question, answers}]")
+        sp.add_argument("--index", required=True)
+        sp.add_argument("--probers", default=None)
+        sp.add_argument("--threshold", type=float, default=0.0)
+        sp.add_argument("--ablation", type=int, default=0)
+        sp.add_argument("--top-k", type=int, default=5)
+        sp.add_argument("--max-new-tokens", type=int, default=150)
+        sp.add_argument("--batch-size", type=int, default=8)
+        sp.add_argument("--position", default="resid_post")
+        sp.add_argument("--steps-limit", type=int, default=500)
+        sp.add_argument("--results-dir", default="result")
+
+    sp = sub.add_parser("rag-run")
+    rag_common(sp)
+    sp.add_argument("--retr-method", default="probing",
+                    choices=["probing", "none", "simple"])
+    sp.set_defaults(fn=cmd_rag_run)
+
+    sp = sub.add_parser("dataset-make")
+    rag_common(sp)
+    sp.add_argument("--retr-method", default="simple", choices=["none", "simple"])
+    sp.add_argument("--out", required=True)
+    sp.set_defaults(fn=cmd_dataset_make)
+
+    sp = sub.add_parser("prober-train")
+    common(sp)
+    sp.add_argument("--data", nargs="+", required=True, help="extracted CSV(s)")
+    sp.add_argument("--out", required=True)
+    sp.add_argument("--method", default="tokens_mean",
+                    choices=["tokens_mean", "last_token", "each_token"])
+    sp.add_argument("--positions", default="resid_mid,resid_post")
+    sp.add_argument("--lr", type=float, default=1e-4)
+    sp.add_argument("--batch-size", type=int, default=8)
+    sp.add_argument("--epochs", type=int, default=2)
+    sp.add_argument("--max-len", type=int, default=1536)
+    sp.add_argument("--pos-ratio", type=float, default=0.5)
+    sp.set_defaults(fn=cmd_prober_train)
+
+    sp = sub.add_parser("param-audit")
+    sp.add_argument("--d-model", type=int, default=2048)
+    sp.set_defaults(fn=cmd_param_audit)
+    return p
+
+
+def main(argv=None):
+    args = build_parser().parse_args(argv)
+    args.fn(args)
+
+
+if __name__ == "__main__":
+    main()

@@ -49,8 +49,12 @@ def postings_gather(
     total = cum[:, -1:]  # [Q, 1]
 
     p_idx = jnp.arange(pad, dtype=jnp.int32)[None, :]  # [1, P]
-    # Which term does slot p fall into: count of terms fully before p.
-    term_rank = jnp.sum(cum[:, None, :] <= p_idx[:, :, None], axis=-1)  # [Q, P]
+    # Which term does slot p fall into: the first term whose inclusive cumsum
+    # exceeds p. searchsorted keeps this O(P log TQ) — a broadcast compare
+    # would materialize [Q, P, TQ].
+    term_rank = jax.vmap(
+        lambda c, p: jnp.searchsorted(c, p, side="right")
+    )(cum, jnp.broadcast_to(p_idx, (cum.shape[0], pad))).astype(jnp.int32)
     term_rank = jnp.minimum(term_rank, qterms.shape[1] - 1)
     start_before = jnp.where(
         term_rank > 0,

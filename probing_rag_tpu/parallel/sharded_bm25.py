@@ -1,0 +1,141 @@
+"""Doc-sharded BM25 over a device mesh with collective top-k merge.
+
+The Wikipedia-scale path (BASELINE.json config 5, SURVEY.md §5.8): postings
+are partitioned by doc range into one CSR sub-index per device; every device
+scores the full query batch against its shard with the same
+gather->sort->segment-sum->top-k op as the single-chip engine
+(ops/sparse.py), then a tiny ``all_gather`` (k per shard per query) merges
+shard-local top-k into global top-k — collectives ride ICI, never the
+posting arrays.
+
+Sharding mechanics: the shard sub-indexes are padded to a common NNZ and
+stacked on a leading axis laid out over the flattened mesh axes via
+``shard_map``; doc ids stay global so the merge is a pure top-k over the
+gathered (score, doc) pairs.
+"""
+
+from __future__ import annotations
+
+import functools
+from dataclasses import dataclass
+from typing import List, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from probing_rag_tpu.ops.sparse import postings_gather, sorted_segment_topk
+from probing_rag_tpu.retrieval.bm25 import BM25SearchResult, _next_pow2
+from probing_rag_tpu.retrieval.bm25_index import BM25Index
+
+
+def shard_index_by_docs(index: BM25Index, n_shards: int):
+    """Split a CSR index into per-doc-range sub-CSRs (host-side, build time).
+
+    Returns stacked arrays: term_offsets [S, T+1], postings_doc [S, NNZmax]
+    (global doc ids), postings_impact [S, NNZmax]; sentinel-padded.
+    """
+    n_docs = index.n_docs
+    bounds = np.linspace(0, n_docs, n_shards + 1).astype(np.int64)
+    t = index.n_terms
+    per_shard: List[Tuple[np.ndarray, np.ndarray, np.ndarray]] = []
+    doc = index.postings_doc
+    imp = index.postings_impact
+    offs = index.term_offsets
+    for s in range(n_shards):
+        lo_d, hi_d = bounds[s], bounds[s + 1]
+        # postings are doc-sorted within each term: binary search per term
+        starts = np.empty(t, np.int64)
+        ends = np.empty(t, np.int64)
+        for ti in range(t):
+            a, b = offs[ti], offs[ti + 1]
+            seg = doc[a:b]
+            starts[ti] = a + np.searchsorted(seg, lo_d, side="left")
+            ends[ti] = a + np.searchsorted(seg, hi_d, side="left")
+        lens = ends - starts
+        new_offs = np.zeros(t + 1, np.int64)
+        np.cumsum(lens, out=new_offs[1:])
+        nnz = int(new_offs[-1])
+        new_doc = np.empty(nnz, np.int32)
+        new_imp = np.empty(nnz, np.float32)
+        for ti in range(t):
+            new_doc[new_offs[ti]:new_offs[ti + 1]] = doc[starts[ti]:ends[ti]]
+            new_imp[new_offs[ti]:new_offs[ti + 1]] = imp[starts[ti]:ends[ti]]
+        per_shard.append((new_offs, new_doc, new_imp))
+
+    nnz_max = max(1, max(p[1].size for p in per_shard))
+    offsets = np.stack([p[0] for p in per_shard]).astype(np.int32)
+    docs = np.full((n_shards, nnz_max), n_docs, np.int32)
+    imps = np.zeros((n_shards, nnz_max), np.float32)
+    for s, (_, d, i) in enumerate(per_shard):
+        docs[s, : d.size] = d
+        imps[s, : i.size] = i
+    return offsets, docs, imps
+
+
+class ShardedBM25Engine:
+    """BM25 search over an index doc-sharded across every device of a mesh."""
+
+    def __init__(self, index: BM25Index, mesh: Mesh, max_pad: int = 1 << 20):
+        self.index = index
+        self.mesh = mesh
+        self.analyzer = index.config.analyzer()
+        self.max_pad = max_pad
+        self.n_shards = int(np.prod([mesh.shape[a] for a in mesh.axis_names]))
+        offsets, docs, imps = shard_index_by_docs(index, self.n_shards)
+        self._axes = tuple(mesh.axis_names)
+        shard_spec = P(self._axes)  # leading shard axis over all mesh axes
+        self._term_offsets = jax.device_put(offsets, NamedSharding(mesh, shard_spec))
+        self._postings_doc = jax.device_put(docs, NamedSharding(mesh, shard_spec))
+        self._postings_impact = jax.device_put(imps, NamedSharding(mesh, shard_spec))
+        # worst-case per-shard posting lengths for tile planning
+        self._term_lens = (offsets[:, 1:] - offsets[:, :-1]).max(axis=0).astype(np.int64)
+
+    @functools.partial(jax.jit, static_argnames=("self", "pad", "k"))
+    def _search(self, qterms, qmask, *, pad: int, k: int):
+        sentinel = self.index.n_docs
+        axes = self._axes
+
+        def shard_fn(offs, docs, imps, qt, qm):
+            doc, imp = postings_gather(
+                offs[0], docs[0], imps[0], qt, qm, pad, sentinel
+            )
+            scores, idx = sorted_segment_topk(doc, imp, k)  # local top-k
+            # merge across shards: gather k-per-shard candidates (tiny)
+            all_scores = jax.lax.all_gather(scores, axes, tiled=False)  # [S,Q,k]
+            all_idx = jax.lax.all_gather(idx, axes, tiled=False)
+            s, q, _ = all_scores.shape
+            flat_s = jnp.transpose(all_scores, (1, 0, 2)).reshape(q, s * k)
+            flat_i = jnp.transpose(all_idx, (1, 0, 2)).reshape(q, s * k)
+            top_vals, pos = jax.lax.top_k(flat_s, k)
+            top_idx = jnp.take_along_axis(flat_i, pos, axis=-1)
+            hit = top_vals > 0.0
+            return jnp.where(hit, top_vals, 0.0), jnp.where(hit, top_idx, -1)
+
+        return jax.shard_map(
+            shard_fn,
+            mesh=self.mesh,
+            in_specs=(P(axes), P(axes), P(axes), P(), P()),
+            out_specs=(P(), P()),
+            check_vma=False,  # outputs are replicated post-all_gather
+        )(self._term_offsets, self._postings_doc, self._postings_impact, qterms, qmask)
+
+    def search(self, queries: Sequence[str], k: int = 5) -> BM25SearchResult:
+        term_ids = [
+            self.index.encode_query(self.analyzer(q)) for q in queries
+        ]
+        tq = _next_pow2(max((len(i) for i in term_ids), default=1) or 1, 8)
+        qterms = np.zeros((len(term_ids), tq), np.int32)
+        qmask = np.zeros((len(term_ids), tq), bool)
+        max_total = 1
+        for row, ids in enumerate(term_ids):
+            qterms[row, : len(ids)] = ids
+            qmask[row, : len(ids)] = True
+            if ids.size:
+                max_total = max(max_total, int(self._term_lens[ids].sum()))
+        pad = _next_pow2(min(max_total, self.max_pad), 512)
+        scores, idx = self._search(
+            jnp.asarray(qterms), jnp.asarray(qmask), pad=pad, k=k
+        )
+        return BM25SearchResult(np.asarray(idx), np.asarray(scores))

@@ -1,0 +1,97 @@
+"""Distributed tests on the virtual 8-device CPU mesh (SURVEY.md §4):
+sharded top-k must equal single-device top-k, and the TP-sharded LM forward
+must match the unsharded one."""
+
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from probing_rag_tpu.models.gemma import CaptureSpec, GemmaConfig, forward, init_params
+from probing_rag_tpu.ops.dense_topk import matmul_topk
+from probing_rag_tpu.parallel.mesh import make_mesh, shard_lm_params
+from probing_rag_tpu.parallel.sharded_bm25 import ShardedBM25Engine, shard_index_by_docs
+from probing_rag_tpu.parallel.sharded_dense import sharded_dense_topk
+from probing_rag_tpu.retrieval.bm25 import BM25Engine
+from probing_rag_tpu.retrieval.bm25_index import BM25Config, BM25Index
+
+CFG = dataclasses.replace(GemmaConfig.tiny(), compute_dtype=jnp.float32)
+PLAIN = BM25Config(stem=False, remove_stopwords=False)
+
+
+@pytest.fixture(scope="module")
+def corpus():
+    rng = np.random.default_rng(0)
+    vocab = [f"w{i}" for i in range(150)]
+    return [" ".join(rng.choice(vocab, size=rng.integers(5, 30))) for _ in range(200)]
+
+
+def test_shard_index_by_docs_partitions_postings(corpus):
+    index = BM25Index.build(corpus, PLAIN)
+    offsets, docs, imps = shard_index_by_docs(index, 4)
+    assert offsets.shape[0] == 4
+    total = sum(int(offsets[s, -1]) for s in range(4))
+    assert total == index.nnz
+    # every shard's doc ids stay global and within its range
+    bounds = np.linspace(0, index.n_docs, 5).astype(int)
+    for s in range(4):
+        nnz = int(offsets[s, -1])
+        if nnz:
+            assert docs[s, :nnz].min() >= bounds[s]
+            assert docs[s, :nnz].max() < bounds[s + 1]
+
+
+def test_sharded_bm25_equals_single_device(eight_devices, corpus):
+    mesh = make_mesh((4, 2), eight_devices)
+    index = BM25Index.build(corpus, PLAIN)
+    single = BM25Engine(index)
+    sharded = ShardedBM25Engine(index, mesh)
+    rng = np.random.default_rng(1)
+    queries = [" ".join(rng.choice([f"w{i}" for i in range(150)], size=3)) for _ in range(16)]
+    r1 = single.search(queries, k=5)
+    r2 = sharded.search(queries, k=5)
+    np.testing.assert_allclose(r1.scores, r2.scores, rtol=1e-5, atol=1e-6)
+    # doc sets must match where scores are distinct; compare via scores of ids
+    for qi in range(len(queries)):
+        dense = index.score_all(index.encode_query(PLAIN.analyzer()(queries[qi])))
+        for slot in range(5):
+            d1, d2 = r1.doc_indices[qi, slot], r2.doc_indices[qi, slot]
+            if d1 >= 0 or d2 >= 0:
+                np.testing.assert_allclose(dense[d1], dense[d2], rtol=1e-5)
+
+
+def test_sharded_dense_equals_single_device(eight_devices):
+    mesh = make_mesh((4, 2), eight_devices)
+    rng = np.random.default_rng(2)
+    emb = rng.normal(size=(333, 32)).astype(np.float32)  # uneven shard split
+    q = rng.normal(size=(6, 32)).astype(np.float32)
+    for metric in ("ip", "l2"):
+        v1, i1 = matmul_topk(jnp.asarray(q), jnp.asarray(emb), k=4, metric=metric, tile_n=128)
+        v2, i2 = sharded_dense_topk(
+            jnp.asarray(q), jnp.asarray(emb), mesh=mesh, k=4, metric=metric, tile_n=128
+        )
+        np.testing.assert_allclose(np.asarray(v1), np.asarray(v2), rtol=1e-4, atol=1e-5)
+        np.testing.assert_array_equal(np.asarray(i1), np.asarray(i2))
+
+
+def test_tp_sharded_lm_forward_matches_unsharded(eight_devices):
+    mesh = make_mesh((2, 4), eight_devices)
+    params = init_params(CFG, jax.random.PRNGKey(0))
+    tokens = jax.random.randint(jax.random.PRNGKey(1), (4, 8), 0, CFG.vocab_size)
+    capture = CaptureSpec.for_probing(CFG)
+    ref_logits, _, ref_caps = forward(params, tokens, CFG, capture=capture)
+
+    sharded_params = shard_lm_params(params, mesh)
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    tokens_sharded = jax.device_put(tokens, NamedSharding(mesh, P("dp", None)))
+    fn = jax.jit(lambda p, t: forward(p, t, CFG, capture=capture))
+    logits, _, caps = fn(sharded_params, tokens_sharded)
+    np.testing.assert_allclose(
+        np.asarray(ref_logits), np.asarray(logits), rtol=1e-4, atol=1e-4
+    )
+    np.testing.assert_allclose(
+        np.asarray(ref_caps), np.asarray(caps), rtol=1e-4, atol=1e-4
+    )
