@@ -166,7 +166,8 @@ def _attention(
     k: jnp.ndarray,  # [B, S, KV, hd]
     v: jnp.ndarray,  # [B, S, KV, hd]
     mask: jnp.ndarray,  # [B, 1, T, S] bool (True = attend)
-) -> jnp.ndarray:
+    return_probs: bool = False,
+):
     b, t, h, hd = q.shape
     kv = k.shape[2]
     groups = h // kv
@@ -174,9 +175,14 @@ def _attention(
     scores = jnp.einsum("btkgh,bskh->bkgts", q, k, preferred_element_type=jnp.float32)
     scores = scores / np.sqrt(hd)
     scores = jnp.where(mask[:, :, None], scores, -1e30)  # mask: [B,1,T,S]->[B,1,1,T,S]
-    probs = jax.nn.softmax(scores, axis=-1).astype(v.dtype)
-    out = jnp.einsum("bkgts,bskh->btkgh", probs, v, preferred_element_type=jnp.float32)
-    return out.reshape(b, t, h * hd)
+    probs = jax.nn.softmax(scores, axis=-1)
+    out = jnp.einsum(
+        "bkgts,bskh->btkgh", probs.astype(v.dtype), v, preferred_element_type=jnp.float32
+    )
+    out = out.reshape(b, t, h * hd)
+    if return_probs:
+        return out, probs.reshape(b, h, t, -1)  # [B, H, T, S]
+    return out, None
 
 
 def _block(
@@ -187,8 +193,9 @@ def _block(
     cfg: GemmaConfig,
     cache_kv: Optional[Tuple[jnp.ndarray, jnp.ndarray]],  # ([B,S,KV,hd], ...)
     cache_pos: Optional[jnp.ndarray],
+    return_attn_probs: bool = False,
 ):
-    """One transformer block. Returns (resid_mid, resid_post, (k, v))."""
+    """One transformer block. Returns (resid_mid, resid_post, (k, v), probs)."""
     b, t, d = x.shape
     dt = cfg.compute_dtype
     h, kvh, hd = cfg.n_heads, cfg.n_kv_heads, cfg.head_dim
@@ -205,7 +212,7 @@ def _block(
         k = jax.lax.dynamic_update_slice(ck, k.astype(ck.dtype), (0, cache_pos, 0, 0))
         v = jax.lax.dynamic_update_slice(cv, v.astype(cv.dtype), (0, cache_pos, 0, 0))
 
-    attn = _attention(q, k.astype(dt), v.astype(dt), mask)
+    attn, probs = _attention(q, k.astype(dt), v.astype(dt), mask, return_attn_probs)
     attn_out = (attn.astype(dt) @ lp["wo"].astype(dt)).astype(jnp.float32)
     resid_mid = x + attn_out
 
@@ -214,7 +221,7 @@ def _block(
     up = mlp_in @ lp["w_up"].astype(dt)
     mlp_out = ((gate * up) @ lp["w_down"].astype(dt)).astype(jnp.float32)
     resid_post = resid_mid + mlp_out
-    return resid_mid, resid_post, (k, v)
+    return resid_mid, resid_post, (k, v), probs
 
 
 def forward(
@@ -226,6 +233,7 @@ def forward(
     kv_cache: Optional[Params] = None,  # {"k": [L,B,S,KV,hd], "v": ..., "pos": int32}
     positions: Optional[jnp.ndarray] = None,  # [B, T] RoPE positions
     attn_valid: Optional[jnp.ndarray] = None,  # no-cache: [B,T]; cache: [B,S] slot validity
+    attn_probs_layer: Optional[int] = None,  # also return this layer's attn probs
 ):
     """LM forward. Returns (logits [B,T,V], new_kv_cache | None,
     captures [n_sites, B, T, D] f32 | None).
@@ -267,6 +275,7 @@ def forward(
         want.setdefault(layer, []).append((i, site))
 
     caps = [None] * capture.n_sites
+    attn_probs = None
     new_k, new_v = [], []
     lp_all = params["layers"]
     for layer in range(cfg.n_layers):
@@ -276,9 +285,13 @@ def forward(
         if kv_cache is not None:
             cache_kv = (kv_cache["k"][layer], kv_cache["v"][layer])
             cache_pos = kv_cache["pos"]
-        resid_mid, resid_post, (k, v) = _block(
-            lp, x, positions, mask, cfg, cache_kv, cache_pos
+        resid_mid, resid_post, (k, v), probs = _block(
+            lp, x, positions, mask, cfg, cache_kv, cache_pos,
+            return_attn_probs=(attn_probs_layer is not None
+                               and layer == attn_probs_layer % cfg.n_layers),
         )
+        if probs is not None:
+            attn_probs = probs
         for i, site in want.get(layer, ()):
             caps[i] = resid_mid if site == "resid_mid" else resid_post
         if kv_cache is not None:
@@ -299,6 +312,8 @@ def forward(
             "pos": kv_cache["pos"] + t,
         }
     captures = jnp.stack(caps) if caps else None
+    if attn_probs_layer is not None:
+        return logits, new_cache, captures, attn_probs
     return logits, new_cache, captures
 
 

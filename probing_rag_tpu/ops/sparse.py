@@ -71,38 +71,77 @@ def postings_gather(
     return doc, impact
 
 
-def sorted_segment_topk(doc: jnp.ndarray, impact: jnp.ndarray, k: int):
+def sorted_segment_topk(
+    doc: jnp.ndarray,
+    impact: jnp.ndarray,
+    k: int,
+    sentinel: int | None = None,
+    presorted: bool = False,
+):
     """Per-query top-k of summed impacts over equal-doc runs.
 
     doc, impact: [Q, P]. Returns (scores [Q, k] f32, doc_idx [Q, k] i32);
-    empty slots have score 0 and doc_idx -1. Impacts must be positive for
-    real postings (BM25 Okapi floors negative idf, so they are).
+    empty slots have score 0 and doc_idx -1. Impacts must be non-negative
+    for real postings (BM25 Okapi floors negative idf, so they are). With
+    ``sentinel`` set, padding runs are excluded by doc id, so matched docs
+    with an exactly-zero total (idf == 0 terms) still count as hits — the
+    reference's BM25Retriever returns them too.
     """
     q, p = doc.shape
-    doc, impact = jax.lax.sort_key_val(doc, impact, dimension=-1)
+    if not presorted:
+        doc, impact = jax.lax.sort_key_val(doc, impact, dimension=-1)
+        doc, impact = jax.lax.optimization_barrier((doc, impact))
 
     cs = jnp.cumsum(impact, axis=-1)  # [Q, P] inclusive
     head = jnp.concatenate(
         [jnp.ones((q, 1), bool), doc[:, 1:] != doc[:, :-1]], axis=-1
     )  # run starts
-    iota = jnp.arange(p, dtype=jnp.int32)[None, :]
-    # Index of the current run's head, broadcast forward along the run.
-    head_idx = jax.lax.associative_scan(
-        jnp.maximum, jnp.where(head, iota, 0), axis=-1
-    )  # [Q, P]
+    # Cumsum before the current run's head, broadcast along the run: cs is
+    # monotone (impacts >= 0), so a running max over head-masked cs_before
+    # equals cs_before at the most recent head — one scan, no gather.
     cs_before = jnp.concatenate([jnp.zeros((q, 1), cs.dtype), cs[:, :-1]], axis=-1)
-    base = jnp.take_along_axis(cs_before, head_idx, axis=-1)  # cumsum before run head
+    base = jax.lax.associative_scan(
+        jnp.maximum, jnp.where(head, cs_before, -jnp.inf), axis=-1
+    )  # [Q, P]
 
     is_end = jnp.concatenate([doc[:, 1:] != doc[:, :-1], jnp.ones((q, 1), bool)], axis=-1)
+    if sentinel is not None:
+        is_end = is_end & (doc != sentinel)
     run_total = jnp.where(is_end, cs - base, -jnp.inf)
+    run_total = jax.lax.optimization_barrier(run_total)
 
     top_vals, top_pos = jax.lax.top_k(run_total, k)
     top_doc = jnp.take_along_axis(doc, top_pos, axis=-1)
-    hit = top_vals > 0.0  # padding/sentinel runs total 0; real scores are > 0
+    hit = (
+        jnp.isfinite(top_vals)
+        if sentinel is not None
+        else top_vals > 0.0  # legacy path: padding runs total exactly 0
+    )
     return jnp.where(hit, top_vals, 0.0), jnp.where(hit, top_doc, -1)
 
 
-@functools.partial(jax.jit, static_argnames=("pad", "sentinel_doc", "k"))
+@functools.partial(jax.jit, static_argnames=("pad", "sentinel_doc"))
+def gather_and_sort(
+    term_offsets: jnp.ndarray,
+    postings_doc: jnp.ndarray,
+    postings_impact: jnp.ndarray,
+    qterms: jnp.ndarray,
+    qmask: jnp.ndarray,
+    *,
+    pad: int,
+    sentinel_doc: int,
+):
+    doc, impact = postings_gather(
+        term_offsets, postings_doc, postings_impact, qterms, qmask, pad, sentinel_doc
+    )
+    return jax.lax.sort_key_val(doc, impact, dimension=-1)
+
+
+@functools.partial(jax.jit, static_argnames=("k", "sentinel"))
+def presorted_segment_topk(doc, impact, *, k: int, sentinel: int):
+    return sorted_segment_topk(doc, impact, k, sentinel=sentinel, presorted=True)
+
+
 def bm25_search_padded(
     term_offsets: jnp.ndarray,
     postings_doc: jnp.ndarray,
@@ -114,7 +153,14 @@ def bm25_search_padded(
     sentinel_doc: int,
     k: int,
 ):
-    doc, impact = postings_gather(
-        term_offsets, postings_doc, postings_impact, qterms, qmask, pad, sentinel_doc
+    """Full BM25 scoring, dispatched as TWO XLA programs (gather+sort, then
+    segment-sum+top-k). The split is deliberate: composing the TPU sort with
+    the downstream scans in one program sends XLA's optimization passes into
+    a multi-hour compile at production tile sizes, while each half compiles
+    in seconds; the program boundary costs one HBM round trip of the [Q, P]
+    tile, which the op is not bound on."""
+    doc, impact = gather_and_sort(
+        term_offsets, postings_doc, postings_impact, qterms, qmask,
+        pad=pad, sentinel_doc=sentinel_doc,
     )
-    return sorted_segment_topk(doc, impact, k)
+    return presorted_segment_topk(doc, impact, k=k, sentinel=sentinel_doc)

@@ -101,16 +101,17 @@ class ShardedBM25Engine:
             doc, imp = postings_gather(
                 offs[0], docs[0], imps[0], qt, qm, pad, sentinel
             )
-            scores, idx = sorted_segment_topk(doc, imp, k)  # local top-k
+            scores, idx = sorted_segment_topk(doc, imp, k, sentinel=sentinel)  # local top-k
             # merge across shards: gather k-per-shard candidates (tiny)
             all_scores = jax.lax.all_gather(scores, axes, tiled=False)  # [S,Q,k]
             all_idx = jax.lax.all_gather(idx, axes, tiled=False)
             s, q, _ = all_scores.shape
             flat_s = jnp.transpose(all_scores, (1, 0, 2)).reshape(q, s * k)
             flat_i = jnp.transpose(all_idx, (1, 0, 2)).reshape(q, s * k)
+            flat_s = jnp.where(flat_i >= 0, flat_s, -jnp.inf)
             top_vals, pos = jax.lax.top_k(flat_s, k)
             top_idx = jnp.take_along_axis(flat_i, pos, axis=-1)
-            hit = top_vals > 0.0
+            hit = jnp.isfinite(top_vals)
             return jnp.where(hit, top_vals, 0.0), jnp.where(hit, top_idx, -1)
 
         return jax.shard_map(

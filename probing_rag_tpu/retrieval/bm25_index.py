@@ -43,12 +43,14 @@ class BM25Config:
     lowercase: bool = True
     remove_stopwords: bool = True
     stem: bool = True
+    stemmer_mode: str = "nltk"  # "nltk" (default extensions) | "original"
 
     def analyzer(self) -> Analyzer:
         return Analyzer(
             lowercase=self.lowercase,
             remove_stopwords=self.remove_stopwords,
             stem=self.stem,
+            stemmer_mode=self.stemmer_mode,
         )
 
 
@@ -95,6 +97,56 @@ class BM25Index:
         config = config or BM25Config()
         analyzer = config.analyzer()
         return cls.build_tokenized([analyzer(t) for t in texts], config, doc_ids)
+
+    @classmethod
+    def build_native(
+        cls,
+        texts: Sequence[str],
+        config: Optional[BM25Config] = None,
+        doc_ids: Optional[Sequence[str]] = None,
+    ) -> "BM25Index":
+        """CSR build through the C++ native indexer (probing_rag_tpu.native):
+        the tokenize/stem/count hot loop runs in C++; idf/impact math stays
+        vectorized numpy. The native Porter stemmer implements the original
+        algorithm, so this path pins ``stemmer_mode='original'``."""
+        from probing_rag_tpu import native
+
+        config = config or BM25Config(stemmer_mode="original")
+        if config.stem and config.stemmer_mode != "original":
+            raise ValueError("native builder implements the original Porter "
+                             "algorithm; use BM25Config(stemmer_mode='original')")
+        vocab, term_offsets, doc_arr, tf_arr, doc_lens = native.build_postings(
+            texts,
+            lowercase=config.lowercase,
+            remove_stopwords=config.remove_stopwords,
+            stem=config.stem,
+        )
+        n_docs = len(texts)
+        doc_freqs = (term_offsets[1:] - term_offsets[:-1]).astype(np.float64)
+        idf = _compute_idf(n_docs, doc_freqs, config)
+        avgdl = float(doc_lens.mean()) if n_docs else 0.0
+        dl_norm = config.k1 * (
+            1.0 - config.b + config.b * doc_lens.astype(np.float64) / max(avgdl, 1e-9)
+        )
+        term_of_posting = np.repeat(
+            np.arange(len(vocab), dtype=np.int64),
+            (term_offsets[1:] - term_offsets[:-1]),
+        )
+        impact = (
+            idf[term_of_posting]
+            * tf_arr
+            * (config.k1 + 1.0)
+            / (tf_arr + dl_norm[doc_arr])
+        )
+        return cls(
+            config=config,
+            vocab=vocab,
+            term_offsets=term_offsets,
+            postings_doc=doc_arr,
+            postings_impact=impact.astype(np.float32),
+            doc_lens=doc_lens.astype(np.int32),
+            doc_ids=list(doc_ids) if doc_ids is not None else [str(i) for i in range(n_docs)],
+        )
 
     @classmethod
     def build_tokenized(

@@ -35,10 +35,14 @@ yours yourself yourselves""".split()
 _TOKEN_RE = re.compile(r"\w+", re.UNICODE)
 
 
-def _porter_stemmer():
-    # nltk ships the stemmer itself (no corpus download needed).
+def _porter_stemmer(mode: str):
+    # nltk ships the stemmer itself (no corpus download needed). "original"
+    # selects Porter's published algorithm — the variant the C++ native
+    # builder implements (probing_rag_tpu/native/indexer.cpp).
     from nltk.stem import PorterStemmer
 
+    if mode == "original":
+        return PorterStemmer(mode="ORIGINAL_ALGORITHM")
     return PorterStemmer()
 
 
@@ -50,11 +54,12 @@ class Analyzer:
     lowercase: bool = True
     remove_stopwords: bool = True
     stem: bool = True
+    stemmer_mode: str = "nltk"
     _stemmer: Optional[object] = field(default=None, repr=False, compare=False)
 
     def __post_init__(self) -> None:
         if self.stem and self._stemmer is None:
-            self._stemmer = _porter_stemmer()
+            self._stemmer = _porter_stemmer(self.stemmer_mode)
 
     def __call__(self, text: str) -> List[str]:
         if self.lowercase:

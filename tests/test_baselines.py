@@ -1,0 +1,143 @@
+"""Baseline method tests: traced generation (attention/entropy extraction),
+DRAGIN modifier semantics, fix-length/fix-sentence/FLARE loops on the tiny
+LM + fixture corpus."""
+
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from probing_rag_tpu.data.corpus import DocStore
+from probing_rag_tpu.models.gemma import GemmaConfig, forward, init_params
+from probing_rag_tpu.models.tokenizer import ByteTokenizer
+from probing_rag_tpu.pipeline.baselines import (
+    BaselineConfig,
+    DraginRAG,
+    FixLengthRAG,
+    FlareRAG,
+    GenerationTrace,
+    _merge_tokens_to_words,
+    content_words,
+    forward_with_attn,
+    sentencize,
+    traced_generate,
+)
+from probing_rag_tpu.retrieval.bm25 import BM25Engine
+from probing_rag_tpu.retrieval.bm25_index import BM25Config, BM25Index
+
+CFG = dataclasses.replace(GemmaConfig.tiny(), compute_dtype=jnp.float32)
+CORPUS = [
+    "paris is the capital of france",
+    "berlin is the capital of germany",
+    "george washington was the first president",
+]
+
+
+@pytest.fixture(scope="module")
+def stack():
+    lm = init_params(CFG, jax.random.PRNGKey(0))
+    tok = ByteTokenizer(CFG.vocab_size)
+    index = BM25Index.build(CORPUS, BM25Config(stem=False, remove_stopwords=False))
+    return lm, tok, BM25Engine(index), DocStore.from_texts(CORPUS)
+
+
+def test_sentencize():
+    assert sentencize("One. Two! Three? Four") == ["One.", "Two!", "Three?", "Four"]
+    assert sentencize("") == []
+
+
+def test_content_words():
+    words = content_words("The quick brown fox ran over 42 bridges")
+    assert "quick" in words and "42" in words
+    assert "the" not in words and "The" not in words
+
+
+def test_merge_tokens_to_words():
+    ranges = _merge_tokens_to_words(["Hel", "lo", " wor", "ld", "\nnew"])
+    assert ranges == [(0, 0), (1, 1), (2, 2), (3, 3), (4, 4)] or ranges[0] == (0, 1)
+    # byte-level tokens: each char its own token, words split on spaces
+    ranges2 = _merge_tokens_to_words(list("ab cd"))
+    # "a","b" merge; " " starts new; "c","d" continue
+    words = ["".join("ab cd"[lo:hi + 1]).strip() for lo, hi in ranges2]
+    assert [w for w in words if w] == ["ab", "cd"]
+
+
+def test_forward_with_attn_shapes(stack):
+    lm, tok, _, _ = stack
+    ids = jnp.asarray([tok.encode("hello world")], jnp.int32)
+    logits, _, _, probs = forward_with_attn(lm, ids, CFG)
+    t = ids.shape[1]
+    assert probs.shape == (1, CFG.n_heads, t, t)
+    # causal: rows sum to 1, upper triangle zero
+    p = np.asarray(probs[0, 0])
+    np.testing.assert_allclose(p.sum(-1), 1.0, rtol=1e-4)
+    assert abs(p[0, -1]) < 1e-6
+
+
+def test_traced_generate(stack):
+    lm, tok, _, _ = stack
+    trace = traced_generate(lm, CFG, tok, "Question: who?\nAnswer:", 8)
+    assert isinstance(trace, GenerationTrace)
+    if trace.words:
+        assert len(trace.words) == len(trace.word_attn) == len(trace.word_entropy)
+        assert all(e >= 0 for e in trace.word_entropy)
+
+
+def test_dragin_modifier_detects_high_entropy(stack):
+    lm, tok, engine, store = stack
+    rag = DraginRAG(lm, CFG, tok, engine, store,
+                    BaselineConfig(hallucination_threshold=0.0))
+    trace = GenerationTrace(
+        text="alpha beta gamma. delta epsilon.",
+        words=["alpha", "beta", "gamma.", "delta", "epsilon."],
+        word_attn=[0.1, 0.5, 0.4, 0.3, 0.7],
+        word_entropy=[1.0, 2.0, 1.5, 0.5, 0.1],
+        word_logprob=[-1.0] * 5,
+    )
+    hall, prev, words, hits = rag.modifier(trace)
+    assert hall is True
+    assert prev == ""  # first sentence already hallucinated
+    assert words == ["alpha", "beta", "gamma."]
+    assert any(hits)
+
+
+def test_dragin_modifier_clean_text(stack):
+    lm, tok, engine, store = stack
+    rag = DraginRAG(lm, CFG, tok, engine, store,
+                    BaselineConfig(hallucination_threshold=1e9))
+    trace = GenerationTrace(
+        text="alpha beta.", words=["alpha", "beta."],
+        word_attn=[0.5, 0.5], word_entropy=[1.0, 1.0], word_logprob=[-1.0, -1.0],
+    )
+    hall, text, _, _ = rag.modifier(trace)
+    assert hall is False and text == "alpha beta."
+
+
+def test_fixlength_inference_runs(stack):
+    lm, tok, engine, store = stack
+    bc = BaselineConfig(generate_max_length=16, max_rounds=2)
+    for method in ("fix-length-retrieval", "fix-sentence"):
+        rag = FixLengthRAG(lm, CFG, tok, engine, store, bc, method=method)
+        out = rag.inference("capital of france?", "demo\n", "Question: capital of france?")
+        assert isinstance(out, str)
+        assert rag.counter.retrieve >= 1
+
+
+def test_dragin_inference_runs(stack):
+    lm, tok, engine, store = stack
+    bc = BaselineConfig(generate_max_length=16, max_rounds=2,
+                        hallucination_threshold=0.5)
+    rag = DraginRAG(lm, CFG, tok, engine, store, bc)
+    out = rag.inference("capital of france?", "demo\n", "Question: capital of france?")
+    assert isinstance(out, str)
+    assert rag.counter.generate >= 1
+
+
+def test_flare_inference_runs(stack):
+    lm, tok, engine, store = stack
+    bc = BaselineConfig(generate_max_length=16, max_rounds=2, flare_threshold=0.99)
+    rag = FlareRAG(lm, CFG, tok, engine, store, bc)
+    out = rag.inference("capital of france?", "demo\n", "Question: capital of france?")
+    assert isinstance(out, str)

@@ -136,3 +136,15 @@ def test_retrieve_single_query():
     docs = engine.retrieve("quick brown fox", k=2)
     assert len(docs) == 2
     assert set(docs) <= {0, 1}
+
+
+def test_zero_idf_terms_still_match():
+    # a term in exactly half the docs has idf == 0 under Okapi; matched docs
+    # score 0.0 but must still be returned (the reference's retriever
+    # returns them) — regression for the sentinel-vs-score hit test
+    corpus = ["capital france", "capital germany", "ocean pacific", "president usa"]
+    index = BM25Index.build(corpus, PLAIN)
+    engine = BM25Engine(index)
+    res = engine.search(["capital"], k=2)
+    assert sorted(res.doc_indices[0].tolist()) == [0, 1]
+    np.testing.assert_allclose(res.scores[0], 0.0, atol=1e-7)
