@@ -32,6 +32,12 @@ TARGET_QPS = 10_000.0
 def main():
     import jax
 
+    # persistent compilation cache: compiles over the TPU tunnel are slow
+    # (~30-60s/program); cached executables make bench reruns near-instant
+    cache_dir = os.path.join(os.path.dirname(os.path.abspath(__file__)), ".jax_cache")
+    jax.config.update("jax_compilation_cache_dir", cache_dir)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
     from probing_rag_tpu.ops.sparse import bm25_search_padded
     from probing_rag_tpu.retrieval.bm25 import BM25Engine
     from probing_rag_tpu.retrieval.bm25_index import BM25Config, BM25Index
@@ -64,15 +70,19 @@ def main():
     batches = [
         query_ids[i : i + BATCH] for i in range(0, N_QUERIES, BATCH)
     ]
-    # warmup (compile)
-    engine.search_term_ids(batches[0], k=K)
-    jax.block_until_ready(jax.numpy.zeros(1))
+    # warmup pass: compiles every (pad, TQ) bucket the query stream hits
+    t0 = time.time()
+    for batch in batches:
+        engine.search_term_ids(batch, k=K)
+    warmup_s = time.time() - t0
 
+    # steady-state serving throughput over repeated passes
     t0 = time.time()
     n_done = 0
-    for batch in batches:
-        res = engine.search_term_ids(batch, k=K)
-        n_done += len(batch)
+    for _ in range(3):
+        for batch in batches:
+            engine.search_term_ids(batch, k=K)
+            n_done += len(batch)
     elapsed = time.time() - t0
     qps = n_done / elapsed
 
@@ -90,6 +100,7 @@ def main():
                     "batch": BATCH,
                     "k": K,
                     "index_build_s": round(build_s, 1),
+                    "warmup_compile_s": round(warmup_s, 1),
                     "device": str(jax.devices()[0]),
                 },
             }

@@ -448,3 +448,31 @@ class FlareRAG(BaselineRAG):
             ):
                 break
         return text
+
+
+class LLMClassifierGate:
+    """LLM-as-retrieval-classifier baseline: few-shot prompt the LM itself to
+    say whether it can answer without retrieval (prompts.py:196-212;
+    'LLM-based' row of the poster's retrieval-call table)."""
+
+    def __init__(self, lm_params, cfg, tokenizer, max_new_tokens: int = 4):
+        self.lm_params = lm_params
+        self.cfg = cfg
+        self.tokenizer = tokenizer
+        self.max_new_tokens = max_new_tokens
+
+    def needs_retrieval(self, questions: Sequence[str]) -> List[bool]:
+        from probing_rag_tpu.data.prompts import llm_based_clf_prompt
+
+        prompts_ = [llm_based_clf_prompt(q) for q in questions]
+        texts, _ = generate(
+            self.lm_params, self.cfg, self.tokenizer, prompts_,
+            max_new_tokens=self.max_new_tokens, capture=CaptureSpec(),
+            stop_tables=StopTables.disabled(self.tokenizer.vocab_size),
+        )
+        out = []
+        for p, t in zip(prompts_, texts):
+            gen = t[len(p):]
+            # "1" == can answer -> no retrieval; anything else retrieves
+            out.append("1" not in gen.split("\n")[0])
+        return out

@@ -201,3 +201,50 @@ class AdaptiveRAGPipeline:
 
         assert all(p is not None for p in preds)
         return RAGResult(list(preds), retr_counts, gate_scores)
+
+    # --------------------------------------------------------- resumability
+    def run_resumable(
+        self,
+        questions: Sequence[str],
+        manifest_path,
+        chunk_size: int = 64,
+    ) -> RAGResult:
+        """Deterministic resumable eval (SURVEY.md §5.3 — the TPU-native
+        replacement for the reference's ``--extract_sep`` manual offset
+        slicing, exp_rag.py:333-335): questions run in fixed chunks, each
+        chunk's results append to a JSONL manifest keyed by query index, and
+        a rerun (e.g. after preemption) skips completed chunks."""
+        import json
+        from pathlib import Path
+
+        manifest_path = Path(manifest_path)
+        manifest_path.parent.mkdir(parents=True, exist_ok=True)
+        done: dict = {}
+        if manifest_path.exists():
+            for line in manifest_path.read_text().splitlines():
+                if line.strip():
+                    rec = json.loads(line)
+                    done[rec["i"]] = rec
+
+        preds: List[Optional[str]] = [None] * len(questions)
+        counts = [0] * len(questions)
+        with manifest_path.open("a") as f:
+            for start in range(0, len(questions), chunk_size):
+                idxs = list(range(start, min(start + chunk_size, len(questions))))
+                if all(i in done for i in idxs):
+                    for i in idxs:
+                        preds[i] = done[i]["pred"]
+                        counts[i] = done[i]["retr_count"]
+                    continue
+                chunk_result = self.run([questions[i] for i in idxs])
+                for j, i in enumerate(idxs):
+                    preds[i] = chunk_result.pred_list[j]
+                    counts[i] = chunk_result.retr_count_list[j]
+                    f.write(
+                        json.dumps(
+                            {"i": i, "pred": preds[i], "retr_count": counts[i]}
+                        )
+                        + "\n"
+                    )
+                f.flush()
+        return RAGResult(list(preds), counts)
