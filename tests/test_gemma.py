@@ -171,3 +171,28 @@ def test_gemma_2b_config_matches_reference_geometry():
     cfg = GemmaConfig.gemma_2b()
     assert cfg.probe_layers == (6, 8, 10, 12, 14, 16)  # exp_rag.py:311
     assert cfg.d_model == 2048 and cfg.n_layers == 18
+
+
+def test_gqa_config_forward_and_cache():
+    # Mistral-family geometry: grouped-query attention (n_kv_heads > 1)
+    cfg = dataclasses.replace(
+        GemmaConfig.tiny(), n_heads=4, n_kv_heads=2, compute_dtype=jnp.float32
+    )
+    params = init_params(cfg, jax.random.PRNGKey(5))
+    tokens = jax.random.randint(jax.random.PRNGKey(6), (2, 9), 0, cfg.vocab_size)
+    full, _, _ = forward(params, tokens, cfg)
+
+    kv = init_kv_cache(cfg, 2, 9, dtype=jnp.float32)
+    l1, kv, _ = forward(params, tokens[:, :5], cfg, kv_cache=kv)
+    outs = [l1]
+    for i in range(5, 9):
+        li, kv, _ = forward(params, tokens[:, i : i + 1], cfg, kv_cache=kv)
+        outs.append(li)
+    inc = jnp.concatenate(outs, axis=1)
+    np.testing.assert_allclose(np.asarray(full), np.asarray(inc), rtol=2e-4, atol=2e-4)
+
+
+def test_mistral_7b_config_geometry():
+    cfg = GemmaConfig.mistral_7b()
+    assert cfg.probe_layers == (12, 14, 16, 18, 20, 22)  # utils.py:295-297
+    assert cfg.n_heads % cfg.n_kv_heads == 0
