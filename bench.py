@@ -34,6 +34,8 @@ def main():
 
     # persistent compilation cache: compiles over the TPU tunnel are slow
     # (~30-60s/program); cached executables make bench reruns near-instant
+    import jax.numpy as jnp
+
     cache_dir = os.path.join(os.path.dirname(os.path.abspath(__file__)), ".jax_cache")
     jax.config.update("jax_compilation_cache_dir", cache_dir)
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
@@ -60,36 +62,58 @@ def main():
     build_s = time.time() - t0
 
     engine = BM25Engine(index, max_pad=1 << 17)
-    qz = rng.zipf(1.3, size=N_QUERIES * 16)
-    qz = qz[qz >= 30][: N_QUERIES * 4].reshape(N_QUERIES, 4)
+    # 4x the queries: 1/4 warm the compile variants, 3/4 are the DISTINCT
+    # timed stream (identical repeated dispatches can be memoized by remote
+    # runtimes, which would time cache hits)
+    n_total = N_QUERIES * 4
+    qz = rng.zipf(1.3, size=n_total * 16)
+    qz = qz[qz >= 30][: n_total * 4].reshape(n_total, 4)
     q_terms = (qz % VOCAB).astype(np.int64)
     query_ids = [
         index.encode_query([f"t{t}" for t in row]) for row in q_terms
     ]
 
     batches = [
-        query_ids[i : i + BATCH] for i in range(0, N_QUERIES, BATCH)
+        query_ids[i : i + BATCH] for i in range(0, n_total, BATCH)
     ]
-    # warmup pass: compiles every (pad, TQ) bucket the query stream hits
+    warm, timed = batches[: len(batches) // 4], batches[len(batches) // 4 :]
+
+    # Measurement protocol for this environment: the tunnel backend treats
+    # block_until_ready as submission-complete, and ONLY a device->host
+    # fetch truly synchronizes with execution — but any fetch costs tens of
+    # seconds of fixed tunnel latency. So: calibrate the fetch cost on a
+    # trivial computation, submit a long DISTINCT query stream, fold the
+    # stream's results into one scalar, fetch it once, and subtract the
+    # calibrated fetch cost. On a normal TPU host none of this is needed.
+    def fetch_scalar(x) -> float:
+        return float(np.asarray(x))
+
     t0 = time.time()
-    for batch in batches:
-        jax.block_until_ready(
-            engine.search_term_ids(batch, k=K, as_numpy=False).scores
-        )
+    for batch in warm:
+        engine.search_term_ids(batch, k=K, as_numpy=False)
+    fetch_scalar(jnp.zeros(()))  # drains the warmup queue too
     warmup_s = time.time() - t0
 
-    # steady-state serving throughput: results stay on device during the
-    # sweep (this environment's network tunnel makes every device->host copy
-    # cost seconds regardless of size; a TPU-host deployment doesn't)
+    t0 = time.time()
+    fetch_baseline = 0.0
+    fetch_scalar(jnp.sum(jnp.zeros((8, 128))))
+    fetch_baseline = time.time() - t0
+
     t0 = time.time()
     n_done = 0
-    last = None
-    for _ in range(3):
-        for batch in batches:
-            last = engine.search_term_ids(batch, k=K, as_numpy=False)
-            n_done += len(batch)
-    jax.block_until_ready(last.scores)
-    elapsed = time.time() - t0
+    acc = jnp.zeros((), jnp.float32)
+    for batch in timed:
+        res = engine.search_term_ids(batch, k=K, as_numpy=False)
+        for part_scores, _ in res.parts or [(res.scores, None)]:
+            acc = acc + jnp.sum(part_scores)
+        n_done += len(batch)
+    fetch_scalar(acc)
+    raw_elapsed = time.time() - t0
+    # the fetch baseline is noisy on this tunnel; if subtraction undershoots,
+    # fall back to the raw total (a strict lower bound on throughput)
+    elapsed = raw_elapsed - fetch_baseline
+    if elapsed <= 0.05 * raw_elapsed:
+        elapsed = raw_elapsed
     qps = n_done / elapsed
 
     print(
@@ -107,6 +131,8 @@ def main():
                     "k": K,
                     "index_build_s": round(build_s, 1),
                     "warmup_compile_s": round(warmup_s, 1),
+                    "raw_elapsed_s": round(raw_elapsed, 1),
+                    "fetch_baseline_s": round(fetch_baseline, 1),
                     "device": str(jax.devices()[0]),
                 },
             }

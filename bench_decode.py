@@ -1,0 +1,102 @@
+"""Secondary benchmark: LM decode throughput (tokens/sec/chip) at Gemma-2B
+geometry with the prober-capture pipeline active — the generation hot loop of
+the adaptive RAG system (SURVEY.md §3.4). Random bf16 weights (quality needs
+checkpoints; throughput doesn't). Prints one JSON line.
+"""
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+import numpy as np
+
+BATCH = int(os.environ.get("BENCH_DECODE_BATCH", 8))
+PROMPT_LEN = int(os.environ.get("BENCH_DECODE_PROMPT", 1024))
+MAX_NEW = int(os.environ.get("BENCH_DECODE_NEW", 150))
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+
+    cache_dir = os.path.join(os.path.dirname(os.path.abspath(__file__)), ".jax_cache")
+    jax.config.update("jax_compilation_cache_dir", cache_dir)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
+    from probing_rag_tpu.models.decode import StopTables, decode_greedy
+    from probing_rag_tpu.models.gemma import CaptureSpec, GemmaConfig, init_params
+
+    cfg = GemmaConfig.gemma_2b()
+    params = init_params(cfg, jax.random.PRNGKey(0), dtype=jnp.bfloat16)
+    capture = CaptureSpec.for_probing(cfg)
+
+    rng = np.random.default_rng(0)
+    tokens = jnp.asarray(
+        rng.integers(3, cfg.vocab_size, (BATCH, PROMPT_LEN)), jnp.int32
+    )
+    valid = jnp.ones((BATCH, PROMPT_LEN), bool)
+    stop = StopTables.disabled(cfg.vocab_size)  # measure the full-length loop
+    zeros = jnp.asarray(stop.contains_dbl_nl)
+
+    def run(toks):
+        # eos_id=-1 never matches: measures the full max_new-length loop
+        return decode_greedy(
+            params, toks, valid, zeros, zeros, zeros,
+            cfg=cfg, capture=capture, max_new_tokens=MAX_NEW, eos_id=-1,
+        )
+
+    def fetch_scalar(x) -> float:
+        return float(np.asarray(x))
+
+    t0 = time.time()
+    out = run(tokens)
+    fetch_scalar(out[3][0])  # true sync: only a fetch awaits execution here
+    compile_s = time.time() - t0
+
+    t0 = time.time()
+    fetch_scalar(jnp.sum(jnp.zeros((8, 128))))
+    fetch_baseline = time.time() - t0
+
+    # distinct inputs per iteration (identical dispatches can be memoized by
+    # remote runtimes); one scalar fetch at the end truly synchronizes, with
+    # the calibrated fetch cost subtracted
+    n_iters = 8
+    variants = [jnp.roll(tokens, i + 1, axis=-1) for i in range(n_iters)]
+    t0 = time.time()
+    acc = jnp.zeros((), jnp.float32)
+    for i in range(n_iters):
+        out = run(variants[i])
+        acc = acc + jnp.sum(out[2])  # pooled captures depend on every step
+    fetch_scalar(acc)
+    raw_elapsed = time.time() - t0
+    adj = raw_elapsed - fetch_baseline
+    elapsed = (adj if adj > 0.05 * raw_elapsed else raw_elapsed) / n_iters
+    tok_s = BATCH * MAX_NEW / elapsed
+
+    print(
+        json.dumps(
+            {
+                "metric": "gemma2b_decode_tokens_per_sec_per_chip",
+                "value": round(tok_s, 1),
+                "unit": "tokens/s",
+                "vs_baseline": None,
+                "detail": {
+                    "batch": BATCH,
+                    "prompt_len": PROMPT_LEN,
+                    "max_new": MAX_NEW,
+                    "capture_sites": capture.n_sites,
+                    "compile_s": round(compile_s, 1),
+                    "per_batch_latency_s": round(elapsed, 2),
+                    "fetch_baseline_s": round(fetch_baseline, 1),
+                    "device": str(jax.devices()[0]),
+                },
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -38,6 +38,7 @@ def _next_pow4(n: int, floor: int) -> int:
 class BM25SearchResult:
     doc_indices: np.ndarray  # [Q, k] int32, -1 for empty slots
     scores: np.ndarray  # [Q, k] f32
+    parts: Optional[list] = None  # device-resident per-bucket results (as_numpy=False)
 
 
 class BM25Engine:
@@ -140,8 +141,13 @@ class BM25Engine:
                             [ids for _, ids in chunk], k, pad_hint=pad, as_numpy=False
                         )
                     )
-            return groups[-1] if groups else BM25SearchResult(
-                np.full((0, k), -1, np.int32), np.zeros((0, k), np.float32)
+            if not groups:
+                return BM25SearchResult(
+                    np.full((0, k), -1, np.int32), np.zeros((0, k), np.float32)
+                )
+            return BM25SearchResult(
+                groups[-1].doc_indices, groups[-1].scores,
+                parts=[(g.scores, g.doc_indices) for g in groups],
             )
 
         n = len(term_id_lists)

@@ -76,21 +76,39 @@ class DenseEngine:
         device: Optional[jax.Device] = None,
         tile_n: int = 16384,
         store_dtype=jnp.bfloat16,
+        use_pallas: Optional[bool] = None,  # default: on TPU backends
     ):
         self.index = index
         self.encode_fn = encode_fn
         self.tile_n = tile_n
         emb = jnp.asarray(index.embeddings, store_dtype)
         self._emb = jax.device_put(emb, device) if device is not None else emb
-
-    def search_embeddings(self, query_emb: np.ndarray, k: int = 5) -> DenseSearchResult:
-        vals, idx = matmul_topk(
-            jnp.asarray(query_emb, jnp.float32),
-            self._emb,
-            k=k,
-            metric=self.index.metric,
-            tile_n=min(self.tile_n, max(256, self.index.n_docs)),
+        self.use_pallas = (
+            use_pallas if use_pallas is not None else jax.default_backend() == "tpu"
         )
+
+    def search_embeddings(
+        self, query_emb: np.ndarray, k: int = 5, as_numpy: bool = True
+    ) -> DenseSearchResult:
+        q = jnp.asarray(query_emb, jnp.float32)
+        if self.use_pallas:
+            from probing_rag_tpu.ops.pallas_dense import dense_topk_pallas
+
+            vals, idx = dense_topk_pallas(
+                q, self._emb, k=k, metric=self.index.metric,
+                tile_n=min(2048, max(128, self.index.n_docs)),
+                interpret=jax.default_backend() != "tpu",
+            )
+        else:
+            vals, idx = matmul_topk(
+                q,
+                self._emb,
+                k=k,
+                metric=self.index.metric,
+                tile_n=min(self.tile_n, max(256, self.index.n_docs)),
+            )
+        if not as_numpy:
+            return DenseSearchResult(idx, vals)
         return DenseSearchResult(np.asarray(idx), np.asarray(vals))
 
     def search(self, queries: Sequence[str], k: int = 5) -> DenseSearchResult:

@@ -53,3 +53,26 @@ def _jsonable(x):
     except ImportError:  # pragma: no cover
         pass
     return str(x)
+
+
+def wandb_log_adapter(project: str = "probing-rag-tpu", **init_kwargs):
+    """Optional wandb hook for the prober training loop (SURVEY.md §5.5: the
+    reference logs losses/lr/dev-acc to wandb, train.py:24-28, 285-289).
+    Returns a ``log(record)`` callable, or None when wandb is unavailable."""
+    try:  # pragma: no cover - environment-dependent
+        import wandb
+    except ImportError:
+        return None
+    run = wandb.init(project=project, **init_kwargs)
+
+    def log(record: Dict[str, Any]) -> None:
+        flat = {}
+        for key, value in record.items():
+            if isinstance(value, list):
+                for i, v in enumerate(value):
+                    flat[f"{key}/{i}"] = v
+            else:
+                flat[key] = value
+        run.log(flat)
+
+    return log

@@ -76,3 +76,16 @@ def test_encoder_forward_mask_and_pooling():
     out2 = encoder_forward(params, tokens2, mask, cfg)
     np.testing.assert_allclose(np.asarray(out[0]), np.asarray(out2[0]), atol=1e-5)
     assert not np.allclose(np.asarray(out[1]), np.asarray(out2[1]), atol=1e-7) or True
+
+
+def test_dense_engine_pallas_path_matches_xla(tmp_path):
+    rng = np.random.default_rng(5)
+    emb = rng.normal(size=(300, 16)).astype(np.float32)
+    index = DenseIndex(emb, metric="l2")
+    q = rng.normal(size=(4, 16)).astype(np.float32)
+    e_xla = DenseEngine(index, store_dtype=jnp.float32, use_pallas=False)
+    e_pls = DenseEngine(index, store_dtype=jnp.float32, use_pallas=True)
+    r1 = e_xla.search_embeddings(q, k=3)
+    r2 = e_pls.search_embeddings(q, k=3)
+    np.testing.assert_array_equal(r1.doc_indices, r2.doc_indices)
+    np.testing.assert_allclose(r1.scores, r2.scores, rtol=1e-4, atol=1e-4)

@@ -90,3 +90,21 @@ def test_probing_batch_sizes_dont_change_results(setup):
     ).run(questions)
     assert res1.pred_list == res3.pred_list
     assert res1.retr_count_list == res3.retr_count_list
+
+
+def test_run_resumable_skips_completed_chunks(setup, tmp_path):
+    pipe = _pipeline(setup, retr_method="none")
+    qs = [f"question {i}?" for i in range(5)]
+    manifest = tmp_path / "manifest.jsonl"
+    r1 = pipe.run_resumable(qs, manifest, chunk_size=2)
+    n_records = len(manifest.read_text().splitlines())
+    assert n_records == 5
+    # truncate to simulate preemption mid-run
+    lines = manifest.read_text().splitlines()
+    manifest.write_text("\n".join(lines[:2]) + "\n")
+    r2 = pipe.run_resumable(qs, manifest, chunk_size=2)
+    assert r2.pred_list == r1.pred_list
+    assert r2.retr_count_list == r1.retr_count_list
+    # full rerun adds no duplicate records beyond the recomputed chunks
+    r3 = pipe.run_resumable(qs, manifest, chunk_size=2)
+    assert r3.pred_list == r1.pred_list
