@@ -258,6 +258,46 @@ def cmd_prober_train(args):
     print(f"trained {len(tc.sites)} probers on {split} examples -> {args.out}")
 
 
+def cmd_analyze(args):
+    """Offline analysis report over persisted runs (exp_clf_performance
+    equivalents): retrieval-step distribution, comparison against the
+    published tables, inverse-weighted averages."""
+    import json
+
+    from probing_rag_tpu.eval.analysis import (
+        PUBLISHED,
+        PUBLISHED_RETRIEVAL_CALLS,
+        inverse_weighted_average,
+        retrieval_step_distribution,
+    )
+
+    runs = []
+    for line in Path(args.runs).read_text().splitlines():
+        if line.strip():
+            runs.append(json.loads(line))
+    if not runs:
+        print("no runs found")
+        return
+    print(f"{len(runs)} runs from {args.runs}\n")
+    for run in runs:
+        em = run.get("em"); f1 = run.get("f1")
+        print(f"- {run['retr_method']:10s} {run['dataset']:16s} "
+              f"acc={run['accuracy']:.4f} em={em} f1={f1} time={run['elapsed_s']:.0f}s")
+        if run.get("retr_counts"):
+            dist = retrieval_step_distribution(run["retr_counts"])
+            print(f"    steps: no={dist['no_retrieval_pct']:.1f}% single={dist['single_pct']:.1f}% "
+                  f"multi={dist['multi_pct']:.1f}% calls={dist['total_calls']} "
+                  f"(published Probing-RAG: 57.46/20.19/22.35)")
+    print("\npublished EM targets (BASELINE.md):")
+    datasets = ("hotpotqa", "nq", "trivia", "musique", "2wikimultihopqa", "iirc")
+    for method, row in PUBLISHED["em"].items():
+        print(f"  {method:14s} " + " ".join(f"{d}={v}" for d, v in zip(datasets, row)))
+    print("\ninverse-weighted accuracy averages (published):")
+    for m, v in inverse_weighted_average(PUBLISHED["accuracy"]).items():
+        print(f"  {m:14s} {v:.2f}")
+    print("\npublished total retrieval calls (2500 queries):", PUBLISHED_RETRIEVAL_CALLS)
+
+
 def cmd_param_audit(args):
     """Prober-vs-classifier parameter audit (exp_parameter_check.py)."""
     import jax
@@ -334,6 +374,10 @@ def build_parser() -> argparse.ArgumentParser:
     sp.add_argument("--max-len", type=int, default=1536)
     sp.add_argument("--pos-ratio", type=float, default=0.5)
     sp.set_defaults(fn=cmd_prober_train)
+
+    sp = sub.add_parser("analyze")
+    sp.add_argument("--runs", default="result/runs.jsonl")
+    sp.set_defaults(fn=cmd_analyze)
 
     sp = sub.add_parser("param-audit")
     sp.add_argument("--d-model", type=int, default=2048)

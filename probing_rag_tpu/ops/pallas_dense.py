@@ -29,8 +29,14 @@ from jax.experimental.pallas import tpu as pltpu
 K_PAD = 16  # scratch top-k width (>= requested k), aligned-ish
 
 
-def _topk_merge_tile(scores, base_col, run_vals, run_idx, k):
-    """Fold one [QB, TN] score tile into the running top-k ([QB, K_PAD])."""
+def topk_merge_tile(scores, idx_source, run_vals, run_idx, k):
+    """Fold one [QB, TN] candidate tile into the running top-k ([QB, K_PAD]).
+
+    ``idx_source[q, lane]`` is the id recorded for a candidate (a global
+    column for dense search, a doc id for sparse run totals). -inf scores
+    never insert (run_vals is seeded with -inf and insertion positions past
+    the existing -inf tail are no-ops for ranking).
+    """
     qb, tn = scores.shape
     lane = jax.lax.broadcasted_iota(jnp.int32, (qb, tn), 1)
     kcol = jax.lax.broadcasted_iota(jnp.int32, (qb, K_PAD), 1)
@@ -40,12 +46,16 @@ def _topk_merge_tile(scores, base_col, run_vals, run_idx, k):
         cur_max = jnp.max(scores, axis=-1, keepdims=True)  # [QB, 1]
         is_max = scores == cur_max
         cur_arg = jnp.min(jnp.where(is_max, lane, tn), axis=-1, keepdims=True)
+        cur_id = jnp.sum(
+            jnp.where(lane == cur_arg, idx_source, 0), axis=-1, keepdims=True
+        )
         # mask the taken element
         scores = jnp.where(lane == cur_arg, -jnp.inf, scores)
         # insertion position among running values (descending order)
         pos = jnp.sum((run_vals > cur_max).astype(jnp.int32), axis=-1, keepdims=True)
-        insert = kcol == pos
-        shift_right = kcol > pos
+        skip = ~jnp.isfinite(cur_max)  # nothing left to take in this tile
+        insert = (kcol == pos) & ~skip
+        shift_right = (kcol > pos) & ~skip
         prev_vals = jnp.concatenate(
             [jnp.full((qb, 1), -jnp.inf, run_vals.dtype), run_vals[:, :-1]], axis=-1
         )
@@ -54,7 +64,7 @@ def _topk_merge_tile(scores, base_col, run_vals, run_idx, k):
         )
         new_vals = jnp.where(insert, cur_max, jnp.where(shift_right, prev_vals, run_vals))
         new_idx = jnp.where(
-            insert, base_col + cur_arg, jnp.where(shift_right, prev_idx, run_idx)
+            insert, cur_id, jnp.where(shift_right, prev_idx, run_idx)
         )
         return scores, new_vals, new_idx
 
@@ -83,7 +93,7 @@ def _kernel(q_ref, emb_ref, sqn_ref, out_v_ref, out_i_ref, vals, idxs, *, k, met
     col = base + jax.lax.broadcasted_iota(jnp.int32, scores.shape, 1)
     scores = jnp.where(col < n_total, scores, -jnp.inf)
 
-    new_vals, new_idx = _topk_merge_tile(scores, base, vals[:], idxs[:], k)
+    new_vals, new_idx = topk_merge_tile(scores, col, vals[:], idxs[:], k)
     vals[:] = new_vals
     idxs[:] = new_idx
 

@@ -58,6 +58,7 @@ class BM25Engine:
         min_pad: int = 512,
         min_tq: int = 8,
         q_tile: int = 256,
+        use_pallas: Optional[bool] = None,  # fused single-dispatch path (TPU default)
     ):
         if index.nnz >= 2**31:
             raise ValueError(
@@ -70,12 +71,31 @@ class BM25Engine:
         self.min_pad = min_pad
         self.min_tq = min_tq
         self.q_tile = q_tile
+        self.use_pallas = (
+            use_pallas if use_pallas is not None else jax.default_backend() == "tpu"
+        )
         put = lambda x: jax.device_put(x, device) if device is not None else jnp.asarray(x)
-        self._term_offsets = put(index.term_offsets.astype(np.int32))
-        self._postings_doc = put(index.postings_doc)
-        self._postings_impact = put(index.postings_impact)
-        # host copies for planning (posting lengths per term)
-        self._term_lens = (index.term_offsets[1:] - index.term_offsets[:-1]).astype(np.int64)
+        if self.use_pallas:
+            # aligned CSR: the DMA gather kernel needs tile-aligned slice
+            # offsets (bm25_index.aligned_csr); padding entries are inert.
+            # Tiny-posting corpora would blow up under 1024-alignment — fall
+            # back to the split-XLA path there (random-gather cost is small
+            # at that scale anyway).
+            offsets, doc, imp = index.aligned_csr()
+            if doc.size > max(4 * index.nnz, index.nnz + (4 << 20)):
+                self.use_pallas = False
+        if self.use_pallas:
+            self.min_pad = max(self.min_pad, 1024)
+            self._term_offsets = put(offsets)
+            self._postings_doc = put(doc)
+            self._postings_impact = put(imp)
+            self._term_lens = (offsets[1:] - offsets[:-1]).astype(np.int64)
+        else:
+            self._term_offsets = put(index.term_offsets.astype(np.int32))
+            self._postings_doc = put(index.postings_doc)
+            self._postings_impact = put(index.postings_impact)
+            # host copies for planning (posting lengths per term)
+            self._term_lens = (index.term_offsets[1:] - index.term_offsets[:-1]).astype(np.int64)
 
     # ------------------------------------------------------------ planning
     def _plan(self, term_id_lists: Sequence[np.ndarray]) -> Tuple[np.ndarray, np.ndarray, int]:
@@ -180,16 +200,32 @@ class BM25Engine:
         qterms, qmask, pad = self._plan(term_id_lists)
         if pad_hint is not None:
             pad = pad_hint
-        scores, docs = bm25_search_padded(
-            self._term_offsets,
-            self._postings_doc,
-            self._postings_impact,
-            jnp.asarray(qterms),
-            jnp.asarray(qmask),
-            pad=pad,
-            sentinel_doc=self.index.n_docs,
-            k=k,
-        )
+        if self.use_pallas:
+            from probing_rag_tpu.ops.pallas_sparse import bm25_search_padded_fused
+
+            scores, docs = bm25_search_padded_fused(
+                self._term_offsets,
+                self._postings_doc,
+                self._postings_impact,
+                jnp.asarray(qterms),
+                jnp.asarray(qmask),
+                pad=pad,
+                sentinel_doc=self.index.n_docs,
+                k=k,
+                interpret=jax.default_backend() != "tpu",
+                guarded=True,  # aligned_csr already appends the DMA guard
+            )
+        else:
+            scores, docs = bm25_search_padded(
+                self._term_offsets,
+                self._postings_doc,
+                self._postings_impact,
+                jnp.asarray(qterms),
+                jnp.asarray(qmask),
+                pad=pad,
+                sentinel_doc=self.index.n_docs,
+                k=k,
+            )
         if not as_numpy:
             return BM25SearchResult(docs[:n_real], scores[:n_real])
         return BM25SearchResult(

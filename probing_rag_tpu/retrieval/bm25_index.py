@@ -202,6 +202,38 @@ class BM25Index:
             doc_ids=list(doc_ids) if doc_ids is not None else [str(i) for i in range(n_docs)],
         )
 
+    # ------------------------------------------------------------ aligned
+    def aligned_csr(self, alignment: int = 1024, guard: int = 4096):
+        """CSR copy with every posting list padded to an ``alignment``
+        multiple using (sentinel-doc, 0-impact) entries, plus a ``guard``
+        tail. The TPU DMA gather (ops/pallas_sparse.py) requires slice
+        offsets aligned to the memref tiling; aligned starts + aligned
+        per-term lengths give aligned src AND dst offsets. Padding entries
+        sort after every real doc and contribute nothing to run totals.
+
+        Returns (term_offsets int32 [T+1], postings_doc int32, postings_impact
+        f32) — doc/impact arrays sized sum(ceil(len/alignment))*alignment + guard.
+        """
+        # Mosaic's HBM memref tiling for i32/f32 is 1024 elements: DMA slice
+        # offsets and sizes must be 1024-multiples on the compiled TPU path.
+        lens = (self.term_offsets[1:] - self.term_offsets[:-1]).astype(np.int64)
+        pad_lens = ((lens + alignment - 1) // alignment) * alignment
+        a_offsets = np.zeros(self.n_terms + 1, np.int64)
+        np.cumsum(pad_lens, out=a_offsets[1:])
+        total = int(a_offsets[-1]) + guard
+        if total >= 2**31:
+            raise ValueError("aligned postings exceed int32 indexing; shard the index")
+        a_doc = np.full(total, self.n_docs, np.int32)
+        a_imp = np.zeros(total, np.float32)
+        # vectorized scatter: position of each original posting in the
+        # aligned layout = aligned term start + rank within its term
+        term_of_posting = np.repeat(np.arange(self.n_terms), lens)
+        rank = np.arange(self.nnz) - np.repeat(self.term_offsets[:-1], lens)
+        pos = a_offsets[term_of_posting] + rank
+        a_doc[pos] = self.postings_doc
+        a_imp[pos] = self.postings_impact
+        return a_offsets.astype(np.int32), a_doc, a_imp
+
     # ------------------------------------------------------------ queries
     def encode_query(self, tokens: List[str]) -> np.ndarray:
         """Map analyzed query tokens to term ids, dropping OOV. Duplicate

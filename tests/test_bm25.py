@@ -148,3 +148,21 @@ def test_zero_idf_terms_still_match():
     res = engine.search(["capital"], k=2)
     assert sorted(res.doc_indices[0].tolist()) == [0, 1]
     np.testing.assert_allclose(res.scores[0], 0.0, atol=1e-7)
+
+
+def test_engine_pallas_fused_path_matches_xla():
+    rng = np.random.default_rng(7)
+    vocab = [f"w{i}" for i in range(100)]
+    texts = [" ".join(rng.choice(vocab, size=rng.integers(5, 25))) for _ in range(150)]
+    index = BM25Index.build(texts, PLAIN)
+    queries = [" ".join(rng.choice(vocab, size=3)) for _ in range(12)]
+    r_xla = BM25Engine(index, use_pallas=False).search(queries, k=5)
+    r_pal = BM25Engine(index, use_pallas=True).search(queries, k=5)
+    np.testing.assert_allclose(r_xla.scores, r_pal.scores, rtol=1e-4, atol=1e-6)
+    # scores of the returned docs must agree even when ties permute ids
+    for qi, q in enumerate(queries):
+        dense = index.score_all(index.encode_query(PLAIN.analyzer()(q)))
+        for slot in range(5):
+            d1, d2 = r_xla.doc_indices[qi, slot], r_pal.doc_indices[qi, slot]
+            if d1 >= 0 or d2 >= 0:
+                np.testing.assert_allclose(dense[d1], dense[d2], rtol=1e-4)

@@ -1,0 +1,100 @@
+"""Pallas segment+top-k kernel vs the XLA reference implementation
+(interpret mode on CPU; compiled on TPU)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from probing_rag_tpu.ops.pallas_sparse import bm25_search_padded_fused, segment_topk_pallas
+from probing_rag_tpu.ops.sparse import bm25_search_padded, sorted_segment_topk
+
+INTERPRET = jax.default_backend() != "tpu"
+
+
+def _random_sorted_postings(rng, q, p, n_docs, run_max=6):
+    """Sorted doc rows with duplicate runs and sentinel padding tails."""
+    doc = np.full((q, p), n_docs, np.int32)
+    imp = np.zeros((q, p), np.float32)
+    for i in range(q):
+        n_fill = rng.integers(0, p)
+        docs = np.sort(rng.integers(0, n_docs, n_fill // 2 + 1))
+        row = np.repeat(docs, rng.integers(1, run_max, len(docs)))[:n_fill]
+        row.sort()
+        doc[i, : len(row)] = row
+        imp[i, : len(row)] = rng.random(len(row), dtype=np.float32) + 0.01
+    return doc, imp
+
+
+@pytest.mark.parametrize("seed", [0, 1, 2])
+def test_segment_topk_pallas_matches_xla(seed):
+    rng = np.random.default_rng(seed)
+    q, p, n_docs, k = 7, 1500, 40, 5  # non-multiples of the tile sizes
+    doc, imp = _random_sorted_postings(rng, q, p, n_docs)
+    v_ref, i_ref = sorted_segment_topk(
+        jnp.asarray(doc), jnp.asarray(imp), k, sentinel=n_docs, presorted=True
+    )
+    v_pal, i_pal = segment_topk_pallas(
+        jnp.asarray(doc), jnp.asarray(imp), k=k, sentinel=n_docs,
+        tile_q=8, tile_p=256, interpret=INTERPRET,
+    )
+    # compare totals per returned doc (tied totals may permute doc order)
+    np.testing.assert_allclose(np.asarray(v_ref), np.asarray(v_pal), rtol=1e-4, atol=1e-5)
+    # every returned doc's score must match its true total
+    for qi in range(q):
+        true = {}
+        for dd, vv in zip(doc[qi], imp[qi]):
+            if dd < n_docs:
+                true[dd] = true.get(dd, 0.0) + float(vv)
+        for slot in range(k):
+            d_p = int(i_pal[qi, slot])
+            if d_p >= 0:
+                np.testing.assert_allclose(
+                    float(v_pal[qi, slot]), true[d_p], rtol=1e-4, atol=1e-5
+                )
+
+
+def test_segment_topk_runs_spanning_tiles():
+    # one doc's run crosses several P tiles
+    q, p, n_docs = 2, 1024, 10
+    doc = np.full((q, p), n_docs, np.int32)
+    imp = np.zeros((q, p), np.float32)
+    doc[0, :700] = 3  # single long run across 2+ tiles of 256
+    imp[0, :700] = 0.5
+    doc[1, :256] = 1
+    imp[1, :256] = 1.0
+    doc[1, 256:512] = 2  # run exactly tile-aligned
+    imp[1, 256:512] = 2.0
+    v, i = segment_topk_pallas(
+        jnp.asarray(doc), jnp.asarray(imp), k=3, sentinel=n_docs,
+        tile_q=8, tile_p=256, interpret=INTERPRET,
+    )
+    assert int(i[0, 0]) == 3
+    np.testing.assert_allclose(float(v[0, 0]), 350.0, rtol=1e-5)
+    assert int(i[0, 1]) == -1
+    assert int(i[1, 0]) == 2
+    np.testing.assert_allclose(float(v[1, 0]), 512.0, rtol=1e-5)
+    assert int(i[1, 1]) == 1
+    np.testing.assert_allclose(float(v[1, 1]), 256.0, rtol=1e-5)
+
+
+def test_fused_search_matches_split():
+    rng = np.random.default_rng(3)
+    nnz, n_docs, t = 20_000, 500, 200
+    lens = rng.multinomial(nnz, np.ones(t) / t)
+    offs = np.zeros(t + 1, np.int64)
+    np.cumsum(lens, out=offs[1:])
+    docs = np.concatenate([np.sort(rng.integers(0, n_docs, l)) for l in lens]).astype(np.int32)
+    imps = (rng.random(nnz, dtype=np.float32) + 0.01)
+    qterms = rng.integers(0, t, (16, 8)).astype(np.int32)
+    qmask = rng.random((16, 8)) < 0.8
+    kw = dict(pad=2048, sentinel_doc=n_docs, k=5)
+    a = bm25_search_padded(
+        jnp.asarray(offs.astype(np.int32)), jnp.asarray(docs), jnp.asarray(imps),
+        jnp.asarray(qterms), jnp.asarray(qmask), **kw,
+    )
+    b = bm25_search_padded_fused(
+        jnp.asarray(offs.astype(np.int32)), jnp.asarray(docs), jnp.asarray(imps),
+        jnp.asarray(qterms), jnp.asarray(qmask), interpret=INTERPRET, **kw,
+    )
+    np.testing.assert_allclose(np.asarray(a[0]), np.asarray(b[0]), rtol=1e-4, atol=1e-5)
