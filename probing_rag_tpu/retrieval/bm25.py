@@ -124,6 +124,111 @@ class BM25Engine:
         pad = _next_pow2(max(max_total, 1), self.min_pad)
         return qterms, qmask, pad
 
+    # --------------------------------------------------- plan-compiled path
+    def default_plan(self, batch_size: int = 2048):
+        """Static (pad, capacity) bucket plan for mega-batch search: one
+        compiled program scores a whole batch across every bucket in ONE
+        dispatch. Capacities are fractions of the batch with slack; queries
+        overflowing a bucket escalate to a larger pad (more padding, same
+        answer)."""
+        caps = [1 / 4, 1 / 4, 1 / 2, 1 / 2, 1 / 4]
+        pads = []
+        pad = max(self.min_pad, 1024)
+        while pad < self.max_pad and len(pads) < len(caps):
+            pads.append(pad)
+            pad *= 4
+        pads.append(min(pad, self.max_pad))
+        frac = caps[: len(pads)]
+        return tuple(
+            (p, max(64, int(batch_size * f))) for p, f in zip(pads, frac)
+        )
+
+    def search_mega_batch(
+        self, term_id_lists: Sequence[np.ndarray], k: int = 5,
+        plan=None, as_numpy: bool = True,
+    ) -> BM25SearchResult:
+        """Whole-batch search in a handful of dispatches: bucket searches
+        are grouped into combined jitted programs, so environments with high
+        per-dispatch cost (RPC-attached accelerators) pay it a few times per
+        batch instead of once per bucket. Note: memory-constrained compile
+        services may fail to build the combined programs (the per-bucket
+        ``search_term_ids`` path is the safe default)."""
+        plan = plan or self.default_plan(len(term_id_lists))
+        kept = []
+        for ids in term_id_lists:
+            ids = np.asarray(ids, dtype=np.int32)
+            total = int(self._term_lens[ids].sum()) if ids.size else 0
+            if total > self.max_pad:
+                order = np.argsort(self._term_lens[ids], kind="stable")
+                lens_sorted = self._term_lens[ids[order]]
+                keep = int(np.searchsorted(np.cumsum(lens_sorted), self.max_pad, side="right"))
+                ids = ids[np.sort(order[:keep])]
+                total = int(self._term_lens[ids].sum())
+            kept.append((ids, total))
+
+        tq = _next_pow2(max((len(i) for i, _ in kept), default=1) or 1, self.min_tq)
+        # assign each query the smallest bucket with room; escalate when full
+        slots_left = [cap for _, cap in plan]
+        assign: List[List[int]] = [[] for _ in plan]
+        overflow: List[int] = []
+        for i, (ids, total) in enumerate(kept):
+            placed = False
+            for b, (pad, _) in enumerate(plan):
+                if total <= pad and slots_left[b] > 0:
+                    assign[b].append(i)
+                    slots_left[b] -= 1
+                    placed = True
+                    break
+            if not placed:
+                overflow.append(i)
+
+        qterms_list, qmask_list = [], []
+        for b, (pad, cap) in enumerate(plan):
+            qt = np.zeros((cap, tq), np.int32)
+            qm = np.zeros((cap, tq), bool)
+            for row, i in enumerate(assign[b]):
+                ids = kept[i][0]
+                qt[row, : len(ids)] = ids
+                qm[row, : len(ids)] = True
+            qterms_list.append(jnp.asarray(qt))
+            qmask_list.append(jnp.asarray(qm))
+
+        # group buckets into programs of <= buckets_per_dispatch: one giant
+        # program OOMs constrained compile environments; small groups keep
+        # dispatch count low AND programs compilable
+        bpd = 2
+        outs = []
+        pads = [p for p, _ in plan]
+        for g in range(0, len(plan), bpd):
+            outs.extend(
+                _mega_search(
+                    self._term_offsets, self._postings_doc, self._postings_impact,
+                    tuple(qterms_list[g : g + bpd]), tuple(qmask_list[g : g + bpd]),
+                    plan=tuple(pads[g : g + bpd]), sentinel_doc=self.index.n_docs,
+                    k=k, use_pallas=self.use_pallas,
+                    interpret=jax.default_backend() != "tpu",
+                )
+            )
+        if not as_numpy:
+            return BM25SearchResult(
+                outs[-1][1], outs[-1][0],
+                parts=[(s, d) for s, d in outs],
+            )
+        n = len(term_id_lists)
+        out_docs = np.full((n, k), -1, np.int32)
+        out_scores = np.zeros((n, k), np.float32)
+        for b, rows in enumerate(assign):
+            if not rows:
+                continue
+            s, d = np.asarray(outs[b][0]), np.asarray(outs[b][1])
+            out_docs[rows] = d[: len(rows)]
+            out_scores[rows] = s[: len(rows)]
+        if overflow:  # plan exhausted: score the remainder bucketed
+            res = self.search_term_ids([term_id_lists[i] for i in overflow], k=k)
+            out_docs[overflow] = res.doc_indices
+            out_scores[overflow] = res.scores
+        return BM25SearchResult(out_docs, out_scores)
+
     # -------------------------------------------------------------- search
     def search_term_ids(
         self,
@@ -240,3 +345,34 @@ class BM25Engine:
         """Top-k doc row indices for one query (the exp_rag.py:426 call shape)."""
         result = self.search([query], k=k)
         return [int(d) for d in result.doc_indices[0] if d >= 0]
+
+
+import functools
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("plan", "sentinel_doc", "k", "use_pallas", "interpret"),
+)
+def _mega_search(
+    term_offsets, postings_doc, postings_impact, qterms_list, qmask_list,
+    *, plan, sentinel_doc, k, use_pallas, interpret,
+):
+    """All bucket searches of one batch fused into a single XLA program."""
+    outs = []
+    for pad, qt, qm in zip(plan, qterms_list, qmask_list):
+        if use_pallas:
+            from probing_rag_tpu.ops.pallas_sparse import bm25_search_padded_fused
+
+            s, d = bm25_search_padded_fused(
+                term_offsets, postings_doc, postings_impact, qt, qm,
+                pad=pad, sentinel_doc=sentinel_doc, k=k,
+                interpret=interpret, guarded=True,
+            )
+        else:
+            s, d = bm25_search_padded(
+                term_offsets, postings_doc, postings_impact, qt, qm,
+                pad=pad, sentinel_doc=sentinel_doc, k=k,
+            )
+        outs.append((s, d))
+    return tuple(outs)

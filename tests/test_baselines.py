@@ -141,3 +141,13 @@ def test_flare_inference_runs(stack):
     rag = FlareRAG(lm, CFG, tok, engine, store, bc)
     out = rag.inference("capital of france?", "demo\n", "Question: capital of france?")
     assert isinstance(out, str)
+
+
+def test_llm_classifier_gate(stack):
+    from probing_rag_tpu.pipeline.baselines import LLMClassifierGate
+
+    lm, tok, _, _ = stack
+    gate = LLMClassifierGate(lm, CFG, tok, max_new_tokens=2)
+    out = gate.needs_retrieval(["Can you answer this?", "Another question?"])
+    assert len(out) == 2
+    assert all(isinstance(b, bool) for b in out)

@@ -166,3 +166,37 @@ def test_engine_pallas_fused_path_matches_xla():
             d1, d2 = r_xla.doc_indices[qi, slot], r_pal.doc_indices[qi, slot]
             if d1 >= 0 or d2 >= 0:
                 np.testing.assert_allclose(dense[d1], dense[d2], rtol=1e-4)
+
+
+def test_mega_batch_matches_bucketed():
+    rng = np.random.default_rng(11)
+    vocab = [f"w{i}" for i in range(150)]
+    texts = [" ".join(rng.choice(vocab, size=rng.integers(5, 30))) for _ in range(200)]
+    index = BM25Index.build(texts, PLAIN)
+    engine = BM25Engine(index)
+    queries = [" ".join(rng.choice(vocab, size=rng.integers(1, 5))) for _ in range(40)]
+    term_ids = [index.encode_query(PLAIN.analyzer()(q)) for q in queries]
+    r1 = engine.search_term_ids(term_ids, k=5)
+    r2 = engine.search_mega_batch(term_ids, k=5)
+    np.testing.assert_allclose(r1.scores, r2.scores, rtol=1e-4, atol=1e-6)
+    for qi in range(len(queries)):
+        dense = index.score_all(term_ids[qi])
+        for slot in range(5):
+            d1, d2 = r1.doc_indices[qi, slot], r2.doc_indices[qi, slot]
+            if d1 >= 0 or d2 >= 0:
+                np.testing.assert_allclose(dense[d1], dense[d2], rtol=1e-4)
+
+
+def test_mega_batch_overflow_path():
+    # a plan with tiny capacities forces escalation + overflow fallback
+    rng = np.random.default_rng(12)
+    vocab = [f"w{i}" for i in range(50)]
+    texts = [" ".join(rng.choice(vocab, size=10)) for _ in range(100)]
+    index = BM25Index.build(texts, PLAIN)
+    engine = BM25Engine(index)
+    queries = [" ".join(rng.choice(vocab, size=3)) for _ in range(20)]
+    term_ids = [index.encode_query(PLAIN.analyzer()(q)) for q in queries]
+    plan = ((512, 2), (2048, 2))  # 4 slots for 20 queries
+    r1 = engine.search_term_ids(term_ids, k=3)
+    r2 = engine.search_mega_batch(term_ids, k=3, plan=plan)
+    np.testing.assert_allclose(r1.scores, r2.scores, rtol=1e-4, atol=1e-6)
