@@ -258,6 +258,39 @@ def cmd_prober_train(args):
     print(f"trained {len(tc.sites)} probers on {split} examples -> {args.out}")
 
 
+def cmd_rag_sweep(args):
+    """Threshold / prober-ablation sweeps (the reference's published
+    ablations, exp_clf_performance.py:525-567): reruns the probing pipeline
+    across a grid and tabulates accuracy/EM/F1 per setting."""
+    _force_platform(args)
+    import dataclasses
+
+    from probing_rag_tpu.eval.evaluator import evaluate_predictions
+    from probing_rag_tpu.eval.metrics import EmF1Metric, SupportEmF1Metric
+
+    pipeline, _ = _build_pipeline(args, "probing")
+    questions, answers = _load_questions(args)
+    multihop = args.dataset in ("hotpotqa", "2wikimultihopqa", "musique", "iirc")
+    thresholds = [float(t) for t in args.thresholds.split(",")]
+    ablations = [int(a) for a in args.ablations.split(",")]
+    print(f"{'thr':>6} {'abl':>4} {'acc':>8} {'em':>7} {'f1':>7} {'avg_steps':>9}")
+    for thr in thresholds:
+        for abl in ablations:
+            pipeline.rag = dataclasses.replace(
+                pipeline.rag, threshold=thr, ablation=abl
+            )
+            result = pipeline.run(questions)
+            metric = SupportEmF1Metric() if multihop else EmF1Metric()
+            acc, metric, _ = evaluate_predictions(
+                result.pred_list, answers, metric, dataset_name=args.dataset,
+            )
+            m = metric.get_metric()
+            em, f1 = (m["title_em"], m["title_f1"]) if multihop else (m["em"], m["f1"])
+            avg_steps = sum(result.retr_count_list) / max(len(result.retr_count_list), 1)
+            accuracy = sum(acc) / max(len(acc), 1)
+            print(f"{thr:>6} {abl:>4} {accuracy:>8.4f} {em:>7} {f1:>7} {avg_steps:>9.2f}")
+
+
 def cmd_analyze(args):
     """Offline analysis report over persisted runs (exp_clf_performance
     equivalents): retrieval-step distribution, comparison against the
@@ -374,6 +407,12 @@ def build_parser() -> argparse.ArgumentParser:
     sp.add_argument("--max-len", type=int, default=1536)
     sp.add_argument("--pos-ratio", type=float, default=0.5)
     sp.set_defaults(fn=cmd_prober_train)
+
+    sp = sub.add_parser("rag-sweep")
+    rag_common(sp)
+    sp.add_argument("--thresholds", default="-2,-1,0,1,2")
+    sp.add_argument("--ablations", default="0")
+    sp.set_defaults(fn=cmd_rag_sweep)
 
     sp = sub.add_parser("analyze")
     sp.add_argument("--runs", default="result/runs.jsonl")
