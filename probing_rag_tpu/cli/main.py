@@ -258,6 +258,40 @@ def cmd_prober_train(args):
     print(f"trained {len(tc.sites)} probers on {split} examples -> {args.out}")
 
 
+def cmd_prober_eval(args):
+    """Offline layer-wise prober classification accuracy over a held-out
+    generation CSV (exp_evaluation_probing.py equivalent), with an optional
+    per-layer logit dump for KDE analysis."""
+    _force_platform(args)
+    import jax
+    import numpy as np
+
+    from probing_rag_tpu.eval.analysis import prober_offline_eval
+    from probing_rag_tpu.pipeline.dataset_builder import balance_and_merge, load_rows
+    from probing_rag_tpu.prober.train import ProberTrainConfig, init_prober_stack
+    from probing_rag_tpu.utils.checkpoint import load_pytree
+
+    params, cfg, tok = _load_model(args)
+    examples = balance_and_merge([load_rows(Path(p)) for p in args.data], seed=args.seed)
+    tc = ProberTrainConfig(
+        layers=cfg.probe_layers,
+        positions=tuple(args.positions.split(",")),
+        max_len=args.max_len,
+    )
+    template = init_prober_stack(tc, cfg.d_model, jax.random.PRNGKey(0))
+    probers, meta = load_pytree(Path(args.probers), like=template)
+    result = prober_offline_eval(
+        params, cfg, tok, examples, probers, tc,
+        collect_logits=bool(args.kde_out),
+    )
+    print(f"{'layer':>6} {'position':>12} {'accuracy':>9}")
+    for (layer, pos), acc in zip(tc.sites, result.site_accuracy):
+        print(f"{layer:>6} {pos:>12} {acc:>9.4f}")
+    if args.kde_out:
+        np.save(args.kde_out, result.logits)
+        print(f"logits for KDE -> {args.kde_out}")
+
+
 def cmd_rag_sweep(args):
     """Threshold / prober-ablation sweeps (the reference's published
     ablations, exp_clf_performance.py:525-567): reruns the probing pipeline
@@ -407,6 +441,15 @@ def build_parser() -> argparse.ArgumentParser:
     sp.add_argument("--max-len", type=int, default=1536)
     sp.add_argument("--pos-ratio", type=float, default=0.5)
     sp.set_defaults(fn=cmd_prober_train)
+
+    sp = sub.add_parser("prober-eval")
+    common(sp)
+    sp.add_argument("--data", nargs="+", required=True, help="extracted CSV(s)")
+    sp.add_argument("--probers", required=True)
+    sp.add_argument("--positions", default="resid_post")
+    sp.add_argument("--max-len", type=int, default=1536)
+    sp.add_argument("--kde-out", default=None, help="npy path for logit dump")
+    sp.set_defaults(fn=cmd_prober_eval)
 
     sp = sub.add_parser("rag-sweep")
     rag_common(sp)
