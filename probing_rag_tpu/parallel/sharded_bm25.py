@@ -27,7 +27,7 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from probing_rag_tpu.ops.sparse import postings_gather, sorted_segment_topk
 from probing_rag_tpu.retrieval.bm25 import BM25SearchResult, _next_pow2
-from probing_rag_tpu.retrieval.bm25_index import BM25Index
+from probing_rag_tpu.retrieval.bm25_index import BM25Index, align_csr
 
 
 def shard_index_by_docs(index: BM25Index, n_shards: int):
@@ -77,13 +77,35 @@ def shard_index_by_docs(index: BM25Index, n_shards: int):
 class ShardedBM25Engine:
     """BM25 search over an index doc-sharded across every device of a mesh."""
 
-    def __init__(self, index: BM25Index, mesh: Mesh, max_pad: int = 1 << 20):
+    def __init__(self, index: BM25Index, mesh: Mesh, max_pad: int = 1 << 20,
+                 use_pallas: Optional[bool] = None):
         self.index = index
         self.mesh = mesh
         self.analyzer = index.config.analyzer()
         self.max_pad = max_pad
+        self.use_pallas = (
+            use_pallas if use_pallas is not None else jax.default_backend() == "tpu"
+        )
         self.n_shards = int(np.prod([mesh.shape[a] for a in mesh.axis_names]))
         offsets, docs, imps = shard_index_by_docs(index, self.n_shards)
+        if self.use_pallas:
+            # per-shard aligned CSR for the DMA gather (ops/pallas_sparse.py)
+            aligned = [
+                align_csr(
+                    offsets[s_].astype(np.int64),
+                    docs[s_][: int(offsets[s_][-1])],  # drop common-NNZ padding
+                    imps[s_][: int(offsets[s_][-1])],
+                    sentinel=index.n_docs,
+                )
+                for s_ in range(self.n_shards)
+            ]
+            nnz_max = max(a[1].size for a in aligned)
+            offsets = np.stack([a[0] for a in aligned])
+            docs = np.full((self.n_shards, nnz_max), index.n_docs, np.int32)
+            imps = np.zeros((self.n_shards, nnz_max), np.float32)
+            for s_, (_, d, i) in enumerate(aligned):
+                docs[s_, : d.size] = d
+                imps[s_, : i.size] = i
         self._axes = tuple(mesh.axis_names)
         shard_spec = P(self._axes)  # leading shard axis over all mesh axes
         self._term_offsets = jax.device_put(offsets, NamedSharding(mesh, shard_spec))
@@ -97,11 +119,22 @@ class ShardedBM25Engine:
         sentinel = self.index.n_docs
         axes = self._axes
 
+        use_pallas = self.use_pallas
+
         def shard_fn(offs, docs, imps, qt, qm):
-            doc, imp = postings_gather(
-                offs[0], docs[0], imps[0], qt, qm, pad, sentinel
-            )
-            scores, idx = sorted_segment_topk(doc, imp, k, sentinel=sentinel)  # local top-k
+            if use_pallas:
+                from probing_rag_tpu.ops.pallas_sparse import bm25_search_padded_fused
+
+                scores, idx = bm25_search_padded_fused(
+                    offs[0], docs[0], imps[0], qt, qm,
+                    pad=pad, sentinel_doc=sentinel, k=k,
+                    interpret=jax.default_backend() != "tpu", guarded=True,
+                )
+            else:
+                doc, imp = postings_gather(
+                    offs[0], docs[0], imps[0], qt, qm, pad, sentinel
+                )
+                scores, idx = sorted_segment_topk(doc, imp, k, sentinel=sentinel)  # local top-k
             # merge across shards: gather k-per-shard candidates (tiny)
             all_scores = jax.lax.all_gather(scores, axes, tiled=False)  # [S,Q,k]
             all_idx = jax.lax.all_gather(idx, axes, tiled=False)

@@ -204,35 +204,12 @@ class BM25Index:
 
     # ------------------------------------------------------------ aligned
     def aligned_csr(self, alignment: int = 1024, guard: int = 4096):
-        """CSR copy with every posting list padded to an ``alignment``
-        multiple using (sentinel-doc, 0-impact) entries, plus a ``guard``
-        tail. The TPU DMA gather (ops/pallas_sparse.py) requires slice
-        offsets aligned to the memref tiling; aligned starts + aligned
-        per-term lengths give aligned src AND dst offsets. Padding entries
-        sort after every real doc and contribute nothing to run totals.
+        return align_csr(
+            self.term_offsets, self.postings_doc, self.postings_impact,
+            sentinel=self.n_docs, alignment=alignment, guard=guard,
+        )
 
-        Returns (term_offsets int32 [T+1], postings_doc int32, postings_impact
-        f32) — doc/impact arrays sized sum(ceil(len/alignment))*alignment + guard.
-        """
-        # Mosaic's HBM memref tiling for i32/f32 is 1024 elements: DMA slice
-        # offsets and sizes must be 1024-multiples on the compiled TPU path.
-        lens = (self.term_offsets[1:] - self.term_offsets[:-1]).astype(np.int64)
-        pad_lens = ((lens + alignment - 1) // alignment) * alignment
-        a_offsets = np.zeros(self.n_terms + 1, np.int64)
-        np.cumsum(pad_lens, out=a_offsets[1:])
-        total = int(a_offsets[-1]) + guard
-        if total >= 2**31:
-            raise ValueError("aligned postings exceed int32 indexing; shard the index")
-        a_doc = np.full(total, self.n_docs, np.int32)
-        a_imp = np.zeros(total, np.float32)
-        # vectorized scatter: position of each original posting in the
-        # aligned layout = aligned term start + rank within its term
-        term_of_posting = np.repeat(np.arange(self.n_terms), lens)
-        rank = np.arange(self.nnz) - np.repeat(self.term_offsets[:-1], lens)
-        pos = a_offsets[term_of_posting] + rank
-        a_doc[pos] = self.postings_doc
-        a_imp[pos] = self.postings_impact
-        return a_offsets.astype(np.int32), a_doc, a_imp
+
 
     # ------------------------------------------------------------ queries
     def encode_query(self, tokens: List[str]) -> np.ndarray:
@@ -286,3 +263,42 @@ class BM25Index:
             doc_lens=arrays["doc_lens"],
             doc_ids=json.loads((path / "doc_ids.json").read_text()),
         )
+
+
+def align_csr(
+    term_offsets: np.ndarray,
+    postings_doc: np.ndarray,
+    postings_impact: np.ndarray,
+    *,
+    sentinel: int,
+    alignment: int = 1024,
+    guard: int = 4096,
+):
+    """CSR copy with every posting list padded to an ``alignment`` multiple
+    using (sentinel-doc, 0-impact) entries, plus a ``guard`` tail.
+
+    The TPU DMA gather (ops/pallas_sparse.py) requires slice offsets aligned
+    to the Mosaic memref tiling (1024 elements for 32-bit dtypes); aligned
+    starts + aligned per-term lengths give aligned src AND dst offsets.
+    Padding entries sort after every real doc and contribute nothing to run
+    totals. Returns (term_offsets int32 [T+1], postings_doc, postings_impact).
+    """
+    n_terms = len(term_offsets) - 1
+    nnz = len(postings_doc)
+    lens = (term_offsets[1:] - term_offsets[:-1]).astype(np.int64)
+    pad_lens = ((lens + alignment - 1) // alignment) * alignment
+    a_offsets = np.zeros(n_terms + 1, np.int64)
+    np.cumsum(pad_lens, out=a_offsets[1:])
+    total = int(a_offsets[-1]) + guard
+    if total >= 2**31:
+        raise ValueError("aligned postings exceed int32 indexing; shard the index")
+    a_doc = np.full(total, sentinel, np.int32)
+    a_imp = np.zeros(total, np.float32)
+    # vectorized scatter: position of each original posting in the aligned
+    # layout = aligned term start + rank within its term
+    term_of_posting = np.repeat(np.arange(n_terms), lens)
+    rank = np.arange(nnz) - np.repeat(term_offsets[:-1].astype(np.int64), lens)
+    pos = a_offsets[term_of_posting] + rank
+    a_doc[pos] = postings_doc
+    a_imp[pos] = postings_impact
+    return a_offsets.astype(np.int32), a_doc, a_imp

@@ -95,3 +95,15 @@ def test_tp_sharded_lm_forward_matches_unsharded(eight_devices):
     np.testing.assert_allclose(
         np.asarray(ref_caps), np.asarray(caps), rtol=1e-4, atol=1e-4
     )
+
+
+def test_sharded_bm25_pallas_path_equals_single_device(eight_devices, corpus):
+    mesh = make_mesh((4, 2), eight_devices)
+    index = BM25Index.build(corpus, PLAIN)
+    single = BM25Engine(index, use_pallas=False)
+    sharded = ShardedBM25Engine(index, mesh, use_pallas=True)
+    rng = np.random.default_rng(3)
+    queries = [" ".join(rng.choice([f"w{i}" for i in range(150)], size=3)) for _ in range(8)]
+    r1 = single.search(queries, k=5)
+    r2 = sharded.search(queries, k=5)
+    np.testing.assert_allclose(r1.scores, r2.scores, rtol=1e-5, atol=1e-6)
