@@ -41,6 +41,7 @@ from probing_rag_tpu.models.gemma import (
     forward,
     init_kv_cache,
 )
+from probing_rag_tpu.models.sampling import SamplingConfig, select_token
 
 
 @dataclass(frozen=True)
@@ -98,7 +99,7 @@ def _pad_batch(
 
 @functools.partial(
     jax.jit,
-    static_argnames=("cfg", "capture", "max_new_tokens", "eos_id"),
+    static_argnames=("cfg", "capture", "max_new_tokens", "eos_id", "sampling"),
 )
 def decode_greedy(
     params: Params,
@@ -107,11 +108,13 @@ def decode_greedy(
     stop_contains: jnp.ndarray,  # [V] bool
     stop_ends: jnp.ndarray,  # [V] bool
     stop_starts: jnp.ndarray,  # [V] bool
+    rng: Optional[jnp.ndarray] = None,  # PRNG key, only used when sampling
     *,
     cfg: GemmaConfig,
     capture: CaptureSpec,
     max_new_tokens: int,
     eos_id: int,
+    sampling: SamplingConfig = SamplingConfig(),
 ):
     b, t = prompt_tokens.shape
     total = t + max_new_tokens
@@ -134,7 +137,9 @@ def decode_greedy(
         positions=rope_prompt,
         attn_valid=slot_valid,
     )
-    g1 = jnp.argmax(logits[:, -1], axis=-1).astype(jnp.int32)
+    rng = rng if rng is not None else jax.random.PRNGKey(0)
+    rng, k1 = jax.random.split(rng)
+    g1 = select_token(logits[:, -1], sampling, k1)
 
     last_prompt_tok = prompt_tokens[:, -1]
 
@@ -153,11 +158,11 @@ def decode_greedy(
     n_pooled = jnp.zeros((b,), jnp.int32)
 
     def cond(state):
-        step, _, _, finished, *_ = state
+        step, _, _, _, finished, *_ = state
         return (step < max_new_tokens - 1) & ~jnp.all(finished)
 
     def body(state):
-        step, prev, kv, finished, gen_buf, valid_buf, pooled, n_pooled = state
+        step, rng, prev, kv, finished, gen_buf, valid_buf, pooled, n_pooled = state
         rope_pos = (prompt_len + step)[:, None]  # prev token's RoPE position
         logits, kv, caps = forward(
             params,
@@ -173,16 +178,17 @@ def decode_greedy(
             pooled = pooled + caps[:, :, 0, :] * cap_ok[None, :, None]
         n_pooled = n_pooled + cap_ok.astype(jnp.int32)
 
-        nxt = jnp.argmax(logits[:, -1], axis=-1).astype(jnp.int32)
+        rng2, step_key = jax.random.split(rng)
+        nxt = select_token(logits[:, -1], sampling, step_key)
         nxt = jnp.where(finished, eos_id, nxt)
         valid_buf = valid_buf.at[:, step + 1].set(~finished)
         gen_buf = gen_buf.at[:, step + 1].set(nxt)
         finished = finished | is_stop(nxt, prev)
-        return step + 1, nxt, kv, finished, gen_buf, valid_buf, pooled, n_pooled
+        return step + 1, rng2, nxt, kv, finished, gen_buf, valid_buf, pooled, n_pooled
 
-    state = (jnp.asarray(0, jnp.int32), g1, kv, finished0, gen_buf, valid_buf, pooled, n_pooled)
+    state = (jnp.asarray(0, jnp.int32), rng, g1, kv, finished0, gen_buf, valid_buf, pooled, n_pooled)
     state = jax.lax.while_loop(cond, body, state)
-    step, _, _, _, gen_buf, valid_buf, pooled, n_pooled = state
+    step, _, _, _, _, gen_buf, valid_buf, pooled, n_pooled = state
     n_generated = jnp.sum(valid_buf.astype(jnp.int32), axis=-1)
     return gen_buf, valid_buf, pooled, n_pooled, n_generated
 
@@ -197,6 +203,8 @@ def generate(
     capture: Optional[CaptureSpec] = None,
     stop_tables: Optional[StopTables] = None,
     paragraph_stop: bool = True,
+    sampling: SamplingConfig = SamplingConfig(),
+    seed: int = 0,
 ) -> Tuple[List[str], DecodeResult]:
     """End-to-end batched generation: tokenize, decode on device, detokenize.
 
@@ -221,10 +229,12 @@ def generate(
         jnp.asarray(stop_tables.contains_dbl_nl),
         jnp.asarray(stop_tables.ends_nl),
         jnp.asarray(stop_tables.starts_nl),
+        jax.random.PRNGKey(seed),
         cfg=cfg,
         capture=capture,
         max_new_tokens=max_new_tokens,
         eos_id=tokenizer.eos_id,
+        sampling=sampling,
     )
     gen = np.asarray(gen)
     gen_valid = np.asarray(gen_valid)
