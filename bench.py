@@ -23,7 +23,7 @@ import numpy as np
 N_DOCS = int(os.environ.get("BENCH_DOCS", 100_000))
 DOC_LEN = int(os.environ.get("BENCH_DOC_LEN", 60))
 VOCAB = int(os.environ.get("BENCH_VOCAB", 50_000))
-N_QUERIES = int(os.environ.get("BENCH_QUERIES", 8192))
+N_QUERIES = int(os.environ.get("BENCH_QUERIES", 4096))
 BATCH = int(os.environ.get("BENCH_BATCH", 2048))
 K = 5
 TARGET_QPS = 10_000.0

@@ -10,8 +10,7 @@ from __future__ import annotations
 
 import dataclasses
 from dataclasses import dataclass, field
-from pathlib import Path
-from typing import Optional, Tuple
+from typing import Optional
 
 from probing_rag_tpu.pipeline.rag import RAGConfig
 from probing_rag_tpu.prober.train import ProberTrainConfig

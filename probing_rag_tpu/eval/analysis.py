@@ -9,7 +9,7 @@ exp_clf_performance.py:520-608) live in ``PUBLISHED`` for report generation.
 from __future__ import annotations
 
 from dataclasses import dataclass
-from typing import Dict, List, Optional, Sequence, Tuple
+from typing import Dict, List, Optional, Sequence
 
 import jax
 import jax.numpy as jnp

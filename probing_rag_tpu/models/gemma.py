@@ -25,7 +25,7 @@ residual stream and norms stay f32 for parity-grade numerics.
 
 from __future__ import annotations
 
-from dataclasses import dataclass, field, replace
+from dataclasses import dataclass
 from typing import Any, Dict, Optional, Tuple
 
 import jax

@@ -14,7 +14,7 @@ norms pass through unchanged.
 from __future__ import annotations
 
 from pathlib import Path
-from typing import Any, Dict
+from typing import Dict
 
 import numpy as np
 

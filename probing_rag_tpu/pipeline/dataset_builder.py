@@ -13,7 +13,7 @@ import csv
 import random
 from dataclasses import dataclass
 from pathlib import Path
-from typing import List, Optional, Sequence
+from typing import List, Sequence
 
 from probing_rag_tpu.eval.evaluator import evaluate_predictions
 from probing_rag_tpu.eval.metrics import EmF1Metric, SupportEmF1Metric
