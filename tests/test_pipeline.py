@@ -108,3 +108,31 @@ def test_run_resumable_skips_completed_chunks(setup, tmp_path):
     # full rerun adds no duplicate records beyond the recomputed chunks
     r3 = pipe.run_resumable(qs, manifest, chunk_size=2)
     assert r3.pred_list == r1.pred_list
+
+
+def test_pipeline_with_dense_retriever(setup):
+    """The dense engine drops into the same pipeline slot as BM25
+    (exp_rag.py's --is_sparse toggle)."""
+    import numpy as np
+
+    from probing_rag_tpu.retrieval.dense import DenseEngine, DenseIndex
+
+    lm, tok, _, store, probers = setup
+    rng = np.random.default_rng(0)
+    emb = rng.normal(size=(len(CORPUS), 16)).astype(np.float32)
+
+    def encode(texts):
+        # deterministic fake encoder: hash text into the embedding space
+        out = np.zeros((len(texts), 16), np.float32)
+        for i, t in enumerate(texts):
+            out[i, hash(t) % 16] = 1.0
+        return out
+
+    engine = DenseEngine(DenseIndex(emb, metric="l2"), encode, store_dtype=jnp.float32)
+    pipe = AdaptiveRAGPipeline(
+        lm, CFG, tok, engine, store, probers,
+        RAGConfig(retr_method="simple", batch_size=2, max_new_tokens=6),
+    )
+    res = pipe.run(["what is the capital?"])
+    assert res.retr_count_list == [1]
+    assert "passage 1:" in res.pred_list[0]
