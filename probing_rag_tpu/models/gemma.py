@@ -49,6 +49,10 @@ class GemmaConfig:
     # probers read these layers (range(6, 17, 2) for gemma-2b, exp_rag.py:311)
     probe_layers: Tuple[int, ...] = (6, 8, 10, 12, 14, 16)
     compute_dtype: Any = jnp.bfloat16
+    # residual-stream dtype: f32 default for parity-grade prober inputs;
+    # bf16 halves activation memory for long-context prefill (decode is
+    # weight-bandwidth-bound, so it does not speed the loop — measured)
+    resid_dtype: Any = jnp.float32
 
     @classmethod
     def gemma_2b(cls) -> "GemmaConfig":
@@ -213,13 +217,13 @@ def _block(
         v = jax.lax.dynamic_update_slice(cv, v.astype(cv.dtype), (0, cache_pos, 0, 0))
 
     attn, probs = _attention(q, k.astype(dt), v.astype(dt), mask, return_attn_probs)
-    attn_out = (attn.astype(dt) @ lp["wo"].astype(dt)).astype(jnp.float32)
+    attn_out = (attn.astype(dt) @ lp["wo"].astype(dt)).astype(cfg.resid_dtype)
     resid_mid = x + attn_out
 
     mlp_in = rms_norm(resid_mid, lp["mlp_norm"], cfg.norm_eps).astype(dt)
     gate = jax.nn.gelu(mlp_in @ lp["w_gate"].astype(dt), approximate=True)
     up = mlp_in @ lp["w_up"].astype(dt)
-    mlp_out = ((gate * up) @ lp["w_down"].astype(dt)).astype(jnp.float32)
+    mlp_out = ((gate * up) @ lp["w_down"].astype(dt)).astype(cfg.resid_dtype)
     resid_post = resid_mid + mlp_out
     return resid_mid, resid_post, (k, v), probs
 
@@ -246,7 +250,7 @@ def forward(
     rotation uses ``positions``.
     """
     b, t = tokens.shape
-    x = params["embed"][tokens].astype(jnp.float32) * np.sqrt(cfg.d_model)
+    x = params["embed"][tokens].astype(cfg.resid_dtype) * np.sqrt(cfg.d_model)
 
     if kv_cache is not None:
         base = kv_cache["pos"]
