@@ -7,8 +7,11 @@ measured against the 10k q/s/chip target.
 
 Corpus: synthetic Zipf-distributed corpus sized like the per-dataset eval
 indexes (100k docs, ~60 tokens/doc). Queries: 4-term, drawn from the same
-distribution. Scoring runs the production path: host term-id encode ->
-bucketed padded tiles -> jitted gather/sort/segment-sum/top-k on device.
+distribution with the stopword-like head ranks dropped. Scoring runs the
+production stream path: host term-id encode -> pad-bucketed
+[n_tiles, 256, TQ] tiles -> ONE jitted lax.scan program per bucket running
+the fused Pallas gather -> sort -> segment-top-k step, so per-dispatch cost
+is paid once per bucket per run, not once per 256-query tile.
 """
 
 import json
@@ -23,8 +26,7 @@ import numpy as np
 N_DOCS = int(os.environ.get("BENCH_DOCS", 100_000))
 DOC_LEN = int(os.environ.get("BENCH_DOC_LEN", 60))
 VOCAB = int(os.environ.get("BENCH_VOCAB", 50_000))
-N_QUERIES = int(os.environ.get("BENCH_QUERIES", 4096))
-BATCH = int(os.environ.get("BENCH_BATCH", 2048))
+N_QUERIES = int(os.environ.get("BENCH_QUERIES", 8192))
 K = 5
 TARGET_QPS = 10_000.0
 
@@ -40,7 +42,6 @@ def main():
     jax.config.update("jax_compilation_cache_dir", cache_dir)
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
-    from probing_rag_tpu.ops.sparse import bm25_search_padded
     from probing_rag_tpu.retrieval.bm25 import BM25Engine
     from probing_rag_tpu.retrieval.bm25_index import BM25Config, BM25Index
 
@@ -62,51 +63,45 @@ def main():
     build_s = time.time() - t0
 
     engine = BM25Engine(index, max_pad=1 << 17)
-    # 4x the queries: 1/4 warm the compile variants, 3/4 are the DISTINCT
-    # timed stream (identical repeated dispatches can be memoized by remote
-    # runtimes, which would time cache hits)
-    n_total = N_QUERIES * 4
-    qz = rng.zipf(1.3, size=n_total * 16)
-    qz = qz[qz >= 30][: n_total * 4].reshape(n_total, 4)
+    qz = rng.zipf(1.3, size=N_QUERIES * 16)
+    qz = qz[qz >= 30][: N_QUERIES * 4].reshape(N_QUERIES, 4)
     q_terms = (qz % VOCAB).astype(np.int64)
     query_ids = [
         index.encode_query([f"t{t}" for t in row]) for row in q_terms
     ]
 
-    batches = [
-        query_ids[i : i + BATCH] for i in range(0, n_total, BATCH)
-    ]
-    warm, timed = batches[:2], batches[2:]  # 2 batches hit every pad bucket
-
     # Measurement protocol for this environment: the tunnel backend treats
     # block_until_ready as submission-complete, and ONLY a device->host
-    # fetch truly synchronizes with execution — but any fetch costs tens of
-    # seconds of fixed tunnel latency. So: calibrate the fetch cost on a
-    # trivial computation, submit a long DISTINCT query stream, fold the
-    # stream's results into one scalar, fetch it once, and subtract the
-    # calibrated fetch cost. On a normal TPU host none of this is needed.
+    # fetch truly synchronizes with execution — but any fetch costs tunnel
+    # latency. So: calibrate the fetch cost on a trivial computation, submit
+    # the stream, fold the results into one scalar ON DEVICE with a jitted
+    # reducer, fetch once, subtract the calibrated fetch cost. On a normal
+    # TPU host none of this is needed.
     def fetch_scalar(x) -> float:
         return float(np.asarray(x))
 
+    @jax.jit
+    def fold(parts):
+        return sum(jnp.sum(s) for s, _ in parts)
+
+    # warm pass: same multiset of queries in submission order — identical
+    # bucket shapes compile every (pad, n_tiles) variant the timed pass hits
     t0 = time.time()
-    for batch in warm:
-        engine.search_term_ids(batch, k=K, as_numpy=False)
-    fetch_scalar(jnp.zeros(()))  # drains the warmup queue too
+    warm = engine.search_stream(query_ids, k=K, as_numpy=False)
+    fetch_scalar(fold(warm.parts))
     warmup_s = time.time() - t0
 
     t0 = time.time()
-    fetch_baseline = 0.0
     fetch_scalar(jnp.sum(jnp.zeros((8, 128))))
     fetch_baseline = time.time() - t0
 
+    # timed pass: the same queries shuffled — same shapes (no compiles),
+    # distinct tile contents (no remote dispatch memoization)
+    perm = rng.permutation(N_QUERIES)
+    shuffled = [query_ids[i] for i in perm]
     t0 = time.time()
-    n_done = 0
-    acc = jnp.zeros((), jnp.float32)
-    for batch in timed:
-        res = engine.search_term_ids(batch, k=K, as_numpy=False)
-        for part_scores, _ in res.parts or [(res.scores, None)]:
-            acc = acc + jnp.sum(part_scores)
-        n_done += len(batch)
+    res = engine.search_stream(shuffled, k=K, as_numpy=False)
+    acc = fold(res.parts)
     fetch_scalar(acc)
     raw_elapsed = time.time() - t0
     # the fetch baseline is noisy on this tunnel; if subtraction undershoots,
@@ -114,7 +109,7 @@ def main():
     elapsed = raw_elapsed - fetch_baseline
     if elapsed <= 0.05 * raw_elapsed:
         elapsed = raw_elapsed
-    qps = n_done / elapsed
+    qps = N_QUERIES / elapsed
 
     print(
         json.dumps(
@@ -126,13 +121,13 @@ def main():
                 "detail": {
                     "n_docs": N_DOCS,
                     "nnz": index.nnz,
-                    "n_queries": n_done,
-                    "batch": BATCH,
+                    "n_queries": N_QUERIES,
                     "k": K,
+                    "n_dispatches": len(res.parts) + 1,
                     "index_build_s": round(build_s, 1),
                     "warmup_compile_s": round(warmup_s, 1),
-                    "raw_elapsed_s": round(raw_elapsed, 1),
-                    "fetch_baseline_s": round(fetch_baseline, 1),
+                    "raw_elapsed_s": round(raw_elapsed, 2),
+                    "fetch_baseline_s": round(fetch_baseline, 2),
                     "device": str(jax.devices()[0]),
                 },
             }

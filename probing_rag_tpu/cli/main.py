@@ -321,7 +321,8 @@ def cmd_rag_sweep(args):
             m = metric.get_metric()
             em, f1 = (m["title_em"], m["title_f1"]) if multihop else (m["em"], m["f1"])
             avg_steps = sum(result.retr_count_list) / max(len(result.retr_count_list), 1)
-            accuracy = sum(acc) / max(len(acc), 1)
+            scored = [a for a in acc if a is not None]  # None = metric-skipped
+            accuracy = sum(scored) / max(len(scored), 1)
             print(f"{thr:>6} {abl:>4} {accuracy:>8.4f} {em:>7} {f1:>7} {avg_steps:>9.2f}")
 
 

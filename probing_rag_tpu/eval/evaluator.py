@@ -18,7 +18,7 @@ block (utils.py:437-449); EM/F1 are computed on the answer *line* only.
 from __future__ import annotations
 
 import logging
-from typing import List, Sequence, Tuple
+from typing import List, Optional, Sequence, Tuple
 
 from probing_rag_tpu.eval.metrics import normalize_answer
 
@@ -82,22 +82,25 @@ def evaluate_predictions(
     dataset_name: str,
     is_cot: bool = True,
     retr_method: str = "probing",
-) -> Tuple[List[int], object, List[str]]:
+) -> Tuple[List[Optional[int]], object, List[str]]:
     """Score generations against gold answers.
 
     Returns ``(acc, metric, pred_to_train)``: per-example substring-accuracy
     flags, the updated EM/F1 metric accumulator, and the extracted blocks used
-    as prober training text.
+    as prober training text. Both lists are index-aligned with ``pred_list``:
+    an example whose metric update fails gets ``acc[i] = None`` (the reference
+    skips it, utils.py:431-436 — a compact list here would silently shift
+    every downstream (pred, answer, label) pairing), and an example with no
+    train block gets ``pred_to_train[i] = ""``.
     """
     blocks: List[str] = []
     pred_to_train: List[str] = []
     for pred in pred_list:
         block, train_block = extract_answer(pred, is_cot=is_cot, retr_method=retr_method)
         blocks.append(block)
-        if train_block:
-            pred_to_train.append(train_block)
+        pred_to_train.append(train_block)
 
-    acc: List[int] = []
+    acc: List[Optional[int]] = []
     for golds, block in zip(answers, blocks):
         gold_norm = [normalize_answer(a) for a in golds]
         block_norm = normalize_answer(block)
@@ -108,8 +111,9 @@ def evaluate_predictions(
                 metric([line_norm], gold_norm)
             else:
                 metric(line_norm, gold_norm)
-        except Exception as exc:  # parity: reference skips the example entirely
+        except Exception as exc:  # parity: reference skips the example's metric
             logger.warning("metric update failed, skipping example: %s", exc)
+            acc.append(None)
             continue
 
         acc.append(int(any(g in block_norm for g in gold_norm)))

@@ -23,14 +23,15 @@ class RunRecord:
     retr_method: str
     dataset_name: str
     elapsed_s: float
-    acc: List[int]
+    acc: List[Optional[int]]  # index-aligned with queries; None = metric-skipped
     metric_out: Dict[str, Any]
     retr_count_list: Optional[List[int]] = None
     config: Optional[Dict[str, Any]] = None
 
     @property
     def accuracy(self) -> float:
-        return sum(self.acc) / len(self.acc) if self.acc else 0.0
+        scored = [a for a in self.acc if a is not None]
+        return sum(scored) / len(scored) if scored else 0.0
 
     def em_f1(self):
         m = self.metric_out

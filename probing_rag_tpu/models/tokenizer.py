@@ -16,7 +16,27 @@ needs and two implementations:
 
 from __future__ import annotations
 
+import re
 from typing import List, Protocol, Sequence
+
+# sentencepiece byte-fallback piece, e.g. "<0x0A>" for "\n" (Mistral-family
+# vocabs encode control characters this way; Gemma has them too)
+_BYTE_PIECE = re.compile(r"^<0x([0-9A-Fa-f]{2})>$")
+
+
+def _piece_to_string(piece: str) -> str:
+    """Surface form of one vocab piece: decode byte-fallback pieces to their
+    byte's character (StopTables must see '\\n' to flag newline tokens —
+    otherwise the paragraph stop silently never fires and decode always runs
+    to max_new_tokens) and map the sentencepiece word-boundary marker to a
+    space."""
+    m = _BYTE_PIECE.match(piece)
+    if m:
+        try:
+            return bytes([int(m.group(1), 16)]).decode("utf-8")
+        except UnicodeDecodeError:
+            return ""
+    return piece.replace("▁", " ")
 
 
 class Tokenizer(Protocol):
@@ -100,7 +120,8 @@ class SentencePieceTokenizer:
     def token_strings(self) -> List[str]:
         if self._sp is not None:
             return [
-                self._sp.IdToPiece(i).replace("▁", " ") for i in range(self.vocab_size)
+                _piece_to_string(self._sp.IdToPiece(i))
+                for i in range(self.vocab_size)
             ]
         toks = self._hf.convert_ids_to_tokens(list(range(self.vocab_size)))
-        return [t.replace("▁", " ") if isinstance(t, str) else "" for t in toks]
+        return [_piece_to_string(t) if isinstance(t, str) else "" for t in toks]

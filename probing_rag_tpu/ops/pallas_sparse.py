@@ -259,7 +259,7 @@ def postings_gather_pallas(
     *,
     pad: int,
     sentinel: int,
-    chunk: int = 4096,
+    chunk: int = _ALIGN,
     interpret: bool = False,
 ):
     """Segmented posting gather as contiguous DMA copies. Returns
@@ -268,6 +268,20 @@ def postings_gather_pallas(
     lengths in 1024-multiples plus a guard tail) on the compiled TPU path.
     """
     q, tq = starts.shape
+    # Copy-granularity contract: every chunk must stay inside its term's
+    # aligned region — a chunk that crosses a term boundary overshoots into
+    # the NEXT term's dst slice while that term's DMA may be in flight
+    # (write-write race with unspecified ordering), and the final term's
+    # overshoot reads past the postings arrays. Aligned-CSR term lengths are
+    # _ALIGN multiples, so chunk == _ALIGN (which also divides the tile
+    # truncation below, pad and cum being _ALIGN multiples) makes every copy
+    # exactly term-interior. Larger chunks are only safe in interpret mode,
+    # where DMAs execute sequentially (last-writer-wins).
+    if not interpret and chunk != _ALIGN:
+        raise ValueError(
+            f"compiled DMA gather requires chunk == {_ALIGN} (got {chunk}): "
+            "larger chunks overshoot term slices (racy dst writes, OOB reads)"
+        )
     cum = jnp.cumsum(lens, axis=-1) - lens  # exclusive prefix: dst offsets
     # truncate to the tile exactly like the XLA gather (first ``pad`` slots
     # of the concatenation): terms past the tile get length 0, the boundary
@@ -340,7 +354,9 @@ def bm25_search_padded_fused(
     lens = jnp.where(qmask, lens, 0).astype(jnp.int32)
     starts = jnp.where(qmask, term_offsets[qterms], 0).astype(jnp.int32)
     if dma_gather:
-        chunk = min(16384, pad)  # dst slices must fit the row tile
+        # _ALIGN-sized copies are the only compiled-safe granularity (see
+        # postings_gather_pallas); interpret-mode tests may use tiny pads
+        chunk = min(_ALIGN, pad)
         if guarded:
             doc_pad, imp_pad = postings_doc, postings_impact
         else:

@@ -42,27 +42,30 @@ def shard_index_by_docs(index: BM25Index, n_shards: int):
     per_shard: List[Tuple[np.ndarray, np.ndarray, np.ndarray]] = []
     doc = index.postings_doc
     imp = index.postings_impact
-    offs = index.term_offsets
+    offs = index.term_offsets.astype(np.int64)
+    term_lens = offs[1:] - offs[:-1]
+    # Postings are doc-sorted within each term, so the composite key
+    # (term-major, doc ascending) is GLOBALLY sorted — every (term, doc-bound)
+    # cut point is then one vectorized searchsorted over all terms at once
+    # (the per-term Python loop was minutes-to-hours at Wikipedia scale).
+    stride = np.int64(n_docs) + 1
+    term_of_posting = np.repeat(np.arange(t, dtype=np.int64), term_lens)
+    key = term_of_posting * stride + doc.astype(np.int64)
+    term_base = np.arange(t, dtype=np.int64) * stride
+    cuts = np.stack([np.searchsorted(key, term_base + b) for b in bounds])  # [S+1, T]
     for s in range(n_shards):
-        lo_d, hi_d = bounds[s], bounds[s + 1]
-        # postings are doc-sorted within each term: binary search per term
-        starts = np.empty(t, np.int64)
-        ends = np.empty(t, np.int64)
-        for ti in range(t):
-            a, b = offs[ti], offs[ti + 1]
-            seg = doc[a:b]
-            starts[ti] = a + np.searchsorted(seg, lo_d, side="left")
-            ends[ti] = a + np.searchsorted(seg, hi_d, side="left")
+        starts, ends = cuts[s], cuts[s + 1]
         lens = ends - starts
         new_offs = np.zeros(t + 1, np.int64)
         np.cumsum(lens, out=new_offs[1:])
         nnz = int(new_offs[-1])
-        new_doc = np.empty(nnz, np.int32)
-        new_imp = np.empty(nnz, np.float32)
-        for ti in range(t):
-            new_doc[new_offs[ti]:new_offs[ti + 1]] = doc[starts[ti]:ends[ti]]
-            new_imp[new_offs[ti]:new_offs[ti + 1]] = imp[starts[ti]:ends[ti]]
-        per_shard.append((new_offs, new_doc, new_imp))
+        # gather positions: rank within term + source term start
+        pos = (
+            np.arange(nnz, dtype=np.int64)
+            - np.repeat(new_offs[:-1], lens)
+            + np.repeat(starts, lens)
+        )
+        per_shard.append((new_offs, doc[pos], imp[pos]))
 
     nnz_max = max(1, max(p[1].size for p in per_shard))
     offsets = np.stack([p[0] for p in per_shard]).astype(np.int32)
@@ -168,7 +171,9 @@ class ShardedBM25Engine:
             qmask[row, : len(ids)] = True
             if ids.size:
                 max_total = max(max_total, int(self._term_lens[ids].sum()))
-        pad = _next_pow2(min(max_total, self.max_pad), 512)
+        # the Pallas DMA path's Mosaic alignment contract needs pad to be a
+        # 1024-multiple (matching BM25Engine's min_pad floor)
+        pad = _next_pow2(min(max_total, self.max_pad), 1024 if self.use_pallas else 512)
         scores, idx = self._search(
             jnp.asarray(qterms), jnp.asarray(qmask), pad=pad, k=k
         )

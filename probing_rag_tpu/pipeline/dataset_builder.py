@@ -9,6 +9,7 @@ describes but never shipped (README.md:56; SURVEY.md §3.2).
 
 from __future__ import annotations
 
+import ast
 import csv
 import random
 from dataclasses import dataclass
@@ -51,11 +52,15 @@ def extract_cot_dataset(
         is_cot=True,
         retr_method=pipeline.rag.retr_method,
     )
+    # the returned lists are index-aligned with pred_list (None acc marks a
+    # failed metric update); drop unlabeled rows AFTER zipping so one skip
+    # can't shift every later (pred, answer, label) pairing
     return [
         ExtractedRow(pred_full, pred_train, list(ans), a)
         for pred_full, pred_train, ans, a in zip(
             result.pred_list, pred_to_train, answers, acc
         )
+        if a is not None
     ]
 
 
@@ -72,9 +77,14 @@ def save_rows(rows: Sequence[ExtractedRow], path: Path) -> None:
 def load_rows(path: Path) -> List[ExtractedRow]:
     with Path(path).open(newline="") as f:
         reader = csv.DictReader(f)
+        # answers are written with repr(list); literal_eval parses them
+        # without executing arbitrary code from dataset files
         return [
             ExtractedRow(
-                row["pred_with_prompt"], row["pred"], eval(row["answer"]), int(row["acc"])
+                row["pred_with_prompt"],
+                row["pred"],
+                ast.literal_eval(row["answer"]),
+                int(row["acc"]),
             )
             for row in reader
         ]

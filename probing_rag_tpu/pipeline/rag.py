@@ -228,6 +228,7 @@ class AdaptiveRAGPipeline:
 
         preds: List[Optional[str]] = [None] * len(questions)
         counts = [0] * len(questions)
+        scores: List[Optional[np.ndarray]] = [None] * len(questions)
         with manifest_path.open("a") as f:
             for start in range(0, len(questions), chunk_size):
                 idxs = list(range(start, min(start + chunk_size, len(questions))))
@@ -235,16 +236,31 @@ class AdaptiveRAGPipeline:
                     for i in idxs:
                         preds[i] = done[i]["pred"]
                         counts[i] = done[i]["retr_count"]
+                        gs = done[i].get("gate_scores")
+                        scores[i] = None if gs is None else np.asarray(gs)
                     continue
                 chunk_result = self.run([questions[i] for i in idxs])
                 for j, i in enumerate(idxs):
                     preds[i] = chunk_result.pred_list[j]
                     counts[i] = chunk_result.retr_count_list[j]
+                    gs = (
+                        chunk_result.gate_scores[j]
+                        if j < len(chunk_result.gate_scores)
+                        else None
+                    )
+                    scores[i] = gs
                     f.write(
                         json.dumps(
-                            {"i": i, "pred": preds[i], "retr_count": counts[i]}
+                            {
+                                "i": i,
+                                "pred": preds[i],
+                                "retr_count": counts[i],
+                                # keep the gate diagnostics a resumed eval
+                                # needs for the analysis suite
+                                "gate_scores": None if gs is None else np.asarray(gs).tolist(),
+                            }
                         )
                         + "\n"
                     )
                 f.flush()
-        return RAGResult(list(preds), counts)
+        return RAGResult(list(preds), counts, scores)

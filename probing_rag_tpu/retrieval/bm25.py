@@ -229,6 +229,76 @@ class BM25Engine:
             out_scores[overflow] = res.scores
         return BM25SearchResult(out_docs, out_scores)
 
+    # ------------------------------------------------------- stream search
+    def search_stream(
+        self,
+        term_id_lists: Sequence[np.ndarray],
+        k: int = 5,
+        as_numpy: bool = True,
+    ) -> BM25SearchResult:
+        """Whole-stream search in O(occupied pad buckets) dispatches.
+
+        Queries are bucketed by padded posting mass (power-of-4, like
+        ``search_term_ids``); each bucket's queries are packed into
+        ``[n_tiles, q_tile, TQ]`` arrays and scored by ONE jitted program
+        that ``lax.scan``s the fused gather->sort->segment-top-k step over
+        the tiles. Per-dispatch cost (dominant on RPC-attached devices, and
+        still ~100us on a local TPU host) is paid per bucket per run instead
+        of per 256-query tile. Tile counts are padded to powers of two so a
+        corpus compiles a handful of (pad, n_tiles) variants.
+        """
+        kept: List[Tuple[np.ndarray, int]] = []
+        for ids in term_id_lists:
+            ids = np.asarray(ids, dtype=np.int32)
+            total = int(self._term_lens[ids].sum()) if ids.size else 0
+            if total > self.max_pad:
+                order = np.argsort(self._term_lens[ids], kind="stable")
+                lens_sorted = self._term_lens[ids[order]]
+                keep = int(np.searchsorted(np.cumsum(lens_sorted), self.max_pad, side="right"))
+                ids = ids[np.sort(order[:keep])]
+                total = int(self._term_lens[ids].sum())
+            kept.append((ids, total))
+
+        tq = _next_pow2(max((len(i) for i, _ in kept), default=1) or 1, self.min_tq)
+        buckets: dict = {}
+        for i, (ids, total) in enumerate(kept):
+            pad = _next_pow4(max(min(total, self.max_pad), 1), self.min_pad)
+            buckets.setdefault(pad, []).append(i)
+
+        n = len(term_id_lists)
+        out_docs = np.full((n, k), -1, np.int32)
+        out_scores = np.zeros((n, k), np.float32)
+        parts = []
+        interpret = jax.default_backend() != "tpu"
+        for pad, rows in sorted(buckets.items()):
+            n_tiles = _next_pow2(-(-len(rows) // self.q_tile), 1)
+            qt = np.zeros((n_tiles, self.q_tile, tq), np.int32)
+            qm = np.zeros((n_tiles, self.q_tile, tq), bool)
+            for slot, i in enumerate(rows):
+                ids = kept[i][0]
+                qt[slot // self.q_tile, slot % self.q_tile, : len(ids)] = ids
+                qm[slot // self.q_tile, slot % self.q_tile, : len(ids)] = True
+            scores, docs = _stream_search(
+                self._term_offsets, self._postings_doc, self._postings_impact,
+                jnp.asarray(qt), jnp.asarray(qm),
+                pad=pad, sentinel_doc=self.index.n_docs, k=k,
+                use_pallas=self.use_pallas, interpret=interpret,
+            )
+            if as_numpy:
+                s = np.asarray(scores).reshape(-1, k)
+                d = np.asarray(docs).reshape(-1, k)
+                out_docs[rows] = d[: len(rows)]
+                out_scores[rows] = s[: len(rows)]
+            else:
+                parts.append((scores, docs))
+        if not as_numpy:
+            if not parts:
+                return BM25SearchResult(
+                    np.full((0, k), -1, np.int32), np.zeros((0, k), np.float32)
+                )
+            return BM25SearchResult(parts[-1][1], parts[-1][0], parts=parts)
+        return BM25SearchResult(out_docs, out_scores)
+
     # -------------------------------------------------------------- search
     def search_term_ids(
         self,
@@ -348,6 +418,41 @@ class BM25Engine:
 
 
 import functools
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("pad", "sentinel_doc", "k", "use_pallas", "interpret"),
+)
+def _stream_search(
+    term_offsets, postings_doc, postings_impact, qterms, qmask,
+    *, pad, sentinel_doc, k, use_pallas, interpret,
+):
+    """One compiled program scoring [n_tiles, Q, TQ] query tiles via
+    ``lax.scan`` — the per-tile body is the same single-dispatch fused search
+    the per-bucket path runs, so dispatch overhead amortizes over the whole
+    stream. The Pallas segment kernel keeps the XLA sort isolated from scan
+    fusions (the compile-explosion firewall, ops/pallas_sparse.py)."""
+
+    def step(_, tile):
+        qt, qm = tile
+        if use_pallas:
+            from probing_rag_tpu.ops.pallas_sparse import bm25_search_padded_fused
+
+            s, d = bm25_search_padded_fused(
+                term_offsets, postings_doc, postings_impact, qt, qm,
+                pad=pad, sentinel_doc=sentinel_doc, k=k,
+                interpret=interpret, guarded=True,
+            )
+        else:
+            s, d = bm25_search_padded(
+                term_offsets, postings_doc, postings_impact, qt, qm,
+                pad=pad, sentinel_doc=sentinel_doc, k=k,
+            )
+        return 0, (s, d)
+
+    _, (scores, docs) = jax.lax.scan(step, 0, (qterms, qmask))
+    return scores, docs
 
 
 @functools.partial(

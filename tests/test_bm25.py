@@ -200,3 +200,40 @@ def test_mega_batch_overflow_path():
     r1 = engine.search_term_ids(term_ids, k=3)
     r2 = engine.search_mega_batch(term_ids, k=3, plan=plan)
     np.testing.assert_allclose(r1.scores, r2.scores, rtol=1e-4, atol=1e-6)
+
+
+def test_search_stream_matches_bucketed():
+    """The O(buckets)-dispatch scanned stream path returns the same answers
+    as the per-tile bucketed path (and hence the oracle)."""
+    rng = np.random.default_rng(13)
+    vocab = [f"w{i}" for i in range(150)]
+    texts = [" ".join(rng.choice(vocab, size=rng.integers(5, 30))) for _ in range(200)]
+    index = BM25Index.build(texts, PLAIN)
+    engine = BM25Engine(index)
+    queries = [" ".join(rng.choice(vocab, size=rng.integers(1, 6))) for _ in range(70)]
+    term_ids = [index.encode_query(PLAIN.analyzer()(q)) for q in queries]
+    r1 = engine.search_term_ids(term_ids, k=5)
+    r2 = engine.search_stream(term_ids, k=5)
+    np.testing.assert_allclose(r1.scores, r2.scores, rtol=1e-4, atol=1e-6)
+    for qi in range(len(queries)):
+        dense = index.score_all(term_ids[qi])
+        for slot in range(5):
+            d1, d2 = r1.doc_indices[qi, slot], r2.doc_indices[qi, slot]
+            if d1 >= 0 or d2 >= 0:
+                np.testing.assert_allclose(dense[d1], dense[d2], rtol=1e-4)
+
+
+def test_search_stream_device_parts_cover_stream():
+    rng = np.random.default_rng(14)
+    vocab = [f"w{i}" for i in range(60)]
+    texts = [" ".join(rng.choice(vocab, size=12)) for _ in range(120)]
+    index = BM25Index.build(texts, PLAIN)
+    engine = BM25Engine(index)
+    term_ids = [
+        index.encode_query(PLAIN.analyzer()(" ".join(rng.choice(vocab, size=3))))
+        for _ in range(30)
+    ]
+    res = engine.search_stream(term_ids, k=5, as_numpy=False)
+    assert res.parts
+    total_rows = sum(int(np.prod(np.asarray(s).shape[:2])) for s, _ in res.parts)
+    assert total_rows >= len(term_ids)

@@ -70,3 +70,34 @@ def test_accuracy_is_substring_on_whole_block():
         gens, [["Paris"]], EmF1Metric(), dataset_name="nq", is_cot=True
     )
     assert acc == [1]
+
+
+class _RaisingMetric:
+    """Raises on a chosen answer line (simulates the reference's per-example
+    metric exceptions, utils.py:431-436)."""
+
+    def __init__(self, poison: str):
+        self.poison = poison
+        self.n = 0
+
+    def __call__(self, pred, golds):
+        if self.poison in pred:
+            raise ValueError("poisoned")
+        self.n += 1
+
+
+def test_evaluate_predictions_stays_aligned_on_metric_failure():
+    gens = [
+        _fake_generation("q1", "reasoning", "George Washington"),
+        _fake_generation("q2", "reasoning", "BOOM"),
+        _fake_generation("q3", "reasoning", "Abraham Lincoln"),
+    ]
+    answers = [["George Washington"], ["BOOM"], ["Abraham Lincoln"]]
+    metric = _RaisingMetric("boom")
+    acc, metric, to_train = evaluate_predictions(
+        gens, answers, metric, dataset_name="nq", is_cot=True
+    )
+    # a skipped example holds its slot (None) instead of shifting later rows
+    assert acc == [1, None, 1]
+    assert len(to_train) == 3
+    assert metric.n == 2

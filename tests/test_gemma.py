@@ -196,3 +196,18 @@ def test_mistral_7b_config_geometry():
     cfg = GemmaConfig.mistral_7b()
     assert cfg.probe_layers == (12, 14, 16, 18, 20, 22)  # utils.py:295-297
     assert cfg.n_heads % cfg.n_kv_heads == 0
+
+
+def test_stop_tables_decode_byte_fallback_newlines():
+    """Mistral-family vocabs encode '\n' as the byte-fallback piece <0x0A>;
+    StopTables must still flag it or the paragraph stop never fires."""
+    from probing_rag_tpu.models.tokenizer import _piece_to_string
+
+    assert _piece_to_string("<0x0A>") == "\n"
+    assert _piece_to_string("<0xFF>") == ""  # lone continuation byte
+    assert _piece_to_string("▁hello") == " hello"
+    st = StopTables.from_token_strings(
+        [_piece_to_string(p) for p in ["a", "<0x0A>", "b"]]
+    )
+    assert st.ends_nl[1] and st.starts_nl[1]
+    assert not st.ends_nl[0] and not st.ends_nl[2]

@@ -136,3 +136,17 @@ def test_pipeline_with_dense_retriever(setup):
     res = pipe.run(["what is the capital?"])
     assert res.retr_count_list == [1]
     assert "passage 1:" in res.pred_list[0]
+
+
+def test_run_resumable_persists_gate_scores(setup, tmp_path):
+    """A resumed probing eval must reproduce the gate diagnostics the
+    analysis suite consumes (VERDICT r1: run_resumable dropped them)."""
+    pipe = _pipeline(setup, retr_method="probing", threshold=-1e6)
+    qs = ["capital of france", "first president", "powerhouse"]
+    manifest = tmp_path / "m.jsonl"
+    r1 = pipe.run_resumable(qs, manifest, chunk_size=2)
+    assert all(s is not None for s in r1.gate_scores)
+    # resume from the manifest alone: scores come back from disk
+    r2 = pipe.run_resumable(qs, manifest, chunk_size=2)
+    for a, b in zip(r1.gate_scores, r2.gate_scores):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-6)
