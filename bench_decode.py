@@ -16,6 +16,7 @@ import numpy as np
 BATCH = int(os.environ.get("BENCH_DECODE_BATCH", 8))
 PROMPT_LEN = int(os.environ.get("BENCH_DECODE_PROMPT", 1024))
 MAX_NEW = int(os.environ.get("BENCH_DECODE_NEW", 150))
+INT8 = os.environ.get("BENCH_DECODE_INT8", "0") == "1"
 
 
 def main():
@@ -31,6 +32,10 @@ def main():
 
     cfg = GemmaConfig.gemma_2b()
     params = init_params(cfg, jax.random.PRNGKey(0), dtype=jnp.bfloat16)
+    if INT8:
+        from probing_rag_tpu.models.gemma import quantize_lm_params
+
+        params = quantize_lm_params(params)  # halves the HBM weight payload
     capture = CaptureSpec.for_probing(cfg)
 
     rng = np.random.default_rng(0)
@@ -79,7 +84,8 @@ def main():
     print(
         json.dumps(
             {
-                "metric": "gemma2b_decode_tokens_per_sec_per_chip",
+                "metric": "gemma2b_decode_tokens_per_sec_per_chip"
+                + ("_int8" if INT8 else ""),
                 "value": round(tok_s, 1),
                 "unit": "tokens/s",
                 "vs_baseline": None,

@@ -53,6 +53,11 @@ class GemmaConfig:
     # bf16 halves activation memory for long-context prefill (decode is
     # weight-bandwidth-bound, so it does not speed the loop — measured)
     resid_dtype: Any = jnp.float32
+    # ---- family semantics (Gemma defaults; Mistral/Llama flip all four) ----
+    norm_plus_one: bool = True  # RMSNorm scale (1 + w) vs plain w
+    mlp_activation: str = "gelu"  # GeGLU "gelu" vs SwiGLU "silu"
+    scale_embeddings: bool = True  # sqrt(d_model) input-embedding scaling
+    tied_head: bool = True  # LM head == embed.T vs separate params["lm_head"]
 
     @classmethod
     def gemma_2b(cls) -> "GemmaConfig":
@@ -61,7 +66,10 @@ class GemmaConfig:
     @classmethod
     def mistral_7b(cls) -> "GemmaConfig":
         # The reference's optional second model family (utils.py:295-297):
-        # probers on layers {12,14,16,18,20,22}.
+        # probers on layers {12,14,16,18,20,22}. Mistral semantics: plain
+        # RMSNorm weights, SwiGLU (silu), unscaled embeddings, untied head.
+        # v0.1's 4096-token sliding-window attention never binds at this
+        # pipeline's <=2k contexts (SURVEY.md §5.7), so full causal is exact.
         return cls(
             vocab_size=32_000,
             d_model=4096,
@@ -71,6 +79,28 @@ class GemmaConfig:
             head_dim=128,
             d_ff=14_336,
             probe_layers=(12, 14, 16, 18, 20, 22),
+            norm_plus_one=False,
+            mlp_activation="silu",
+            scale_embeddings=False,
+            tied_head=False,
+        )
+
+    @classmethod
+    def tiny_mistral(cls, vocab_size: int = 512) -> "GemmaConfig":
+        """Scaled-down Mistral semantics (GQA, silu, untied head) for tests."""
+        return cls(
+            vocab_size=vocab_size,
+            d_model=64,
+            n_layers=4,
+            n_heads=4,
+            n_kv_heads=2,
+            head_dim=16,
+            d_ff=128,
+            probe_layers=(1, 2),
+            norm_plus_one=False,
+            mlp_activation="silu",
+            scale_embeddings=False,
+            tied_head=False,
         )
 
     @classmethod
@@ -111,18 +141,19 @@ class CaptureSpec:
 
 
 def init_params(cfg: GemmaConfig, key: jax.Array, dtype: Any = jnp.float32) -> Params:
-    keys = jax.random.split(key, 8)
+    keys = jax.random.split(key, 9)
     d, h, kv, hd, f = cfg.d_model, cfg.n_heads, cfg.n_kv_heads, cfg.head_dim, cfg.d_ff
     L = cfg.n_layers
 
     def norm_init(*shape):
-        return jnp.zeros(shape, dtype)  # (1 + w) scaling: zero == identity
+        # (1 + w) scaling: zero == identity; plain scaling: one == identity
+        return (jnp.zeros if cfg.norm_plus_one else jnp.ones)(shape, dtype)
 
     def dense_init(key, *shape):
         fan_in = shape[-2] if len(shape) >= 2 else shape[0]
         return (jax.random.normal(key, shape, dtype) / np.sqrt(fan_in)).astype(dtype)
 
-    return {
+    params = {
         "embed": dense_init(keys[0], cfg.vocab_size, d),
         "final_norm": norm_init(d),
         "layers": {
@@ -137,6 +168,9 @@ def init_params(cfg: GemmaConfig, key: jax.Array, dtype: Any = jnp.float32) -> P
             "w_down": dense_init(keys[7], L, f, d),
         },
     }
+    if not cfg.tied_head:
+        params["lm_head"] = dense_init(keys[8], d, cfg.vocab_size)
+    return params
 
 
 def param_count(params: Params) -> int:
@@ -146,11 +180,59 @@ def param_count(params: Params) -> int:
 # ----------------------------------------------------------------- modules
 
 
-def rms_norm(x: jnp.ndarray, weight: jnp.ndarray, eps: float) -> jnp.ndarray:
+def rms_norm(
+    x: jnp.ndarray, weight: jnp.ndarray, eps: float, plus_one: bool = True
+) -> jnp.ndarray:
     x32 = x.astype(jnp.float32)
     var = jnp.mean(jnp.square(x32), axis=-1, keepdims=True)
     normed = x32 * jax.lax.rsqrt(var + eps)
-    return (normed * (1.0 + weight.astype(jnp.float32))).astype(x.dtype)
+    w32 = weight.astype(jnp.float32)
+    return (normed * ((1.0 + w32) if plus_one else w32)).astype(x.dtype)
+
+
+# -------------------------------------------------------- int8 quantization
+
+
+def quantize_lm_params(params: Params) -> Params:
+    """Symmetric per-output-channel int8 quantization of the seven matmul
+    weight families plus the embedding table (the HBM-bandwidth payload of
+    the decode loop). Each quantized leaf becomes ``{"q": int8, "s": f32}``
+    with the scale on the *output channel*, so the forward computes
+    ``(x @ q) * s`` — exactly ``x @ (q * s)`` — and the dequant is a unary
+    convert XLA fuses into the matmul's weight load: HBM reads stay int8.
+    The embedding scale is per vocab row, which serves both the lookup
+    (row dequant) and the tied head (per-logit column scale)."""
+
+    def quant(w, axis):
+        # device-side (jnp) so a 2.5B-param model quantizes without a
+        # host round trip; jitted per unique shape
+        @jax.jit
+        def _q(w):
+            w32 = w.astype(jnp.float32)
+            s = jnp.max(jnp.abs(w32), axis=axis, keepdims=True) / 127.0
+            s = jnp.where(s == 0.0, 1.0, s)
+            q = jnp.clip(jnp.round(w32 / s), -127, 127).astype(jnp.int8)
+            return {"q": q, "s": s}
+
+        return _q(jnp.asarray(w))
+
+    out = dict(params)
+    out["embed"] = quant(params["embed"], axis=-1)  # [V, D], scale [V, 1]
+    if "lm_head" in params:
+        out["lm_head"] = quant(params["lm_head"], axis=-2)  # [D, V], scale [1, V]
+    out["layers"] = dict(params["layers"])
+    for name in ("wq", "wk", "wv", "wo", "w_gate", "w_up", "w_down"):
+        out["layers"][name] = quant(params["layers"][name], axis=-2)
+    return out
+
+
+def _mm(x: jnp.ndarray, w, dt) -> jnp.ndarray:
+    """x @ w with transparent int8 support: the int8->compute-dtype convert
+    is fused into the matmul's weight load; the per-output-column scale is a
+    cheap elementwise multiply on the (much smaller) activation output."""
+    if isinstance(w, dict):
+        return (x @ w["q"].astype(dt)) * w["s"].astype(dt)
+    return x @ w.astype(dt)
 
 
 def rope(x: jnp.ndarray, positions: jnp.ndarray, theta: float) -> jnp.ndarray:
@@ -204,10 +286,10 @@ def _block(
     dt = cfg.compute_dtype
     h, kvh, hd = cfg.n_heads, cfg.n_kv_heads, cfg.head_dim
 
-    attn_in = rms_norm(x, lp["attn_norm"], cfg.norm_eps).astype(dt)
-    q = (attn_in @ lp["wq"].astype(dt)).reshape(b, t, h, hd)
-    k = (attn_in @ lp["wk"].astype(dt)).reshape(b, t, kvh, hd)
-    v = (attn_in @ lp["wv"].astype(dt)).reshape(b, t, kvh, hd)
+    attn_in = rms_norm(x, lp["attn_norm"], cfg.norm_eps, cfg.norm_plus_one).astype(dt)
+    q = _mm(attn_in, lp["wq"], dt).reshape(b, t, h, hd)
+    k = _mm(attn_in, lp["wk"], dt).reshape(b, t, kvh, hd)
+    v = _mm(attn_in, lp["wv"], dt).reshape(b, t, kvh, hd)
     q = rope(q, positions, cfg.rope_theta)
     k = rope(k, positions, cfg.rope_theta)
 
@@ -217,13 +299,20 @@ def _block(
         v = jax.lax.dynamic_update_slice(cv, v.astype(cv.dtype), (0, cache_pos, 0, 0))
 
     attn, probs = _attention(q, k.astype(dt), v.astype(dt), mask, return_attn_probs)
-    attn_out = (attn.astype(dt) @ lp["wo"].astype(dt)).astype(cfg.resid_dtype)
+    attn_out = _mm(attn.astype(dt), lp["wo"], dt).astype(cfg.resid_dtype)
     resid_mid = x + attn_out
 
-    mlp_in = rms_norm(resid_mid, lp["mlp_norm"], cfg.norm_eps).astype(dt)
-    gate = jax.nn.gelu(mlp_in @ lp["w_gate"].astype(dt), approximate=True)
-    up = mlp_in @ lp["w_up"].astype(dt)
-    mlp_out = ((gate * up) @ lp["w_down"].astype(dt)).astype(cfg.resid_dtype)
+    mlp_in = rms_norm(
+        resid_mid, lp["mlp_norm"], cfg.norm_eps, cfg.norm_plus_one
+    ).astype(dt)
+    act = (
+        (lambda g: jax.nn.gelu(g, approximate=True))
+        if cfg.mlp_activation == "gelu"
+        else jax.nn.silu
+    )
+    gate = act(_mm(mlp_in, lp["w_gate"], dt))
+    up = _mm(mlp_in, lp["w_up"], dt)
+    mlp_out = _mm(gate * up, lp["w_down"], dt).astype(cfg.resid_dtype)
     resid_post = resid_mid + mlp_out
     return resid_mid, resid_post, (k, v), probs
 
@@ -250,7 +339,13 @@ def forward(
     rotation uses ``positions``.
     """
     b, t = tokens.shape
-    x = params["embed"][tokens].astype(cfg.resid_dtype) * np.sqrt(cfg.d_model)
+    emb = params["embed"]
+    if isinstance(emb, dict):  # int8: row dequant at lookup (tiny)
+        x = emb["q"][tokens].astype(cfg.resid_dtype) * emb["s"][tokens]
+    else:
+        x = emb[tokens].astype(cfg.resid_dtype)
+    if cfg.scale_embeddings:
+        x = x * np.sqrt(cfg.d_model)
 
     if kv_cache is not None:
         base = kv_cache["pos"]
@@ -283,7 +378,7 @@ def forward(
     new_k, new_v = [], []
     lp_all = params["layers"]
     for layer in range(cfg.n_layers):
-        lp = {k_: v_[layer] for k_, v_ in lp_all.items()}
+        lp = jax.tree.map(lambda a: a[layer], lp_all)
         cache_kv = None
         cache_pos = None
         if kv_cache is not None:
@@ -303,10 +398,17 @@ def forward(
             new_v.append(v)
         x = resid_post
 
-    x = rms_norm(x, params["final_norm"], cfg.norm_eps)
-    logits = (
-        x.astype(cfg.compute_dtype) @ params["embed"].astype(cfg.compute_dtype).T
-    ).astype(jnp.float32)
+    x = rms_norm(x, params["final_norm"], cfg.norm_eps, cfg.norm_plus_one)
+    dt = cfg.compute_dtype
+    if cfg.tied_head:
+        if isinstance(emb, dict):
+            # per-row embed scale becomes a per-logit column scale
+            logits = (x.astype(dt) @ emb["q"].astype(dt).T) * emb["s"].astype(dt).T
+        else:
+            logits = x.astype(dt) @ emb.astype(dt).T
+    else:
+        logits = _mm(x.astype(dt), params["lm_head"], dt)
+    logits = logits.astype(jnp.float32)
 
     new_cache = None
     if kv_cache is not None:

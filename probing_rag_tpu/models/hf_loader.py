@@ -70,6 +70,10 @@ def load_gemma_params(
             "w_down": stack("layers.{}.mlp.down_proj.weight"),
         },
     }
+    if not cfg.tied_head:
+        # Mistral-family: separate output head, stored [V, D] at the top
+        # level (no "model." prefix)
+        params["lm_head"] = get("lm_head.weight").T.astype(dtype)
     v, d = params["embed"].shape
     assert v == cfg.vocab_size and d == cfg.d_model, (
         f"checkpoint geometry ({v},{d}) != config ({cfg.vocab_size},{cfg.d_model})"

@@ -63,14 +63,24 @@ def lm_param_shardings(params: Params, mesh: Mesh) -> Params:
         "w_gate": P(None, None, "tp"),  # [L, D, F]
         "w_up": P(None, None, "tp"),
         "w_down": P(None, "tp", None),  # [L, F, D]
+        "lm_head": P(None, "tp"),  # [D, V] vocab-sharded (untied-head families)
     }
 
-    def spec_for(path) -> P:
+    def spec_for(path, leaf) -> P:
         name = str(getattr(path[-1], "key", path[-1]))
-        return rules.get(name, P())
+        if name in ("q", "s"):  # int8-quantized leaf: inherit the weight's rule
+            name = str(getattr(path[-2], "key", path[-2]))
+        spec = rules.get(name, P())
+        # scale tensors keep a size-1 axis where the weight has its input
+        # dim; drop shardings that don't divide the actual leaf shape
+        axes = tuple(
+            a if a is None or leaf.shape[i] % mesh.shape[a] == 0 else None
+            for i, a in enumerate(spec)
+        ) if len(spec) == len(leaf.shape) else (None,) * len(leaf.shape)
+        return P(*axes)
 
     return jax.tree_util.tree_map_with_path(
-        lambda path, leaf: NamedSharding(mesh, spec_for(path)), params
+        lambda path, leaf: NamedSharding(mesh, spec_for(path, leaf)), params
     )
 
 

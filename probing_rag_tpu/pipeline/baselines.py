@@ -254,16 +254,25 @@ class DraginRAG(BaselineRAG):
         Returns (hallucinated, prev_text, curr_words, hit_flags)."""
         sentences = sentencize(trace.text)
         n = len(trace.words)
-        # assign each sentence its word span by walking the word list (the
-        # reference reconstructs spans by substring search over merged
-        # tokens, utils.py:670-683; word-count walking is equivalent for
-        # whitespace-tokenized sentences)
+        # Reference span semantics (utils.py:670-683): scan forward until
+        # the joined word window CONTAINS the sentence text; the last
+        # sentence takes every remaining word. Word-count walking is NOT
+        # equivalent — punctuation-merged words or multi-space sentences
+        # leave it permanently skewed, while the substring scan resyncs
+        # (an unmatched sentence yields an empty span and is skipped).
         spans = []
-        w = 0
-        for sent in sentences:
-            sent_words = sent.split()
-            spans.append((w, min(w + len(sent_words), n)))
-            w += len(sent_words)
+        tid = 0
+        for sid, sent in enumerate(sentences):
+            tl, tr = tid, tid
+            if sid == len(sentences) - 1:
+                tl, tr = tid, n
+            else:
+                for i in range(tid + 1, n):
+                    if sent in " ".join(trace.words[tl:i]):
+                        tr = i
+                        break
+                tid = tr
+            spans.append((tl, tr))
         for (tl, tr), sent in zip(spans, sentences):
             if tr <= tl:
                 continue

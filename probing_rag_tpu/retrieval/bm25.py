@@ -239,13 +239,14 @@ class BM25Engine:
         """Whole-stream search in O(occupied pad buckets) dispatches.
 
         Queries are bucketed by padded posting mass (power-of-4, like
-        ``search_term_ids``); each bucket's queries are packed into
-        ``[n_tiles, q_tile, TQ]`` arrays and scored by ONE jitted program
-        that ``lax.scan``s the fused gather->sort->segment-top-k step over
-        the tiles. Per-dispatch cost (dominant on RPC-attached devices, and
-        still ~100us on a local TPU host) is paid per bucket per run instead
-        of per 256-query tile. Tile counts are padded to powers of two so a
-        corpus compiles a handful of (pad, n_tiles) variants.
+        ``search_term_ids``); each bucket's queries run as ONE fused
+        gather->sort->segment-top-k program over a single [Qb, pad] tile
+        (Qb padded to a power of two so a stream compiles a handful of
+        (Qb, pad) variants). Per-dispatch cost (dominant on RPC-attached
+        devices, still ~100us on a local TPU host) is paid once per bucket
+        per run instead of once per 256-query tile. A scan over fixed tiles
+        would amortize identically but puts the XLA sort inside a loop body
+        — a known multi-hour-compile trigger on TPU (ops/sparse.py).
         """
         kept: List[Tuple[np.ndarray, int]] = []
         for ids in term_id_lists:
@@ -270,27 +271,46 @@ class BM25Engine:
         out_scores = np.zeros((n, k), np.float32)
         parts = []
         interpret = jax.default_backend() != "tpu"
+        # cap mega-tile size so the [Qb, pad] intermediates stay ~2 GB/array
+        max_elems = 1 << 28
         for pad, rows in sorted(buckets.items()):
-            n_tiles = _next_pow2(-(-len(rows) // self.q_tile), 1)
-            qt = np.zeros((n_tiles, self.q_tile, tq), np.int32)
-            qm = np.zeros((n_tiles, self.q_tile, tq), bool)
-            for slot, i in enumerate(rows):
-                ids = kept[i][0]
-                qt[slot // self.q_tile, slot % self.q_tile, : len(ids)] = ids
-                qm[slot // self.q_tile, slot % self.q_tile, : len(ids)] = True
-            scores, docs = _stream_search(
-                self._term_offsets, self._postings_doc, self._postings_impact,
-                jnp.asarray(qt), jnp.asarray(qm),
-                pad=pad, sentinel_doc=self.index.n_docs, k=k,
-                use_pallas=self.use_pallas, interpret=interpret,
-            )
-            if as_numpy:
-                s = np.asarray(scores).reshape(-1, k)
-                d = np.asarray(docs).reshape(-1, k)
-                out_docs[rows] = d[: len(rows)]
-                out_scores[rows] = s[: len(rows)]
-            else:
-                parts.append((scores, docs))
+            cap = 64
+            while cap * 2 * pad <= max_elems:
+                cap *= 2
+            start = 0
+            while start < len(rows):
+                remaining = len(rows) - start
+                qb = min(cap, _next_pow2(remaining, 64))
+                chunk_rows = rows[start : start + qb]
+                start += qb
+                qt = np.zeros((qb, tq), np.int32)
+                qm = np.zeros((qb, tq), bool)
+                for slot, i in enumerate(chunk_rows):
+                    ids = kept[i][0]
+                    qt[slot, : len(ids)] = ids
+                    qm[slot, : len(ids)] = True
+                if self.use_pallas:
+                    from probing_rag_tpu.ops.pallas_sparse import bm25_search_padded_fused
+
+                    scores, docs = bm25_search_padded_fused(
+                        self._term_offsets, self._postings_doc, self._postings_impact,
+                        jnp.asarray(qt), jnp.asarray(qm),
+                        pad=pad, sentinel_doc=self.index.n_docs, k=k,
+                        interpret=interpret, guarded=True,
+                    )
+                else:
+                    scores, docs = bm25_search_padded(
+                        self._term_offsets, self._postings_doc, self._postings_impact,
+                        jnp.asarray(qt), jnp.asarray(qm),
+                        pad=pad, sentinel_doc=self.index.n_docs, k=k,
+                    )
+                if as_numpy:
+                    s = np.asarray(scores).reshape(-1, k)
+                    d = np.asarray(docs).reshape(-1, k)
+                    out_docs[chunk_rows] = d[: len(chunk_rows)]
+                    out_scores[chunk_rows] = s[: len(chunk_rows)]
+                else:
+                    parts.append((scores, docs))
         if not as_numpy:
             if not parts:
                 return BM25SearchResult(
@@ -418,41 +438,6 @@ class BM25Engine:
 
 
 import functools
-
-
-@functools.partial(
-    jax.jit,
-    static_argnames=("pad", "sentinel_doc", "k", "use_pallas", "interpret"),
-)
-def _stream_search(
-    term_offsets, postings_doc, postings_impact, qterms, qmask,
-    *, pad, sentinel_doc, k, use_pallas, interpret,
-):
-    """One compiled program scoring [n_tiles, Q, TQ] query tiles via
-    ``lax.scan`` — the per-tile body is the same single-dispatch fused search
-    the per-bucket path runs, so dispatch overhead amortizes over the whole
-    stream. The Pallas segment kernel keeps the XLA sort isolated from scan
-    fusions (the compile-explosion firewall, ops/pallas_sparse.py)."""
-
-    def step(_, tile):
-        qt, qm = tile
-        if use_pallas:
-            from probing_rag_tpu.ops.pallas_sparse import bm25_search_padded_fused
-
-            s, d = bm25_search_padded_fused(
-                term_offsets, postings_doc, postings_impact, qt, qm,
-                pad=pad, sentinel_doc=sentinel_doc, k=k,
-                interpret=interpret, guarded=True,
-            )
-        else:
-            s, d = bm25_search_padded(
-                term_offsets, postings_doc, postings_impact, qt, qm,
-                pad=pad, sentinel_doc=sentinel_doc, k=k,
-            )
-        return 0, (s, d)
-
-    _, (scores, docs) = jax.lax.scan(step, 0, (qterms, qmask))
-    return scores, docs
 
 
 @functools.partial(

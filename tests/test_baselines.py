@@ -151,3 +151,50 @@ def test_llm_classifier_gate(stack):
     out = gate.needs_retrieval(["Can you answer this?", "Another question?"])
     assert len(out) == 2
     assert all(isinstance(b, bool) for b in out)
+
+
+def test_dragin_modifier_span_resync_on_irregular_whitespace(stack):
+    """Parity fixture for the reference's substring span scan
+    (utils.py:670-683): a sentence whose text can't be re-joined from the
+    word list (double space) yields an EMPTY span and is skipped, and the
+    next sentence's span resyncs by absorbing the unmatched words.
+    Word-count walking would mis-assign every later span."""
+    lm, tok, engine, store = stack
+    rag = DraginRAG(lm, CFG, tok, engine, store,
+                    BaselineConfig(hallucination_threshold=0.5, check_real_words=False))
+    trace = GenerationTrace(
+        text="alpha  beta. gamma delta. epsilon zeta.",
+        words=["alpha", "beta.", "gamma", "delta.", "epsilon", "zeta."],
+        # only "beta." (index 1) carries signal: with reference spans the
+        # SECOND sentence (span 0..4, resynced) triggers, not the first
+        # (empty span, skipped)
+        word_attn=[0.1, 10.0, 0.1, 0.1, 0.1, 0.1],
+        word_entropy=[0.1, 10.0, 0.1, 0.1, 0.1, 0.1],
+        word_logprob=[-1.0] * 6,
+    )
+    hall, prev, words, hits = rag.modifier(trace)
+    assert hall is True
+    # the triggering sentence is sentence 2 -> prev is sentence 1's text
+    assert prev == "alpha  beta."
+    # resynced span covers words 0..4 (absorbing the unmatched sentence)
+    assert words == ["alpha", "beta.", "gamma", "delta."]
+    assert hits[1] == 1
+
+
+def test_dragin_modifier_punctuation_merged_words(stack):
+    """Words containing sentence-final punctuation mid-string (no space
+    after '!') span two sentences; the substring scan still closes the
+    first sentence at the merged word, like the reference."""
+    lm, tok, engine, store = stack
+    rag = DraginRAG(lm, CFG, tok, engine, store,
+                    BaselineConfig(hallucination_threshold=0.0, check_real_words=False))
+    trace = GenerationTrace(
+        text="Hello world! Next one.",
+        words=["Hello", "world!", "Next", "one."],
+        word_attn=[0.5, 0.5, 0.5, 0.5],
+        word_entropy=[2.0, 2.0, 0.1, 0.1],
+        word_logprob=[-1.0] * 4,
+    )
+    hall, prev, words, hits = rag.modifier(trace)
+    assert hall is True and prev == ""
+    assert words == ["Hello", "world!"]

@@ -235,5 +235,5 @@ def test_search_stream_device_parts_cover_stream():
     ]
     res = engine.search_stream(term_ids, k=5, as_numpy=False)
     assert res.parts
-    total_rows = sum(int(np.prod(np.asarray(s).shape[:2])) for s, _ in res.parts)
+    total_rows = sum(int(np.asarray(s).shape[0]) for s, _ in res.parts)
     assert total_rows >= len(term_ids)

@@ -107,3 +107,44 @@ def test_sharded_bm25_pallas_path_equals_single_device(eight_devices, corpus):
     r1 = single.search(queries, k=5)
     r2 = sharded.search(queries, k=5)
     np.testing.assert_allclose(r1.scores, r2.scores, rtol=1e-5, atol=1e-6)
+
+
+def test_sharded_bm25_on_two_level_mesh(eight_devices, corpus):
+    """Multi-slice story (SURVEY.md §5.8): a 2-level (slice, chip) mesh —
+    the outer axis standing in for DCN across slices — with the doc-sharded
+    index partitioned over BOTH axes and the top-k merge collective
+    spanning them. Must be bit-equal to the single-device engine."""
+    mesh = make_mesh((2, 4), eight_devices, axis_names=("slice", "chip"))
+    index = BM25Index.build(corpus, PLAIN)
+    single = BM25Engine(index)
+    sharded = ShardedBM25Engine(index, mesh)
+    assert sharded.n_shards == 8
+    rng = np.random.default_rng(7)
+    queries = [" ".join(rng.choice([f"w{i}" for i in range(150)], size=3)) for _ in range(12)]
+    r1 = single.search(queries, k=5)
+    r2 = sharded.search(queries, k=5)
+    np.testing.assert_allclose(r1.scores, r2.scores, rtol=1e-5, atol=1e-6)
+    for qi in range(len(queries)):
+        dense = index.score_all(index.encode_query(PLAIN.analyzer()(queries[qi])))
+        for slot in range(5):
+            d1, d2 = r1.doc_indices[qi, slot], r2.doc_indices[qi, slot]
+            if d1 >= 0 or d2 >= 0:
+                np.testing.assert_allclose(dense[d1], dense[d2], rtol=1e-5)
+
+
+def test_sharded_dense_on_two_level_mesh(eight_devices):
+    from probing_rag_tpu.parallel.sharded_dense import sharded_dense_topk
+
+    mesh = make_mesh((2, 4), eight_devices, axis_names=("slice", "chip"))
+    rng = np.random.default_rng(8)
+    emb = jnp.asarray(rng.normal(size=(96, 16)), jnp.float32)
+    q = jnp.asarray(rng.normal(size=(6, 16)), jnp.float32)
+    vals, idx = sharded_dense_topk(q, emb, mesh=mesh, k=4, metric="ip", tile_n=32)
+    # oracle: brute-force inner product
+    scores = np.asarray(q) @ np.asarray(emb).T
+    ref_idx = np.argsort(-scores, axis=-1)[:, :4]
+    np.testing.assert_allclose(
+        np.take_along_axis(scores, np.asarray(idx), axis=-1),
+        np.take_along_axis(scores, ref_idx, axis=-1),
+        rtol=1e-5,
+    )
