@@ -365,6 +365,24 @@ def cmd_analyze(args):
         print(f"  {m:14s} {v:.2f}")
     print("\npublished total retrieval calls (2500 queries):", PUBLISHED_RETRIEVAL_CALLS)
 
+    if getattr(args, "report", None):
+        import numpy as np
+
+        from probing_rag_tpu.eval.figures import assemble_report
+
+        kde = np.load(args.kde_logits) if args.kde_logits else None
+        site_acc = (
+            json.loads(Path(args.site_accuracy).read_text())
+            if args.site_accuracy
+            else None
+        )
+        layers = [int(x) for x in args.layers.split(",")]
+        report = assemble_report(
+            runs, Path(args.report), kde_logits=kde,
+            site_accuracy=site_acc, layers=layers,
+        )
+        print(f"\nreport -> {report}")
+
 
 def cmd_param_audit(args):
     """Prober-vs-classifier parameter audit (exp_parameter_check.py)."""
@@ -460,6 +478,13 @@ def build_parser() -> argparse.ArgumentParser:
 
     sp = sub.add_parser("analyze")
     sp.add_argument("--runs", default="result/runs.jsonl")
+    sp.add_argument("--report", default=None,
+                    help="dir for report.md + figures (KDE, layer heatmap)")
+    sp.add_argument("--kde-logits", default=None,
+                    help="npy logit dump from prober-eval --kde-out")
+    sp.add_argument("--site-accuracy", default=None,
+                    help="json {position: [per-layer acc]} for the heatmap")
+    sp.add_argument("--layers", default="6,8,10,12,14,16")
     sp.set_defaults(fn=cmd_analyze)
 
     sp = sub.add_parser("param-audit")

@@ -5,6 +5,7 @@ import dataclasses
 import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 from probing_rag_tpu.eval.analysis import (
     PUBLISHED,
@@ -81,3 +82,47 @@ def test_prober_offline_eval_on_trained_probers():
     # by mean — constant-length examples keep these proportional, so the
     # trained probers should still separate the classes
     assert res.site_accuracy.max() > 0.7
+
+
+def test_figure_rendering_and_report(tmp_path):
+    """C22 figure suite on fixture data: KDE projection, layer x position
+    heatmap, and the assembled markdown report."""
+    pytest.importorskip("matplotlib")
+    import json
+
+    from probing_rag_tpu.eval.figures import (
+        assemble_report,
+        kde_projection_figure,
+        layer_position_heatmap,
+    )
+
+    rng = np.random.default_rng(0)
+    # two shifted populations so the KDE has structure
+    logits = rng.normal(size=(80, 6, 2))
+    logits[:, :, 1] += 1.5
+    p1 = kde_projection_figure(logits, tmp_path / "kde.png")
+    assert p1.exists() and p1.stat().st_size > 1000
+
+    acc = {
+        "resid_mid(ep=2)": [0.662, 0.692, 0.708, 0.706, 0.682, 0.668],
+        "resid_post(ep=2)": [0.692, 0.7, 0.718, 0.71, 0.674, 0.688],
+    }
+    p2 = layer_position_heatmap(acc, [6, 8, 10, 12, 14, 16], tmp_path / "hm.png")
+    assert p2.exists() and p2.stat().st_size > 1000
+
+    runs = [
+        {"retr_method": "probing", "dataset": "nq", "accuracy": 0.355,
+         "em": 21.2, "f1": 30.0, "elapsed_s": 10.0,
+         "retr_counts": [0, 0, 1, 2, 0, 3]},
+    ]
+    report = assemble_report(
+        runs, tmp_path / "report", kde_logits=logits,
+        site_accuracy=acc, layers=[6, 8, 10, 12, 14, 16],
+    )
+    text = report.read_text()
+    assert "Published comparison" in text
+    assert "kde_projection.png" in text and "layer_accuracy_heatmap.png" in text
+    assert (report.parent / "kde_projection.png").exists()
+    assert (report.parent / "layer_accuracy_heatmap.png").exists()
+    # step distribution rendered from the manifest's retr_counts
+    assert "/" in text.split("probing | nq")[1].split("|")[4]
