@@ -111,6 +111,84 @@ RETR_COT_EXEMPLARS: List[CotExemplar] = [
 ]
 
 
+@dataclass(frozen=True)
+class RetrDemo:
+    """One full retr_qa_cot demo: question + 5 passages + rationale + answer.
+    ``passages_lead`` keeps the reference's per-demo trailing-space quirk
+    ("Passages: " in demo 1, "Passages:" in demos 2-4, prompts.py:117-167)."""
+
+    question: str
+    passages_lead: str
+    passages: List[str]
+    rationale: str
+    answer: str
+
+    def render(self) -> str:
+        passage_block = "\n".join(
+            f"passage {i + 1}: {p}" for i, p in enumerate(self.passages)
+        )
+        return (
+            f"Question: \n{self.question}\n{self.passages_lead}\n"
+            f"{passage_block}\nRationale: {self.rationale}\nAnswer: {self.answer}"
+        )
+# Full 5-passage CoT demos (prompts.py:117-167) — unused by the reference's
+# main path but part of the template library; exemplars verbatim (data).
+RETR_QA_COT_DEMOS: List[RetrDemo] = [
+    RetrDemo(
+        question='2014 S/S is the debut album of a South Korean boy group that was formed by who?',
+        passages_lead='Passages: ',
+        passages=[
+            'S (에스) is a South Korean project group consisting of three members: Kangta, Lee Ji-hoon and Shin Hye-sung. The group debuted in 2003, under the SM Entertainment label. After 11 years, they released and promoted another mini-album in 2014.',
+            "2014 S/S is the debut album of South Korean group WINNER. It was released on August 12, 2014 by the group's record label, YG Entertainment. The members were credited for writing the lyrics and composing the majority of the album's songs.",
+            'The discography of South Korean girl group S.E.S. consists of seven studio albums, four compilation albums, three video albums, and one remix album. The group debuted in 1997 under SM Entertainment and disbanded in 2002. The group then made their comeback in 2016.',
+            'The Wonder Years is the debut studio album by South Korean girl group Wonder Girls. It was released on September 13, 2007, by JYP Entertainment.',
+            'Girls\' Generation is the debut Japanese album by South Korean Girls\' Generation, released by Nayutawave Records and Universal Music Japan on June 1, 2011. A repackaged edition of the album, "The Boys", was released on December 28, 2011.',
+        ],
+        rationale='Evidence 2 identifies 2014 S/S as the debut album of the South Korean group WINNER and states that it was released by YG Entertainment. This directly connects the group WINNER with YG Entertainment.',
+        answer='WINNER',
+    ),
+    RetrDemo(
+        question='Roger O. Egeberg was Assistant Secretary for Health and Scientific Affairs during the administration of a president that served during what years?',
+        passages_lead='Passages:',
+        passages=[
+            "Roger Olaf Egeberg, M.D. (13 November 1902 - 13 September 1997 Washington, D.C.) was an American medical educator, administrator and advocate of public health. He was General Douglas MacArthur's personal physician during World War II in the Pacific theater. His other roles included Assistant Secretary for Health and Scientific Affairs in the Department of Health, Education, and Welfare (now the United States Department of Health and Human Services) during the Nixon administration and Dean of the University of Southern California's medical school.",
+            'Charles Edwin Johnson served as Acting United States Secretary of Health and Human Services from January to April 2009 during the Obama presidency. Johnson was appointed by then President George W. Bush in 2005 as Assistant Secretary for Budget, Technology, and Finance. He was a public accountant for 31 years prior to joining the department.',
+            'United States Secretary of Health and Human Services',
+            'United States Deputy Secretary of Health and Human Services',
+            'Roger M. Natsuhara was the acting United States Assistant Secretary of the Navy (Installations and Environment).',
+        ],
+        rationale='Roger O. Egeberg served in this role during the Nixon administration. It also specifies other roles he held, but the key information is his service under President Nixon. To determine the years, we need to know the timeframe of Nixon’s presidency.',
+        answer='1969 to 1974',
+    ),
+    RetrDemo(
+        question='Are Giuseppe Verdi and Ambroise Thomas both Opera composers ?',
+        passages_lead='Passages:',
+        passages=[
+            'This is a list of the complete operas of the French opera composer Ambroise Thomas (1811-1896). All premieres took place in Paris unless otherwise noted.',
+            'Verdi refers to Giuseppe Verdi (1813-1901), Italian opera composer.',
+            'The following is a list of published compositions by the composer Giuseppe Verdi (1813-1901).',
+            'Giuseppe Fortunino Francesco Verdi (] ; 9 or 10 October 1813 - 27 January 1901) was an Italian opera composer.',
+            'This is an incomplete list of authors who have written libretti for operas. Only librettists with their own articles in Wikipedia are listed. The name of the composer of each opera is also given.',
+        ],
+        rationale='Ambroise Thomas (1811-1896) is a French opera composer, listing his complete operas. Giuseppe Verdi (1813-1901) was an Italian opera composer, detailing his work and lifespan.',
+        answer='Yes',
+    ),
+    RetrDemo(
+        question='Which writer was from England, Henry Roth or Robert Erskine Childers?',
+        passages_lead='Passages:',
+        passages=[
+            'Henry Roth was a writer.',
+            'Henry Roth (February 8, 1906 - October 13, 1995) was an American novelist and short story writer.',
+            'This is a list of novelists from England.',
+            'Philip Milton Roth (born March 19, 1933) is an American novelist.',
+            'Henry Melville was an Australian writer.',
+        ],
+        rationale='Henry Roth was an American novelist, best known for his novel Call It Sleep (1934). He was born in Austria-Hungary (now Ukraine) and emigrated to the United States as a child. Robert Erskine Childers was an English-born writer and Irish nationalist. He was born in London, England, in 1870 and is best known for his novel The Riddle of the Sands (1903). Childers later became involved in Irish politics and was a prominent figure in the Irish independence movement.',
+        answer='Robert Erskine ',
+    ),
+]
+
+
 def cot_prompt(query: str) -> str:
     """4-shot CoT prompt, no documents (prompts.py:61-80)."""
     shots = "\n\n".join(e.render() for e in COT_EXEMPLARS)
@@ -121,6 +199,14 @@ def retr_qa_cot2(query: str, docs: str) -> str:
     """CoT prompt with a retrieved-passages block (prompts.py:93-115)."""
     shots = "\n\n".join(e.render() for e in RETR_COT_EXEMPLARS)
     return f"{shots}\n\nPassages: \n{docs}\nQuestion: \n{query}\nRationale:"
+
+
+def retr_qa_cot(query: str, docs: str) -> str:
+    """Full 5-passage-demo CoT prompt (prompts.py:117-167) — present for
+    template-library completeness; the reference's main path uses
+    ``retr_qa_cot2``."""
+    shots = "\n\n".join(d.render() for d in RETR_QA_COT_DEMOS)
+    return f"{shots}\n\nQuestion: \n{query}\nPassages: \n{docs}\nRationale:"
 
 
 def format_evidences(passages: Sequence[str]) -> str:

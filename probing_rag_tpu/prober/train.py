@@ -43,7 +43,17 @@ def probe_loss(
     weights: Optional[jnp.ndarray] = None,  # [B] 0/1 mask
 ) -> jnp.ndarray:
     """CE loss; ``double_softmax=True`` reproduces utils.py:130-131 (softmax
-    output fed to CrossEntropyLoss, which applies log_softmax again)."""
+    output fed to CrossEntropyLoss, which applies log_softmax again). A
+    1-logit probe takes the reference's BCE branch instead (utils.py:132-137:
+    sigmoid + BCELoss on float labels)."""
+    if logits.shape[-1] == 1:
+        p = jax.nn.sigmoid(logits[..., 0])
+        y = labels.astype(jnp.float32)
+        eps = 1e-7  # torch BCELoss clamps log terms; same guard
+        nll = -(y * jnp.log(p + eps) + (1.0 - y) * jnp.log(1.0 - p + eps))
+        if weights is None:
+            return jnp.mean(nll)
+        return jnp.sum(nll * weights) / jnp.maximum(jnp.sum(weights), 1)
     x = jax.nn.softmax(logits, axis=-1) if double_softmax else logits
     logp = jax.nn.log_softmax(x, axis=-1)
     nll = -jnp.take_along_axis(logp, labels[:, None], axis=-1)[:, 0]

@@ -117,3 +117,49 @@ def test_train_probers_learns_separable_labels():
     assert history, "no training happened"
     dev_acc = [h["dev_acc"] for h in history if "dev_acc" in h][-1]
     assert max(dev_acc) > 0.9, f"probers failed to fit separable data: {dev_acc}"
+
+
+def test_probe_loss_bce_branch_matches_torch():
+    """1-logit probers take the reference's sigmoid+BCE branch
+    (utils.py:132-137); parity against torch.nn.BCELoss."""
+    import torch
+
+    from probing_rag_tpu.prober.train import probe_loss
+
+    rng = np.random.default_rng(0)
+    logits = rng.normal(size=(16, 1)).astype(np.float32)
+    labels = rng.integers(0, 2, 16)
+    ours = float(probe_loss(jnp.asarray(logits), jnp.asarray(labels)))
+    ref = torch.nn.BCELoss()(
+        torch.sigmoid(torch.tensor(logits).squeeze()),
+        torch.tensor(labels, dtype=torch.float32),
+    ).item()
+    assert abs(ours - ref) < 1e-5, (ours, ref)
+
+
+def test_probe_loss_bce_branch_with_weights():
+    from probing_rag_tpu.prober.train import probe_loss
+
+    logits = jnp.asarray([[2.0], [-2.0], [50.0]])
+    labels = jnp.asarray([1, 0, 0])
+    w = jnp.asarray([1.0, 1.0, 0.0])  # masked row can't poison the mean
+    loss = float(probe_loss(logits, labels, weights=w))
+    assert np.isfinite(loss) and loss < 0.2
+
+
+def test_one_logit_probe_trains():
+    """A 1-logit ImprovedProbe (output_size=1) flows through init + loss."""
+    from probing_rag_tpu.prober.model import improved_probe_forward, init_improved_probe
+    from probing_rag_tpu.prober.train import probe_loss
+
+    probe = init_improved_probe(jax.random.PRNGKey(0), 32, output_size=1)
+    x = jax.random.normal(jax.random.PRNGKey(1), (8, 32))
+    labels = jnp.asarray([0, 1] * 4)
+
+    def loss_fn(p):
+        return probe_loss(improved_probe_forward(p, x), labels)
+
+    l0 = loss_fn(probe)
+    grads = jax.grad(loss_fn)(probe)
+    probe2 = jax.tree.map(lambda p, g: p - 0.1 * g, probe, grads)
+    assert float(loss_fn(probe2)) < float(l0)

@@ -30,6 +30,7 @@ needs_ref = pytest.mark.skipif(
     [
         (prompts.cot_prompt, "cot_prompt", ("What is the capital of Freedonia?",)),
         (prompts.retr_qa_cot2, "retr_qa_cot2", ("Who?", "passage 1: text a\npassage 2: text b")),
+        (prompts.retr_qa_cot, "retr_qa_cot", ("Who?", "passage 1: text a\npassage 2: text b")),
         (prompts.inst_prompt, "inst_prompt", ("Who?",)),
         (prompts.icl_prompt, "icl_prompt", ("Who?",)),
         (prompts.retr_qa, "retr_qa", ("Who?", "passage 1: text")),
@@ -64,3 +65,12 @@ def test_cot_prompt_structure():
 def test_format_evidences():
     out = prompts.format_evidences(["alpha", "beta"])
     assert out == "passage 1: alpha\npassage 2: beta"
+
+
+def test_retr_qa_cot_matches_committed_fixture():
+    """Offline byte-parity pin for the full 5-passage-demo prompt
+    (reference prompts.py:117-167), via the committed render fixture."""
+    import pathlib
+
+    fixture = pathlib.Path(__file__).parent / "fixtures" / "retr_qa_cot.txt"
+    assert prompts.retr_qa_cot("{Q}", "{D}") == fixture.read_text()
