@@ -47,10 +47,13 @@ def main():
 
     rng = np.random.default_rng(0)
     # Zipf term distribution with the head ranks dropped — mimicking the
-    # analyzer's stopword removal, which is what bounds posting lengths on
-    # real corpora (retrieval/text.py)
-    zipf = rng.zipf(1.3, size=N_DOCS * DOC_LEN * 2)
-    zipf = zipf[zipf >= 30][: N_DOCS * DOC_LEN]
+    # analyzer's stopword removal (retrieval/text.py strips the 179-entry
+    # English stopword list, which is exactly the Zipf head), which is what
+    # bounds posting lengths on real corpora. Even so, the heaviest kept
+    # terms match ~10% of all docs — a heavy workload relative to real
+    # natural-language queries.
+    zipf = rng.zipf(1.3, size=N_DOCS * DOC_LEN * 3)
+    zipf = zipf[zipf >= 180][: N_DOCS * DOC_LEN]
     term_ids = (zipf % VOCAB).astype(np.int64)
     docs_tokens = [
         [f"t{t}" for t in term_ids[i * DOC_LEN : (i + 1) * DOC_LEN]]
@@ -63,8 +66,8 @@ def main():
     build_s = time.time() - t0
 
     engine = BM25Engine(index, max_pad=1 << 17)
-    qz = rng.zipf(1.3, size=N_QUERIES * 16)
-    qz = qz[qz >= 30][: N_QUERIES * 4].reshape(N_QUERIES, 4)
+    qz = rng.zipf(1.3, size=N_QUERIES * 48)
+    qz = qz[qz >= 180][: N_QUERIES * 4].reshape(N_QUERIES, 4)
     q_terms = (qz % VOCAB).astype(np.int64)
     query_ids = [
         index.encode_query([f"t{t}" for t in row]) for row in q_terms

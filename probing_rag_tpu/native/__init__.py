@@ -68,6 +68,21 @@ def load_library() -> Optional[ctypes.CDLL]:
     lib.bm25_free.argtypes = [ctypes.POINTER(_BuildResult)]
     lib.porter_stem.restype = ctypes.c_int
     lib.porter_stem.argtypes = [ctypes.c_char_p, ctypes.c_int, ctypes.c_char_p]
+    lib.encoder_create.restype = ctypes.c_void_p
+    lib.encoder_create.argtypes = [
+        ctypes.c_char_p, ctypes.c_int64, ctypes.c_int, ctypes.c_int, ctypes.c_int,
+    ]
+    lib.encoder_free.argtypes = [ctypes.c_void_p]
+    lib.encode_queries.restype = ctypes.c_int64
+    lib.encode_queries.argtypes = [
+        ctypes.c_void_p,
+        ctypes.c_char_p,
+        ctypes.POINTER(ctypes.c_int64),
+        ctypes.c_int64,
+        ctypes.POINTER(ctypes.c_int32),
+        ctypes.POINTER(ctypes.c_int64),
+        ctypes.c_int64,
+    ]
     _lib = lib
     return lib
 
@@ -83,6 +98,62 @@ def porter_stem(word: str) -> str:
     raw = word.encode("utf-8")
     n = lib.porter_stem(raw, len(raw), buf)
     return buf.raw[:n].decode("utf-8")
+
+
+class QueryEncoder:
+    """Native batch query analyzer+encoder against a fixed index vocab —
+    the host-side serving hot path (per-query Python tokenize/stem caps out
+    far below the device engines' throughput). Same analyzer chain as the
+    native builder, so valid for indexes built with lowercase/stopword
+    settings matching and ``stemmer_mode='original'`` (or stem=False)."""
+
+    def __init__(
+        self,
+        vocab: dict,
+        lowercase: bool = True,
+        remove_stopwords: bool = True,
+        stem: bool = True,
+    ):
+        lib = load_library()
+        if lib is None:
+            raise RuntimeError("native encoder unavailable (no compiler)")
+        self._lib = lib
+        terms = sorted(vocab, key=vocab.get)
+        blob = ("\n".join(terms) + "\n").encode("utf-8", errors="ignore") if terms else b""
+        self._handle = lib.encoder_create(
+            blob, len(blob), int(lowercase), int(remove_stopwords), int(stem)
+        )
+
+    def __del__(self):
+        if getattr(self, "_handle", None):
+            self._lib.encoder_free(self._handle)
+            self._handle = None
+
+    def encode(self, queries: Sequence[str]) -> List[np.ndarray]:
+        """Per-query term-id arrays (OOV dropped, duplicates kept)."""
+        blob = "\x00".join(queries).encode("utf-8", errors="ignore")
+        offsets = np.zeros(len(queries) + 1, np.int64)
+        pos = 0
+        for i, t in enumerate(queries):
+            pos += len(t.encode("utf-8", errors="ignore")) + (1 if i < len(queries) - 1 else 0)
+            offsets[i + 1] = min(pos, len(blob))
+        cap = max(64, 4 * len(blob))
+        out_ids = np.empty(cap, np.int32)
+        out_offs = np.empty(len(queries) + 1, np.int64)
+        n = self._lib.encode_queries(
+            self._handle, blob,
+            offsets.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+            len(queries),
+            out_ids.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+            out_offs.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+            cap,
+        )
+        if n < 0:
+            raise RuntimeError("encoder output capacity exceeded")
+        return [
+            out_ids[out_offs[i]:out_offs[i + 1]].copy()
+            for i in range(len(queries))
+        ]
 
 
 def build_postings(

@@ -386,4 +386,76 @@ int porter_stem(const char* word, int len, char* out) {
   return n;
 }
 
+// ------------------------------------------------------ batch query encoder
+// Host-side serving hot path: query text -> analyzed term ids against a
+// fixed index vocabulary. At the >=10k q/s device throughput the engines
+// sustain, per-query Python tokenize/stem becomes the host bottleneck;
+// this runs the same analyzer chain as bm25_build over a whole query batch.
+
+struct QueryEncoder {
+  std::unordered_map<std::string, int32_t> vocab;
+  std::unordered_set<std::string> stopwords;
+  int lowercase;
+  int remove_stopwords;
+  int stem;
+};
+
+// vocab_blob: terms joined by '\n' in term-id order (BuildResult layout).
+QueryEncoder* encoder_create(const char* vocab_blob, int64_t blob_len,
+                             int lowercase, int remove_stopwords, int stem) {
+  auto* enc = new QueryEncoder();
+  enc->lowercase = lowercase;
+  enc->remove_stopwords = remove_stopwords;
+  enc->stem = stem;
+  if (remove_stopwords)
+    for (const char* s : kStopwords) enc->stopwords.insert(s);
+  int32_t tid = 0;
+  const char* p = vocab_blob;
+  const char* end = vocab_blob + blob_len;
+  while (p < end) {
+    const char* nl = (const char*)memchr(p, '\n', end - p);
+    if (!nl) nl = end;
+    enc->vocab.emplace(std::string(p, nl - p), tid++);
+    p = nl + 1;
+  }
+  return enc;
+}
+
+void encoder_free(QueryEncoder* enc) { delete enc; }
+
+// Encodes n queries (concatenated text + offsets like bm25_build). Writes
+// term ids (OOV dropped, duplicates kept — rank_bm25 scores each
+// occurrence) into out_ids and per-query CSR bounds into out_offs
+// [n + 1]. Returns total ids written, or -1 if out_cap is too small.
+int64_t encode_queries(QueryEncoder* enc, const char* text,
+                       const int64_t* doc_offsets, int64_t n,
+                       int32_t* out_ids, int64_t* out_offs, int64_t out_cap) {
+  Porter porter;
+  std::string tok;
+  int64_t w = 0;
+  out_offs[0] = 0;
+  for (int64_t d = 0; d < n; d++) {
+    const char* p = text + doc_offsets[d];
+    const char* end = text + doc_offsets[d + 1];
+    while (p < end) {
+      while (p < end && !is_word_char((unsigned char)*p)) p++;
+      const char* start = p;
+      while (p < end && is_word_char((unsigned char)*p)) p++;
+      if (p == start) continue;
+      tok.assign(start, p - start);
+      if (enc->lowercase)
+        for (auto& c : tok)
+          if (c >= 'A' && c <= 'Z') c += 32;
+      if (enc->remove_stopwords && enc->stopwords.count(tok)) continue;
+      if (enc->stem) tok = porter.stem(tok);
+      auto it = enc->vocab.find(tok);
+      if (it == enc->vocab.end()) continue;  // OOV dropped
+      if (w >= out_cap) return -1;
+      out_ids[w++] = it->second;
+    }
+    out_offs[d + 1] = w;
+  }
+  return w;
+}
+
 }  // extern "C"

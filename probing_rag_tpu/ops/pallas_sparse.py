@@ -38,6 +38,21 @@ _CARRY_INIT = -2  # matches no doc id and no sentinel
 _ALIGN = 1024  # Mosaic HBM/VMEM memref tiling for 32-bit elements
 
 
+def gather_chunk(pad: int) -> int:
+    """DMA copy granularity for a given row tile width. 4096-element copies
+    are ~3x cheaper per element but need a chunk of in-row slack (see
+    postings_gather_pallas's capacity contract); _ALIGN-sized copies never
+    overshoot (aligned term lengths are _ALIGN multiples), so small tiles
+    keep full capacity."""
+    return 4 * _ALIGN if pad >= 32 * _ALIGN else min(_ALIGN, pad)
+
+
+def gather_capacity(pad: int) -> int:
+    """Max posting total a [*, pad] row may carry on the compiled DMA path."""
+    c = gather_chunk(pad)
+    return pad - c if c > _ALIGN else pad
+
+
 def _shift_right(x: jnp.ndarray, fill) -> jnp.ndarray:
     """[Q, T] -> same with lane 0 = fill, lane i = x[i-1]."""
     rolled = pltpu.roll(x, 1, axis=1)
@@ -191,63 +206,57 @@ def segment_topk_pallas(
 
 
 def _gather_kernel(starts_ref, lens_ref, cum_ref, doc_hbm, imp_hbm,
-                   out_doc, out_imp, sems, *, chunk, tq):
+                   out_doc, out_imp, sems, *, chunk, tq, limit):
     """One grid step gathers one query row as flat 1-D DMA copies: per term,
-    contiguous chunked copies from the HBM posting arrays into the row's
-    VMEM tile. Tail masking happens outside the kernel (cheap XLA
-    elementwise); 1-D refs + multiple_of hints satisfy Mosaic's
-    aligned-dynamic-slice requirement in both memory spaces."""
+    ``chunk``-sized contiguous copies, each waited before the next starts.
+
+    Measured shape of the design space at [256, 65536] on v5e: 16 KB copies
+    with wait-after-each run at ~0.7 us/DMA (2-6 ms/tile) — while a single
+    256 KB copy at a 1024-aligned dynamic offset takes ~0.8 ms (35x slower)
+    and a double-buffered stream with descriptor-reconstruction waits is
+    ~40x slower still. Wait-each also buys ORDERING: a chunk that
+    overshoots its term's aligned region into the next term's dst slice is
+    deterministically overwritten by that term's own (later) copies, so
+    uniform chunking is correct given a >= ``chunk`` src guard tail
+    (aligned_csr appends 4096). Chunks that would cross ``limit`` (the row
+    tile end on the compiled path) are skipped — callers keep each row's
+    total at least one chunk below ``pad`` so no real posting lands there.
+    1-D refs + multiple_of hints satisfy Mosaic's aligned-dynamic-slice
+    requirement in both memory spaces. Tail masking of slots past the row
+    total happens outside the kernel."""
     qi = pl.program_id(0)
 
-    def make_pair(t, c, slot):
-        off = c * chunk
-        s_off = pl.multiple_of(starts_ref[qi, t] + off, _ALIGN)
-        d_off = pl.multiple_of(cum_ref[qi, t] + off, _ALIGN)
-        d1 = pltpu.make_async_copy(
-            doc_hbm.at[pl.ds(s_off, chunk)],
-            out_doc.at[pl.ds(d_off, chunk)],
-            sems.at[2 * slot],
-        )
-        d2 = pltpu.make_async_copy(
-            imp_hbm.at[pl.ds(s_off, chunk)],
-            out_imp.at[pl.ds(d_off, chunk)],
-            sems.at[2 * slot + 1],
-        )
-        return d1, d2
-
-    # double-buffered copy stream over the flattened (term, chunk) sequence:
-    # chunk i+1's DMAs start before chunk i's wait, hiding DMA latency. The
-    # semaphore slot alternates GLOBALLY across the stream so at most one
-    # in-flight pair per slot (carry: prev term/chunk/slot + live flag).
     def copy_term(t, carry):
         n_chunks = pl.cdiv(lens_ref[qi, t], chunk)
 
         def copy_chunk(c, carry):
-            prev_t, prev_c, prev_slot, have_prev = carry
-            slot = jnp.where(have_prev == 1, 1 - prev_slot, 0)
-            d1, d2 = make_pair(t, c, slot=slot)
-            d1.start()
-            d2.start()
+            off = c * chunk
+            d_raw = cum_ref[qi, t] + off
 
-            @pl.when(have_prev == 1)
+            @pl.when(d_raw + chunk <= limit)
             def _():
-                p1, p2 = make_pair(prev_t, prev_c, slot=prev_slot)
-                p1.wait()
-                p2.wait()
+                s_off = pl.multiple_of(starts_ref[qi, t] + off, _ALIGN)
+                d_off = pl.multiple_of(d_raw, _ALIGN)
+                d1 = pltpu.make_async_copy(
+                    doc_hbm.at[pl.ds(s_off, chunk)],
+                    out_doc.at[pl.ds(d_off, chunk)],
+                    sems.at[0],
+                )
+                d2 = pltpu.make_async_copy(
+                    imp_hbm.at[pl.ds(s_off, chunk)],
+                    out_imp.at[pl.ds(d_off, chunk)],
+                    sems.at[1],
+                )
+                d1.start()
+                d2.start()
+                d1.wait()
+                d2.wait()
 
-            return t, c, slot, 1
+            return carry
 
         return jax.lax.fori_loop(0, n_chunks, copy_chunk, carry)
 
-    prev_t, prev_c, prev_slot, have_prev = jax.lax.fori_loop(
-        0, tq, copy_term, (0, 0, 0, 0)
-    )
-
-    @pl.when(have_prev == 1)
-    def _():
-        p1, p2 = make_pair(prev_t, prev_c, slot=prev_slot)
-        p1.wait()
-        p2.wait()
+    jax.lax.fori_loop(0, tq, copy_term, 0)
 
 
 @functools.partial(jax.jit, static_argnames=("pad", "sentinel", "chunk", "interpret"))
@@ -259,37 +268,38 @@ def postings_gather_pallas(
     *,
     pad: int,
     sentinel: int,
-    chunk: int = _ALIGN,
+    chunk: int = 4 * _ALIGN,
     interpret: bool = False,
 ):
     """Segmented posting gather as contiguous DMA copies. Returns
     (doc [Q, pad], impact [Q, pad]) — the same contract as
     ops.sparse.postings_gather. Requires the aligned CSR layout (offsets and
-    lengths in 1024-multiples plus a guard tail) on the compiled TPU path.
-    """
+    lengths in 1024-multiples, >= ``chunk`` guard tail) on the compiled TPU
+    path; the sequential wait-each copy stream makes term-boundary chunk
+    overshoot benign (see _gather_kernel).
+
+    COMPILED-PATH CAPACITY CONTRACT: each row's posting total must be at
+    most ``pad - chunk``. The row blocks are exactly ``pad`` wide — a guard
+    column would make the per-row HBM block stride non-power-of-two, which
+    puts the VMEM->HBM write-back on a pathologically slow DMA path
+    (measured 2.4 ms -> 190 ms at [256, 65536]) — so the final chunk-window
+    of each row is reserved as in-block slack and chunks crossing it are
+    skipped. The engines reserve the slack when picking pad buckets."""
     q, tq = starts.shape
-    # Copy-granularity contract: every chunk must stay inside its term's
-    # aligned region — a chunk that crosses a term boundary overshoots into
-    # the NEXT term's dst slice while that term's DMA may be in flight
-    # (write-write race with unspecified ordering), and the final term's
-    # overshoot reads past the postings arrays. Aligned-CSR term lengths are
-    # _ALIGN multiples, so chunk == _ALIGN (which also divides the tile
-    # truncation below, pad and cum being _ALIGN multiples) makes every copy
-    # exactly term-interior. Larger chunks are only safe in interpret mode,
-    # where DMAs execute sequentially (last-writer-wins).
-    if not interpret and chunk != _ALIGN:
+    chunk = min(chunk, pad)
+    if not interpret and chunk % _ALIGN:
         raise ValueError(
-            f"compiled DMA gather requires chunk == {_ALIGN} (got {chunk}): "
-            "larger chunks overshoot term slices (racy dst writes, OOB reads)"
+            f"compiled DMA gather needs an {_ALIGN}-aligned chunk (got {chunk})"
         )
     cum = jnp.cumsum(lens, axis=-1) - lens  # exclusive prefix: dst offsets
     # truncate to the tile exactly like the XLA gather (first ``pad`` slots
     # of the concatenation): terms past the tile get length 0, the boundary
-    # term is cut
+    # term is cut (still an _ALIGN multiple: pad and cum are)
     lens = jnp.clip(jnp.minimum(lens, pad - cum), 0)
 
-    # guard region: a boundary term's final chunk may overshoot the tile
-    padg = pad + chunk
+    # interpret mode keeps a guard column instead of the capacity contract
+    # (tiny-pad tests fill the full tile; block layout cost is irrelevant)
+    padg = pad + chunk if interpret else pad
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=3,
         grid=(q,),
@@ -303,7 +313,7 @@ def postings_gather_pallas(
         ],
         scratch_shapes=[pltpu.SemaphoreType.DMA((2,))],
     )
-    kernel = functools.partial(_gather_kernel, chunk=chunk, tq=tq)
+    kernel = functools.partial(_gather_kernel, chunk=chunk, tq=tq, limit=padg)
     out_doc, out_imp = pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
@@ -315,8 +325,8 @@ def postings_gather_pallas(
         compiler_params=pltpu.CompilerParams(has_side_effects=True),
     )(starts, lens, cum, postings_doc, postings_impact)
 
-    # tail fix in XLA: everything past each row's total (including the final
-    # term's chunk overshoot and slots never written) becomes sentinel / 0
+    # tail fix in XLA: everything past each row's total (slots never
+    # written by any DMA) becomes sentinel / 0
     out_doc = out_doc.reshape(q, padg)[:, :pad]
     out_imp = out_imp.reshape(q, padg)[:, :pad]
     total = (cum[:, -1] + lens[:, -1])[:, None]
@@ -354,13 +364,11 @@ def bm25_search_padded_fused(
     lens = jnp.where(qmask, lens, 0).astype(jnp.int32)
     starts = jnp.where(qmask, term_offsets[qterms], 0).astype(jnp.int32)
     if dma_gather:
-        # _ALIGN-sized copies are the only compiled-safe granularity (see
-        # postings_gather_pallas); interpret-mode tests may use tiny pads
-        chunk = min(_ALIGN, pad)
+        chunk = gather_chunk(pad)
         if guarded:
+            # aligned_csr's guard tail covers the final term's src overshoot
             doc_pad, imp_pad = postings_doc, postings_impact
         else:
-            # tail guard: the last chunk of the last term may read past NNZ
             doc_pad = jnp.pad(postings_doc, (0, chunk), constant_values=sentinel_doc)
             imp_pad = jnp.pad(postings_impact, (0, chunk))
         doc, imp = postings_gather_pallas(

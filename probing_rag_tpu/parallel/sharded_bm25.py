@@ -172,8 +172,17 @@ class ShardedBM25Engine:
             if ids.size:
                 max_total = max(max_total, int(self._term_lens[ids].sum()))
         # the Pallas DMA path's Mosaic alignment contract needs pad to be a
-        # 1024-multiple (matching BM25Engine's min_pad floor)
-        pad = _next_pow2(min(max_total, self.max_pad), 1024 if self.use_pallas else 512)
+        # 1024-multiple (matching BM25Engine's min_pad floor), and the pad
+        # bucket must hold max_total within the gather's in-block capacity
+        total = min(max_total, self.max_pad)
+        if self.use_pallas:
+            from probing_rag_tpu.ops.pallas_sparse import gather_capacity
+
+            pad = _next_pow2(total, 1024)
+            while gather_capacity(pad) < total:
+                pad *= 2
+        else:
+            pad = _next_pow2(total, 512)
         scores, idx = self._search(
             jnp.asarray(qterms), jnp.asarray(qmask), pad=pad, k=k
         )

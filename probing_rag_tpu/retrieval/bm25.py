@@ -85,17 +85,31 @@ class BM25Engine:
             if doc.size > max(4 * index.nnz, index.nnz + (4 << 20)):
                 self.use_pallas = False
         if self.use_pallas:
+            from probing_rag_tpu.ops.pallas_sparse import gather_capacity
+
             self.min_pad = max(self.min_pad, 1024)
+            # compiled DMA path: a pad bucket's usable posting capacity is
+            # slightly below pad (in-block copy slack; ops/pallas_sparse.py)
+            self._capacity = gather_capacity
             self._term_offsets = put(offsets)
             self._postings_doc = put(doc)
             self._postings_impact = put(imp)
             self._term_lens = (offsets[1:] - offsets[:-1]).astype(np.int64)
         else:
+            self._capacity = lambda pad: pad
             self._term_offsets = put(index.term_offsets.astype(np.int32))
             self._postings_doc = put(index.postings_doc)
             self._postings_impact = put(index.postings_impact)
             # host copies for planning (posting lengths per term)
             self._term_lens = (index.term_offsets[1:] - index.term_offsets[:-1]).astype(np.int64)
+
+    def _bucket_pad(self, total: int, base: int = 2) -> int:
+        """Smallest power-of-``base`` pad whose gather capacity holds
+        ``total`` postings."""
+        pad = (_next_pow2 if base == 2 else _next_pow4)(max(total, 1), self.min_pad)
+        while self._capacity(pad) < total:
+            pad *= base
+        return pad
 
     # ------------------------------------------------------------ planning
     def _plan(self, term_id_lists: Sequence[np.ndarray]) -> Tuple[np.ndarray, np.ndarray, int]:
@@ -121,8 +135,7 @@ class BM25Engine:
         max_total = max(
             (int(self._term_lens[ids].sum()) for ids in kept if ids.size), default=0
         )
-        pad = _next_pow2(max(max_total, 1), self.min_pad)
-        return qterms, qmask, pad
+        return qterms, qmask, self._bucket_pad(max_total)
 
     # --------------------------------------------------- plan-compiled path
     def default_plan(self, batch_size: int = 2048):
@@ -174,7 +187,7 @@ class BM25Engine:
         for i, (ids, total) in enumerate(kept):
             placed = False
             for b, (pad, _) in enumerate(plan):
-                if total <= pad and slots_left[b] > 0:
+                if total <= self._capacity(pad) and slots_left[b] > 0:
                     assign[b].append(i)
                     slots_left[b] -= 1
                     placed = True
@@ -261,9 +274,12 @@ class BM25Engine:
             kept.append((ids, total))
 
         tq = _next_pow2(max((len(i) for i, _ in kept), default=1) or 1, self.min_tq)
+        # pow2 pads (vs the per-tile path's pow4): with one dispatch per
+        # bucket per run, the extra compiled variants are cheap and the
+        # tighter pads halve the padding the sort pays for
         buckets: dict = {}
         for i, (ids, total) in enumerate(kept):
-            pad = _next_pow4(max(min(total, self.max_pad), 1), self.min_pad)
+            pad = self._bucket_pad(min(total, self.max_pad))
             buckets.setdefault(pad, []).append(i)
 
         n = len(term_id_lists)
@@ -280,7 +296,16 @@ class BM25Engine:
             start = 0
             while start < len(rows):
                 remaining = len(rows) - start
-                qb = min(cap, _next_pow2(remaining, 64))
+                if remaining >= 1024:
+                    # greedy floor-pow2 tiles: 4646 rows -> 4096 + 1024(padded)
+                    # instead of one 8192-row tile (43% all-padding rows that
+                    # the data-independent sort still pays full price for)
+                    qb = 1024
+                    while qb * 2 <= remaining:
+                        qb *= 2
+                    qb = min(cap, qb)
+                else:
+                    qb = min(cap, _next_pow2(remaining, 64))
                 chunk_rows = rows[start : start + qb]
                 start += qb
                 qt = np.zeros((qb, tq), np.int32)
@@ -343,7 +368,7 @@ class BM25Engine:
         for i, ids in enumerate(term_id_lists):
             ids = np.asarray(ids, dtype=np.int32)
             total = int(self._term_lens[ids].sum()) if ids.size else 0
-            pad = _next_pow4(max(min(total, self.max_pad), 1), self.min_pad)
+            pad = self._bucket_pad(min(total, self.max_pad), base=4)
             buckets.setdefault(pad, []).append((i, ids))
 
         if not as_numpy:

@@ -68,3 +68,48 @@ def test_native_build_unicode_and_empty():
     idx = BM25Index.build_native(corpus, BM25Config(stemmer_mode="original"))
     assert idx.n_docs == 3
     assert idx.doc_lens[1] == 0
+
+
+def test_native_query_encoder_matches_python():
+    """Batch query encoder parity: native analyze+encode == Python analyzer
+    chain + BM25Index.encode_query on an original-mode index."""
+    from probing_rag_tpu import native
+    from probing_rag_tpu.retrieval.bm25_index import BM25Config, BM25Index
+
+    if not native.available():
+        pytest.skip("no C++ compiler")
+    texts = [
+        "The quick brown foxes are running and jumping over lazy dogs",
+        "Retrieval augmented generation improves question answering systems",
+        "Paris is the capital of France; Berlin is the capital of Germany",
+    ]
+    cfg = BM25Config(stemmer_mode="original")
+    index = BM25Index.build_native(texts, cfg)
+    enc = native.QueryEncoder(index.vocab)
+    analyzer = cfg.analyzer()
+    queries = [
+        "quick foxes jumping",
+        "what is the capital of France?",
+        "nonexistent zzz terms only",
+        "",
+        "running running running",  # duplicates kept
+    ]
+    got = enc.encode(queries)
+    for q, ids in zip(queries, got):
+        expected = index.encode_query(analyzer(q))
+        np.testing.assert_array_equal(ids, expected, err_msg=repr(q))
+
+
+def test_native_query_encoder_drives_engine():
+    from probing_rag_tpu import native
+    from probing_rag_tpu.retrieval.bm25 import BM25Engine
+    from probing_rag_tpu.retrieval.bm25_index import BM25Config, BM25Index
+
+    if not native.available():
+        pytest.skip("no C++ compiler")
+    texts = ["paris capital france", "berlin capital germany", "nile river africa"]
+    index = BM25Index.build_native(texts, BM25Config(stemmer_mode="original"))
+    engine = BM25Engine(index)
+    enc = native.QueryEncoder(index.vocab)
+    res = engine.search_term_ids(enc.encode(["capital of france"]), k=2)
+    assert res.doc_indices[0, 0] == 0
