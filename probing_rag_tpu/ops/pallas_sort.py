@@ -1,0 +1,134 @@
+"""Pallas TPU bitonic sort over (key, value) rows — the XLA-sort replacement
+in the BM25 scoring chain.
+
+Why: XLA's variadic sort on TPU measures ~25 ns/element at the BM25 tile
+shapes ([1024, 8192] int32 keys + f32 values) — ~60% of the whole search
+budget. A whole-row-in-VMEM bitonic network runs the same sort at VPU
+throughput: each compare-exchange stage is two dynamic ``pltpu.roll``s, a
+compare, and selects over the row (~6 vector ops), and the full network is
+``log2(P)*(log2(P)+1)/2`` stages with no HBM traffic in between.
+
+The network loops are ``lax.while_loop``s with *traced* roll distances
+(Mosaic supports dynamic rotate amounts), so the compiled kernel is compact
+regardless of P — no unrolled 100k-instruction bodies.
+
+Keys sort ascending. Ties keep both elements' own payloads (pairs are
+preserved; callers sum payloads per key downstream, so intra-key payload
+order is irrelevant). Rows must be a power of two wide; callers pad with a
++inf-like sentinel key (BM25 uses ``n_docs``).
+
+Used by retrieval/bm25.py (sort stage of the fused search); reference
+behavior being replaced: rank_bm25's per-query python scoring loop
+(SURVEY.md §2.3, exp_rag.py:426).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+
+def _stage(x, v, lane, k, j, p):
+    """One bitonic compare-exchange stage at (block size k, distance j)."""
+    pj = p - j  # roll(x, p - j)[i] == x[(i + j) % p]
+    up_x = pltpu.roll(x, pj, axis=1)
+    dn_x = pltpu.roll(x, j, axis=1)
+    up_v = pltpu.roll(v, pj, axis=1)
+    dn_v = pltpu.roll(v, j, axis=1)
+    is_low = (lane & j) == 0  # lower index of the compare-exchange pair
+    px = jnp.where(is_low, up_x, dn_x)
+    pv = jnp.where(is_low, up_v, dn_v)
+    asc = (lane & k) == 0  # ascending block of the bitonic network
+    want_min = asc == is_low
+    # no bool-vector select (Mosaic i1 truncation limitation): use logic
+    take_partner = (want_min & (px < x)) | (~want_min & (px > x))
+    nx = jnp.where(take_partner, px, x)
+    nv = jnp.where(take_partner, pv, v)
+    return nx, nv
+
+
+def _bitonic_kernel(key_ref, val_ref, out_key_ref, out_val_ref, *, unroll):
+    p = key_ref.shape[1]
+    shape = key_ref.shape
+    lane = jax.lax.broadcasted_iota(jnp.int32, shape, 1)
+
+    if unroll:
+        # Static roll distances (cheap vreg permutations / intra-vreg
+        # rotates). Each stage round-trips through the output refs: without
+        # the ref barrier Mosaic keeps every stage's temporaries live and
+        # spills a >16MB stack (measured: 321ms/tile); with it the stack
+        # stays one stage deep.
+        out_key_ref[:] = key_ref[:]
+        out_val_ref[:] = val_ref[:]
+        k = 2
+        while k <= p:
+            j = k // 2
+            while j >= 1:
+                nx, nv = _stage(out_key_ref[:], out_val_ref[:], lane, k, j, p)
+                out_key_ref[:] = nx
+                out_val_ref[:] = nv
+                j //= 2
+            k *= 2
+    else:
+        x = key_ref[:]
+        v = val_ref[:]
+
+        def stage(carry):
+            k, j, x, v = carry
+            nx, nv = _stage(x, v, lane, k, j, p)
+            j2 = j // 2
+            done = j2 == 0
+            return (jnp.where(done, k * 2, k), jnp.where(done, k, j2), nx, nv)
+
+        def cond(carry):
+            k, _, _, _ = carry
+            return k <= p
+
+        _, _, x, v = jax.lax.while_loop(
+            cond, stage, (jnp.int32(2), jnp.int32(1), x, v)
+        )
+        out_key_ref[:] = x
+        out_val_ref[:] = v
+
+
+@functools.partial(jax.jit, static_argnames=("tile_q", "interpret", "unroll"))
+def sort_pairs_pallas(
+    keys: jnp.ndarray,  # [Q, P] int32, P a power of two
+    vals: jnp.ndarray,  # [Q, P] f32
+    *,
+    tile_q: int = 8,
+    interpret: bool = False,
+    unroll: bool = True,
+):
+    """Row-wise ascending sort of (key, value) pairs, whole row in VMEM."""
+    q, p = keys.shape
+    if p & (p - 1):
+        raise ValueError(f"row width must be a power of two, got {p}")
+    qp = -(-q // tile_q) * tile_q
+    if qp != q:
+        # padding rows sort trivially (constant keys)
+        keys = jnp.pad(keys, ((0, qp - q), (0, 0)))
+        vals = jnp.pad(vals, ((0, qp - q), (0, 0)))
+    grid = (qp // tile_q,)
+    out_k, out_v = pl.pallas_call(
+        functools.partial(_bitonic_kernel, unroll=unroll),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((tile_q, p), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((tile_q, p), lambda i: (i, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((tile_q, p), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((tile_q, p), lambda i: (i, 0), memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((qp, p), keys.dtype),
+            jax.ShapeDtypeStruct((qp, p), vals.dtype),
+        ],
+        interpret=interpret,
+    )(keys, vals)
+    return out_k[:q], out_v[:q]

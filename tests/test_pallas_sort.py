@@ -1,0 +1,49 @@
+"""Bitonic pair-sort kernel (ops/pallas_sort.py) — interpret-mode parity
+against numpy. The TPU-compiled path is exercised by bench.py; measured
+numbers live in PARITY.md."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from probing_rag_tpu.ops.pallas_sort import sort_pairs_pallas
+
+
+@pytest.mark.parametrize("q,p", [(4, 256), (8, 1024), (3, 512), (9, 128)])
+@pytest.mark.parametrize("unroll", [True, False])
+def test_sort_pairs_matches_numpy(q, p, unroll):
+    rng = np.random.default_rng(q * 1000 + p)
+    k = rng.integers(0, 500, (q, p)).astype(np.int32)
+    v = rng.normal(size=(q, p)).astype(np.float32)
+    ok, ov = sort_pairs_pallas(
+        jnp.asarray(k), jnp.asarray(v), interpret=True, unroll=unroll
+    )
+    ok, ov = np.asarray(ok), np.asarray(ov)
+    assert np.array_equal(ok, np.sort(k, axis=1))
+    # pairs must be preserved: same multiset of (key, value) per row
+    for r in range(q):
+        a = sorted(zip(k[r].tolist(), v[r].tolist()))
+        b = sorted(zip(ok[r].tolist(), ov[r].tolist()))
+        assert a == b
+
+
+def test_sort_pairs_with_sentinel_padding():
+    # the BM25 layout: real docs + a sentinel tail that must sort last
+    sentinel = 100
+    k = np.array([[5, sentinel, 3, sentinel, 3, 7, sentinel, 1]], np.int32)
+    v = np.array([[1.0, 0.0, 2.0, 0.0, 3.0, 4.0, 0.0, 5.0]], np.float32)
+    ok, ov = sort_pairs_pallas(jnp.asarray(k), jnp.asarray(v), interpret=True)
+    assert np.asarray(ok)[0].tolist() == [1, 3, 3, 5, 7, sentinel, sentinel, sentinel]
+    # equal-key payloads may permute within the run; totals are what matter
+    run_3 = np.asarray(ov)[0][1:3].sum()
+    assert run_3 == pytest.approx(5.0)
+
+
+def test_sort_pairs_rejects_non_pow2():
+    with pytest.raises(ValueError):
+        sort_pairs_pallas(
+            jnp.zeros((2, 96), jnp.int32), jnp.zeros((2, 96), jnp.float32),
+            interpret=True,
+        )
