@@ -51,7 +51,7 @@ def _stage(x, v, lane, k, j, p):
     return nx, nv
 
 
-def _bitonic_kernel(key_ref, val_ref, out_key_ref, out_val_ref, *, unroll):
+def _bitonic_kernel(key_ref, val_ref, out_key_ref, out_val_ref, *, unroll, k_start):
     p = key_ref.shape[1]
     shape = key_ref.shape
     lane = jax.lax.broadcasted_iota(jnp.int32, shape, 1)
@@ -64,7 +64,7 @@ def _bitonic_kernel(key_ref, val_ref, out_key_ref, out_val_ref, *, unroll):
         # stays one stage deep.
         out_key_ref[:] = key_ref[:]
         out_val_ref[:] = val_ref[:]
-        k = 2
+        k = k_start
         while k <= p:
             j = k // 2
             while j >= 1:
@@ -74,28 +74,34 @@ def _bitonic_kernel(key_ref, val_ref, out_key_ref, out_val_ref, *, unroll):
                 j //= 2
             k *= 2
     else:
-        x = key_ref[:]
-        v = val_ref[:]
+        # dynamic roll distances inside a while_loop: the compiled body is a
+        # single stage regardless of P (the unrolled form at P >= 16384
+        # produces 100k+ Mosaic instructions and compiles for minutes).
+        # Data flows through the refs so temporaries stay one stage deep.
+        out_key_ref[:] = key_ref[:]
+        out_val_ref[:] = val_ref[:]
 
         def stage(carry):
-            k, j, x, v = carry
-            nx, nv = _stage(x, v, lane, k, j, p)
+            k, j = carry
+            nx, nv = _stage(out_key_ref[:], out_val_ref[:], lane, k, j, p)
+            out_key_ref[:] = nx
+            out_val_ref[:] = nv
             j2 = j // 2
             done = j2 == 0
-            return (jnp.where(done, k * 2, k), jnp.where(done, k, j2), nx, nv)
+            return (jnp.where(done, k * 2, k), jnp.where(done, k, j2))
 
         def cond(carry):
-            k, _, _, _ = carry
+            k, _ = carry
             return k <= p
 
-        _, _, x, v = jax.lax.while_loop(
-            cond, stage, (jnp.int32(2), jnp.int32(1), x, v)
+        jax.lax.while_loop(
+            cond, stage, (jnp.int32(k_start), jnp.int32(k_start // 2))
         )
-        out_key_ref[:] = x
-        out_val_ref[:] = v
 
 
-@functools.partial(jax.jit, static_argnames=("tile_q", "interpret", "unroll"))
+@functools.partial(
+    jax.jit, static_argnames=("tile_q", "interpret", "unroll", "k_start")
+)
 def sort_pairs_pallas(
     keys: jnp.ndarray,  # [Q, P] int32, P a power of two
     vals: jnp.ndarray,  # [Q, P] f32
@@ -103,11 +109,24 @@ def sort_pairs_pallas(
     tile_q: int = 8,
     interpret: bool = False,
     unroll: bool = True,
+    k_start: int = 2,
 ):
-    """Row-wise ascending sort of (key, value) pairs, whole row in VMEM."""
+    """Row-wise ascending sort of (key, value) pairs, whole row in VMEM.
+
+    ``k_start`` skips the network's first passes: with ``k_start = 2*B`` the
+    caller guarantees every aligned ``B``-wide block of each row is already
+    sorted — ascending at even block index, descending at odd (the exact
+    state after pass ``B`` of the standard network). The BM25 gather kernel
+    produces this layout directly from the block-alternated postings store
+    (bm25_index.bitonic_csr), cutting the stage count roughly in half at
+    production widths."""
     q, p = keys.shape
     if p & (p - 1):
         raise ValueError(f"row width must be a power of two, got {p}")
+    if k_start & (k_start - 1) or k_start < 2:
+        raise ValueError(f"k_start must be a power of two >= 2, got {k_start}")
+    if k_start > p:
+        return keys, vals  # rows are a single pre-sorted block
     qp = -(-q // tile_q) * tile_q
     if qp != q:
         # padding rows sort trivially (constant keys)
@@ -115,7 +134,7 @@ def sort_pairs_pallas(
         vals = jnp.pad(vals, ((0, qp - q), (0, 0)))
     grid = (qp // tile_q,)
     out_k, out_v = pl.pallas_call(
-        functools.partial(_bitonic_kernel, unroll=unroll),
+        functools.partial(_bitonic_kernel, unroll=unroll, k_start=k_start),
         grid=grid,
         in_specs=[
             pl.BlockSpec((tile_q, p), lambda i: (i, 0), memory_space=pltpu.VMEM),
@@ -130,5 +149,8 @@ def sort_pairs_pallas(
             jax.ShapeDtypeStruct((qp, p), vals.dtype),
         ],
         interpret=interpret,
+        # [tile_q, P] blocks at production widths exceed the default 16MB
+        # scoped-vmem budget (v5e has 128MB)
+        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=100 * 1024 * 1024),
     )(keys, vals)
     return out_k[:q], out_v[:q]

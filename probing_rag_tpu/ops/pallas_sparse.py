@@ -386,3 +386,223 @@ def bm25_search_padded_fused(
     return segment_topk_pallas(
         doc, imp, k=k, sentinel=sentinel_doc, interpret=interpret
     )
+
+
+# ------------------------------------------------- bitonic single-dispatch
+
+
+def _bitonic_gather_kernel(
+    src_ref, slot_ref, rlen_ref, big_ref, cum_ref,
+    doc_e, imp_e, doc_o, imp_o, doc_c, imp_c, doc_r, imp_r,
+    out_doc, out_imp, scr_doc, scr_imp, sems,
+    *, tq, nnz, sentinel, block, pad, row_tile,
+):
+    """Assemble ``row_tile`` query rows of the bitonic layout (see
+    bm25_index.BitonicStore): long terms as chunked DMA copies from the E/O
+    block-alternated store (copy chosen by the slot's 1024-block parity);
+    short terms as a 2-block window DMA from the (forward | reversed)
+    compact store, rotated into place with a bit-decomposed roll in VMEM
+    scratch, sentinel-masked, and DMA'd into the row. Every 1024-block of a
+    produced row is sorted (ascending at even block index, descending at
+    odd) — the state after pass ``block`` of a bitonic network — so the sort
+    kernel starts at pass ``2*block``.
+
+    Memref shapes are chosen for Mosaic's DMA rules: HBM stores are (1, N)
+    and the output block is (1, 1, row_tile*pad), so every copy is a 2-D
+    (1, len) -> (1, len) transfer at 1024-aligned lane offsets (1-D <-> 2-D
+    transfers and dynamic sub-8 sublane slices are rejected)."""
+    win_w = 2 * block
+    base = pl.program_id(0) * row_tile  # program_id is not substituted
+    # inside loop bodies in interpret mode; hoist it
+
+    def row(local, carry):
+        qi = base + local
+        row0 = local * pad
+
+        def term(t, carry):
+            w = slot_ref[qi, t]
+
+            @pl.when(w > 0)
+            def _():
+                dloc = cum_ref[qi, t]  # row-local offset
+                d0 = row0 + dloc  # flat buffer offset (DMA destination)
+                # parity is the slot's 1024-block index WITHIN ITS ROW: the
+                # sort sees [pad]-wide rows, so the asc/desc alternation must
+                # follow the row-local block index, not the flat one (they
+                # differ on odd rows when pad == block)
+                parity = (dloc // block) & 1
+                s = src_ref[qi, t]
+
+                @pl.when(big_ref[qi, t] == 1)
+                def _():
+                    def chunks(doc_hbm, imp_hbm):
+                        def one(c, carry):
+                            off = c * block
+                            so = pl.multiple_of(s + off, block)
+                            do_ = pl.multiple_of(d0 + off, block)
+                            c1 = pltpu.make_async_copy(
+                                doc_hbm.at[pl.ds(0, 1), pl.ds(so, block)],
+                                out_doc.at[0, pl.ds(0, 1), pl.ds(do_, block)],
+                                sems.at[0])
+                            c2 = pltpu.make_async_copy(
+                                imp_hbm.at[pl.ds(0, 1), pl.ds(so, block)],
+                                out_imp.at[0, pl.ds(0, 1), pl.ds(do_, block)],
+                                sems.at[1])
+                            c1.start(); c2.start(); c1.wait(); c2.wait()
+                            return carry
+                        jax.lax.fori_loop(0, w // block, one, 0)
+
+                    @pl.when(parity == 0)
+                    def _():
+                        chunks(doc_e, imp_e)
+
+                    @pl.when(parity == 1)
+                    def _():
+                        chunks(doc_o, imp_o)
+
+                @pl.when(big_ref[qi, t] == 0)
+                def _():
+                    L = rlen_ref[qi, t]
+                    # slot parity picks data direction: even -> ascending
+                    # run from the compact store; odd -> descending run from
+                    # the reversed store, placed at the slot TAIL so the
+                    # sentinel padding leads (block stays sorted desc)
+                    rstart = nnz - s - L
+                    start = jnp.where(parity == 0, s, rstart)
+                    win = (start // block) * block
+                    sh = jnp.where(
+                        parity == 0,
+                        start - win,
+                        (start - win - (block - L) + win_w) % win_w,
+                    )
+
+                    def dma_in(doc_hbm, imp_hbm):
+                        wo = pl.multiple_of(win, block)
+                        c1 = pltpu.make_async_copy(
+                            doc_hbm.at[pl.ds(0, 1), pl.ds(wo, win_w)],
+                            scr_doc.at[pl.ds(0, 1), pl.ds(0, win_w)],
+                            sems.at[0])
+                        c2 = pltpu.make_async_copy(
+                            imp_hbm.at[pl.ds(0, 1), pl.ds(wo, win_w)],
+                            scr_imp.at[pl.ds(0, 1), pl.ds(0, win_w)],
+                            sems.at[1])
+                        c1.start(); c2.start(); c1.wait(); c2.wait()
+
+                    @pl.when(parity == 0)
+                    def _():
+                        dma_in(doc_c, imp_c)
+
+                    @pl.when(parity == 1)
+                    def _():
+                        dma_in(doc_r, imp_r)
+
+                    xd = scr_doc[:]  # (1, 2*block)
+                    xi = scr_imp[:]
+                    bits = (win_w - 1).bit_length()
+                    for b in range(bits):  # roll left by sh, bit-decomposed
+                        bit = ((sh >> b) & 1) == 1
+                        amt = (win_w - (1 << b)) % win_w
+                        xd = jnp.where(bit, pltpu.roll(xd, amt, axis=1), xd)
+                        xi = jnp.where(bit, pltpu.roll(xi, amt, axis=1), xi)
+                    lane = jax.lax.broadcasted_iota(jnp.int32, (1, win_w), 1)
+                    even = parity == 0
+                    keep = (even & (lane < L)) | (
+                        ~even & (lane >= block - L) & (lane < block))
+                    scr_doc[:] = jnp.where(keep, xd, sentinel)
+                    scr_imp[:] = jnp.where(keep, xi, 0.0)
+                    dd = pl.multiple_of(d0, block)
+                    c1 = pltpu.make_async_copy(
+                        scr_doc.at[pl.ds(0, 1), pl.ds(0, block)],
+                        out_doc.at[0, pl.ds(0, 1), pl.ds(dd, block)],
+                        sems.at[0])
+                    c2 = pltpu.make_async_copy(
+                        scr_imp.at[pl.ds(0, 1), pl.ds(0, block)],
+                        out_imp.at[0, pl.ds(0, 1), pl.ds(dd, block)],
+                        sems.at[1])
+                    c1.start(); c2.start(); c1.wait(); c2.wait()
+            return carry
+
+        jax.lax.fori_loop(0, tq, term, 0)
+        return carry
+
+    jax.lax.fori_loop(0, row_tile, row, 0)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("pad", "sentinel_doc", "k", "nnz", "block", "interpret"),
+)
+def bm25_search_bitonic(
+    doc_e, imp_e, doc_o, imp_o, doc_c, imp_c, doc_r, imp_r,
+    src, slot, rlen, big,
+    *, pad: int, sentinel_doc: int, k: int, nnz: int, block: int = 1024,
+    interpret: bool = False,
+):
+    """Single-dispatch BM25 search over the bitonic postings store: DMA/roll
+    gather (every 1024-block of each row sorted) -> bitonic sort starting at
+    pass 2*block (ops/pallas_sort.py) -> fused run-reduction + top-k.
+
+    Store arrays must be 2-D (1, N) (BM25Engine reshapes on device_put).
+    src/slot/rlen/big are [Q, TQ] int32 per-(query, term) descriptors from
+    BM25Engine planning: aligned-store offset | compact offset, slot width
+    (aligned len | block | 0 for masked), real posting count, and the
+    long-term flag. Row width ``pad`` must be a power of two >= the largest
+    row total."""
+    from probing_rag_tpu.ops.pallas_sort import sort_pairs_pallas
+
+    q_in, tq = src.shape
+    row_tile = 8
+    q = -(-q_in // row_tile) * row_tile
+    if q != q_in:
+        padrows = ((0, q - q_in), (0, 0))
+        src = jnp.pad(src, padrows)
+        slot = jnp.pad(slot, padrows)
+        rlen = jnp.pad(rlen, padrows)
+        big = jnp.pad(big, padrows)
+    cum = (jnp.cumsum(slot, axis=-1) - slot).astype(jnp.int32)
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=5,
+        grid=(q // row_tile,),
+        in_specs=[pl.BlockSpec(memory_space=pltpu.HBM)] * 8,
+        out_specs=[
+            pl.BlockSpec((1, 1, row_tile * pad), lambda qi, *_: (qi, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, row_tile * pad), lambda qi, *_: (qi, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((1, 2 * block), jnp.int32),
+            pltpu.VMEM((1, 2 * block), jnp.float32),
+            pltpu.SemaphoreType.DMA((2,)),
+        ],
+    )
+    kernel = functools.partial(
+        _bitonic_gather_kernel, tq=tq, nnz=nnz, sentinel=sentinel_doc,
+        block=block, pad=pad, row_tile=row_tile,
+    )
+    out_doc, out_imp = pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=[
+            jax.ShapeDtypeStruct((q // row_tile, 1, row_tile * pad), jnp.int32),
+            jax.ShapeDtypeStruct((q // row_tile, 1, row_tile * pad), jnp.float32),
+        ],
+        interpret=interpret,
+        compiler_params=pltpu.CompilerParams(
+            has_side_effects=True, vmem_limit_bytes=100 * 1024 * 1024),
+    )(src, slot, rlen, big, cum,
+      doc_e, imp_e, doc_o, imp_o, doc_c, imp_c, doc_r, imp_r)
+    out_doc = out_doc.reshape(q, pad)
+    out_imp = out_imp.reshape(q, pad)
+
+    # mask the never-written row tail (constant blocks sort trivially)
+    total = (cum[:, -1] + slot[:, -1])[:, None]
+    lane = jnp.arange(pad, dtype=jnp.int32)[None, :]
+    valid = lane < total
+    doc = jnp.where(valid, out_doc, sentinel_doc)
+    imp = jnp.where(valid, out_imp, 0.0)
+    doc, imp = sort_pairs_pallas(doc, imp, k_start=2 * block, interpret=interpret)
+    scores, docs = segment_topk_pallas(
+        doc, imp, k=k, sentinel=sentinel_doc, interpret=interpret
+    )
+    return scores[:q_in], docs[:q_in]

@@ -58,7 +58,9 @@ class BM25Engine:
         min_pad: int = 512,
         min_tq: int = 8,
         q_tile: int = 256,
-        use_pallas: Optional[bool] = None,  # fused single-dispatch path (TPU default)
+        use_pallas: Optional[bool] = None,  # legacy knob: True=dma, False=xla
+        mode: Optional[str] = None,  # "bitonic" | "dma" | "xla" (None = auto)
+        interpret: Optional[bool] = None,
     ):
         if index.nnz >= 2**31:
             raise ValueError(
@@ -71,10 +73,41 @@ class BM25Engine:
         self.min_pad = min_pad
         self.min_tq = min_tq
         self.q_tile = q_tile
-        self.use_pallas = (
-            use_pallas if use_pallas is not None else jax.default_backend() == "tpu"
+        if mode is None and use_pallas is not None:
+            mode = "dma" if use_pallas else "xla"
+        if mode is None:
+            mode = "bitonic" if jax.default_backend() == "tpu" else "xla"
+        if mode not in ("bitonic", "dma", "xla"):
+            raise ValueError(f"unknown BM25 engine mode {mode!r}")
+        self.mode = mode
+        self.interpret = (
+            interpret if interpret is not None else jax.default_backend() != "tpu"
         )
         put = lambda x: jax.device_put(x, device) if device is not None else jnp.asarray(x)
+        if mode == "bitonic":
+            # row width bound: unrolled sort-network compile time grows with
+            # P (74s at 32768, measured); queries over the cap keep their
+            # most selective terms, same as the legacy max_pad semantics
+            self.max_pad = min(max_pad, 1 << 15)
+            store = index.bitonic_csr()
+            self._store = store
+            # 2-D (1, N) layout: the gather kernel's DMA rules (see
+            # ops/pallas_sparse.py::bm25_search_bitonic)
+            self._dev_store = tuple(
+                put(a.reshape(1, -1))
+                for a in (
+                    store.doc_e, store.imp_e, store.doc_o, store.imp_o,
+                    store.doc_c, store.imp_c, store.doc_r, store.imp_r,
+                )
+            )
+            self._term_lens = (
+                index.term_offsets[1:] - index.term_offsets[:-1]
+            ).astype(np.int64)
+            self._compact_offsets = index.term_offsets[:-1].astype(np.int64)
+            self.use_pallas = False  # legacy paths unused in this mode
+            self._capacity = lambda pad: pad
+            return
+        self.use_pallas = mode == "dma"
         if self.use_pallas:
             # aligned CSR: the DMA gather kernel needs tile-aligned slice
             # offsets (bm25_index.aligned_csr); padding entries are inert.
@@ -166,6 +199,8 @@ class BM25Engine:
         batch instead of once per bucket. Note: memory-constrained compile
         services may fail to build the combined programs (the per-bucket
         ``search_term_ids`` path is the safe default)."""
+        if self.mode == "bitonic":
+            return self._search_bitonic(term_id_lists, k, as_numpy=as_numpy)
         plan = plan or self.default_plan(len(term_id_lists))
         kept = []
         for ids in term_id_lists:
@@ -242,6 +277,110 @@ class BM25Engine:
             out_scores[overflow] = res.scores
         return BM25SearchResult(out_docs, out_scores)
 
+    # ---------------------------------------------------- bitonic planning
+    def _plan_bitonic(self, term_id_lists: Sequence[np.ndarray]):
+        """Per-(query, term) descriptors for bm25_search_bitonic: slot width
+        (aligned len for long terms, one block for short), source offset
+        (E/O store | compact), real length, long-term flag. Queries whose
+        slot total exceeds max_pad keep their most selective terms."""
+        st = self._store
+        block = st.block
+        a_start, a_len = st.aligned_start, st.aligned_len
+        rows = []
+        for ids in term_id_lists:
+            ids = np.asarray(ids, dtype=np.int64)
+            if ids.size == 0:
+                rows.append((ids, np.zeros(0, np.int64), 0))
+                continue
+            slots = np.where(a_len[ids] > 0, a_len[ids], block).astype(np.int64)
+            total = int(slots.sum())
+            if total > self.max_pad:
+                order = np.argsort(self._term_lens[ids], kind="stable")
+                csum = np.cumsum(slots[order])
+                keep = int(np.searchsorted(csum, self.max_pad, side="right"))
+                sel = np.sort(order[:keep])
+                ids, slots = ids[sel], slots[sel]
+                total = int(slots.sum())
+            rows.append((ids, slots, total))
+
+        tq = max(self.min_tq, max((len(i) for i, _, _ in rows), default=1) or 1)
+        n = len(rows)
+        src = np.zeros((n, tq), np.int32)
+        slot = np.zeros((n, tq), np.int32)
+        rlen = np.zeros((n, tq), np.int32)
+        big = np.zeros((n, tq), np.int32)
+        totals = np.zeros(n, np.int64)
+        for r, (ids, slots, total) in enumerate(rows):
+            m = len(ids)
+            if not m:
+                continue
+            isbig = a_len[ids] > 0
+            src[r, :m] = np.where(isbig, a_start[ids], self._compact_offsets[ids])
+            slot[r, :m] = slots
+            rlen[r, :m] = self._term_lens[ids]
+            big[r, :m] = isbig
+            totals[r] = total
+        return src, slot, rlen, big, totals
+
+    def _search_bitonic(
+        self, term_id_lists: Sequence[np.ndarray], k: int, as_numpy: bool = True
+    ) -> BM25SearchResult:
+        """Stream search on the bitonic path: pow2 row-width buckets, one
+        fused gather->sort->segment-top-k dispatch per (pad, Qb) tile."""
+        from probing_rag_tpu.ops.pallas_sparse import bm25_search_bitonic
+
+        st = self._store
+        src, slot, rlen, big, totals = self._plan_bitonic(term_id_lists)
+        n = len(term_id_lists)
+        buckets: dict = {}
+        for i in range(n):
+            pad = _next_pow2(max(int(totals[i]), 1), st.block)
+            buckets.setdefault(pad, []).append(i)
+
+        out_docs = np.full((n, k), -1, np.int32)
+        out_scores = np.zeros((n, k), np.float32)
+        parts = []
+        max_elems = 1 << 28
+        for pad, rows_b in sorted(buckets.items()):
+            cap = 64
+            while cap * 2 * pad <= max_elems:
+                cap *= 2
+            start = 0
+            while start < len(rows_b):
+                remaining = len(rows_b) - start
+                if remaining >= 1024:
+                    qb = 1024
+                    while qb * 2 <= remaining:
+                        qb *= 2
+                    qb = min(cap, qb)
+                else:
+                    qb = min(cap, _next_pow2(remaining, 64))
+                chunk_rows = rows_b[start : start + qb]
+                start += qb
+                pad_rows = qb - len(chunk_rows)
+                sel = np.asarray(chunk_rows + [chunk_rows[-1]] * pad_rows)
+                scores, docs = bm25_search_bitonic(
+                    *self._dev_store,
+                    jnp.asarray(src[sel]), jnp.asarray(slot[sel]),
+                    jnp.asarray(rlen[sel]), jnp.asarray(big[sel]),
+                    pad=pad, sentinel_doc=self.index.n_docs, k=k,
+                    nnz=st.nnz, block=st.block, interpret=self.interpret,
+                )
+                if as_numpy:
+                    s = np.asarray(scores)
+                    d = np.asarray(docs)
+                    out_docs[chunk_rows] = d[: len(chunk_rows)]
+                    out_scores[chunk_rows] = s[: len(chunk_rows)]
+                else:
+                    parts.append((scores, docs))
+        if not as_numpy:
+            if not parts:
+                return BM25SearchResult(
+                    np.full((0, k), -1, np.int32), np.zeros((0, k), np.float32)
+                )
+            return BM25SearchResult(parts[-1][1], parts[-1][0], parts=parts)
+        return BM25SearchResult(out_docs, out_scores)
+
     # ------------------------------------------------------- stream search
     def search_stream(
         self,
@@ -261,6 +400,8 @@ class BM25Engine:
         would amortize identically but puts the XLA sort inside a loop body
         — a known multi-hour-compile trigger on TPU (ops/sparse.py).
         """
+        if self.mode == "bitonic":
+            return self._search_bitonic(term_id_lists, k, as_numpy=as_numpy)
         kept: List[Tuple[np.ndarray, int]] = []
         for ids in term_id_lists:
             ids = np.asarray(ids, dtype=np.int32)
@@ -359,6 +500,8 @@ class BM25Engine:
         dispatch per occupied bucket. ``as_numpy=False`` leaves results on
         device (throughput benchmarking; avoids a host round trip per call).
         """
+        if self.mode == "bitonic":
+            return self._search_bitonic(term_id_lists, k, as_numpy=as_numpy)
         if not bucket_queries or len(term_id_lists) <= 1:
             return self._search_group(list(term_id_lists), k, as_numpy=as_numpy)
 

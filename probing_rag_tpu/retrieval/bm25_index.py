@@ -209,6 +209,12 @@ class BM25Index:
             sentinel=self.n_docs, alignment=alignment, guard=guard,
         )
 
+    def bitonic_csr(self, min_len: int = 256, block: int = 1024):
+        return build_bitonic_store(
+            self.term_offsets, self.postings_doc, self.postings_impact,
+            sentinel=self.n_docs, min_len=min_len, block=block,
+        )
+
 
 
     # ------------------------------------------------------------ queries
@@ -302,3 +308,126 @@ def align_csr(
     a_doc[pos] = postings_doc
     a_imp[pos] = postings_impact
     return a_offsets.astype(np.int32), a_doc, a_imp
+
+
+@dataclass
+class BitonicStore:
+    """Postings layout for the single-dispatch bitonic BM25 path
+    (ops/pallas_sparse.py::bm25_search_bitonic).
+
+    Long terms (>= ``min_len`` postings) live in TWO aligned copies whose
+    1024-blocks alternate ascending/descending: copy E assumes the term is
+    DMA'd to an even 1024-block of the query row, copy O to an odd one — so
+    after the gather every 1024-block of the row is sorted asc (even index)
+    or desc (odd index), which is exactly the state after pass 1024 of a
+    bitonic sorting network. The sort kernel then starts at pass 2048,
+    skipping roughly half the stages (ops/pallas_sort.py ``k_start``).
+
+    Short terms stay in the compact CSR; the gather kernel copies their
+    enclosing 1024-aligned 2048-wide window (forward copy for even slots,
+    the reversed-compact copy for odd slots) and rotates it into place in
+    VMEM, so no per-term alignment padding is stored for the short tail.
+    """
+
+    block: int
+    min_len: int
+    sentinel: int
+    nnz: int
+    # long terms: offset into the E/O arrays (-1 for short), aligned length
+    aligned_start: np.ndarray  # [T] int32
+    aligned_len: np.ndarray  # [T] int32 (0 for short terms)
+    doc_e: np.ndarray  # [A] int32, blocks asc at even local index
+    imp_e: np.ndarray
+    doc_o: np.ndarray  # [A] int32, blocks asc at odd local index
+    imp_o: np.ndarray
+    # short terms: guarded compact + guarded reversed-compact copies
+    doc_c: np.ndarray  # [nnz + 2*block] int32
+    imp_c: np.ndarray
+    doc_r: np.ndarray  # reversed: doc_r[i] = doc[nnz-1-i], then guard
+    imp_r: np.ndarray
+
+
+def _reverse_blocks(arr2d: np.ndarray, mask: np.ndarray) -> np.ndarray:
+    out = arr2d.copy()
+    out[mask] = out[mask, ::-1]
+    return out
+
+
+def build_bitonic_store(
+    term_offsets: np.ndarray,
+    postings_doc: np.ndarray,
+    postings_impact: np.ndarray,
+    *,
+    sentinel: int,
+    min_len: int = 256,
+    block: int = 1024,
+) -> BitonicStore:
+    """See BitonicStore. Extra HBM: 2x the aligned size of long terms plus
+    1x nnz for the reversed compact copy (~2.5-3x nnz total on natural
+    corpora with min_len=256)."""
+    if min_len > block:
+        raise ValueError(f"min_len ({min_len}) must be <= block ({block})")
+    n_terms = len(term_offsets) - 1
+    nnz = len(postings_doc)
+    lens = (term_offsets[1:] - term_offsets[:-1]).astype(np.int64)
+    is_big = lens >= min_len
+
+    pad_lens = np.where(is_big, ((lens + block - 1) // block) * block, 0)
+    a_start = np.zeros(n_terms, np.int64)
+    np.cumsum(pad_lens[:-1], out=a_start[1:])
+    total = int(pad_lens.sum())
+    if total >= 2**31 or nnz + 2 * block >= 2**31:
+        raise ValueError("bitonic store exceeds int32 indexing; shard the index")
+
+    a_doc = np.full(total, sentinel, np.int32)
+    a_imp = np.zeros(total, np.float32)
+    big_idx = np.nonzero(is_big)[0]
+    big_lens = lens[big_idx]
+    term_of = np.repeat(big_idx, big_lens)
+    rank = (
+        np.arange(len(term_of))
+        - np.repeat(np.cumsum(big_lens) - big_lens, big_lens)
+    )
+    src = np.repeat(term_offsets[:-1][big_idx], big_lens) + rank
+    pos = np.repeat(a_start[big_idx], big_lens) + rank
+    a_doc[pos] = postings_doc[src]
+    a_imp[pos] = postings_impact[src]
+
+    # local block parity of every aligned block
+    blk2 = total // block
+    local = np.arange(blk2, dtype=np.int64)
+    term_starts_blk = np.repeat(
+        a_start[big_idx] // block, (pad_lens[big_idx] // block)
+    )
+    local = local - term_starts_blk
+    odd = (local & 1) == 1
+    d2 = a_doc.reshape(blk2, block)
+    i2 = a_imp.reshape(blk2, block)
+    doc_e = _reverse_blocks(d2, odd).reshape(-1)
+    imp_e = _reverse_blocks(i2, odd).reshape(-1)
+    doc_o = _reverse_blocks(d2, ~odd).reshape(-1)
+    imp_o = _reverse_blocks(i2, ~odd).reshape(-1)
+
+    guard = np.full(2 * block, sentinel, np.int32)
+    guardf = np.zeros(2 * block, np.float32)
+    doc_c = np.concatenate([postings_doc.astype(np.int32), guard])
+    imp_c = np.concatenate([postings_impact.astype(np.float32), guardf])
+    doc_r = np.concatenate([postings_doc[::-1].astype(np.int32), guard])
+    imp_r = np.concatenate([postings_impact[::-1].astype(np.float32), guardf])
+
+    return BitonicStore(
+        block=block,
+        min_len=min_len,
+        sentinel=sentinel,
+        nnz=nnz,
+        aligned_start=np.where(is_big, a_start, -1).astype(np.int32),
+        aligned_len=pad_lens.astype(np.int32),
+        doc_e=doc_e,
+        imp_e=imp_e,
+        doc_o=doc_o,
+        imp_o=imp_o,
+        doc_c=doc_c,
+        imp_c=imp_c,
+        doc_r=doc_r,
+        imp_r=imp_r,
+    )

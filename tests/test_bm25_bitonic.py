@@ -1,0 +1,99 @@
+"""Bitonic single-dispatch BM25 path: store invariants + oracle parity in
+interpret mode. The compiled TPU path is exercised by bench.py (and was
+TPU-verified against the same oracle; PARITY.md)."""
+
+import numpy as np
+import pytest
+
+import jax
+
+from probing_rag_tpu.retrieval.bm25 import BM25Engine
+from probing_rag_tpu.retrieval.bm25_index import BM25Config, BM25Index
+
+
+@pytest.fixture(scope="module")
+def zipf_index():
+    rng = np.random.default_rng(7)
+    docs = [
+        [f"t{t}" for t in rng.zipf(1.2, rng.integers(3, 30)) % 400]
+        for _ in range(3000)
+    ]
+    return BM25Index.build_tokenized(
+        docs, BM25Config(stem=False, remove_stopwords=False)
+    ), rng
+
+
+def test_bitonic_store_invariants(zipf_index):
+    idx, _ = zipf_index
+    st = idx.bitonic_csr(min_len=256)
+    lens = idx.term_offsets[1:] - idx.term_offsets[:-1]
+    big = np.nonzero(st.aligned_len > 0)[0]
+    assert len(big) > 0
+    for t in big[:10]:
+        s, al = st.aligned_start[t], st.aligned_len[t]
+        reg_e = st.doc_e[s : s + al].reshape(-1, st.block)
+        reg_o = st.doc_o[s : s + al].reshape(-1, st.block)
+        orig = np.sort(
+            idx.postings_doc[idx.term_offsets[t] : idx.term_offsets[t + 1]]
+        )
+        for b in range(len(reg_e)):
+            d_e = np.diff(reg_e[b].astype(np.int64))
+            d_o = np.diff(reg_o[b].astype(np.int64))
+            # copy E: ascending blocks at even local index; copy O inverted
+            assert (d_e >= 0).all() if b % 2 == 0 else (d_e <= 0).all()
+            assert (d_o >= 0).all() if b % 2 == 1 else (d_o <= 0).all()
+        rec = np.concatenate(
+            [reg_e[b] if b % 2 == 0 else reg_e[b][::-1] for b in range(len(reg_e))]
+        )
+        assert np.array_equal(rec[rec < st.sentinel], orig)
+    # reversed compact copy
+    assert np.array_equal(st.doc_r[: st.nnz], idx.postings_doc[::-1])
+    # guards
+    assert (st.doc_c[st.nnz :] == st.sentinel).all()
+    assert (st.doc_r[st.nnz :] == st.sentinel).all()
+
+
+def test_bitonic_search_matches_oracle(zipf_index):
+    idx, rng = zipf_index
+    eng = BM25Engine(idx, mode="bitonic", interpret=True)
+    qids = [
+        idx.encode_query(
+            [f"t{t}" for t in (rng.zipf(1.2, rng.integers(1, 6)) % 400)]
+        )
+        for _ in range(25)
+    ]
+    qids.append(np.zeros(0, np.int32))  # empty query
+    res = eng.search_term_ids(qids, k=5)
+    for i, ids in enumerate(qids):
+        got = res.scores[i][res.doc_indices[i] >= 0]
+        if len(ids) == 0:
+            assert len(got) == 0
+            continue
+        oracle = idx.score_all(ids)
+        exp = np.sort(oracle)[::-1][: len(got)]
+        assert np.allclose(np.sort(got)[::-1], exp, atol=1e-4), i
+        # returned doc ids actually achieve the returned scores
+        for d, s in zip(res.doc_indices[i], res.scores[i]):
+            if d >= 0:
+                assert oracle[d] == pytest.approx(s, abs=1e-4)
+
+
+def test_bitonic_duplicate_term_counts_twice(zipf_index):
+    idx, _ = zipf_index
+    eng = BM25Engine(idx, mode="bitonic", interpret=True)
+    t = int(np.argmax(idx.term_offsets[1:] - idx.term_offsets[:-1]))
+    single = eng.search_term_ids([np.asarray([t], np.int32)], k=3)
+    double = eng.search_term_ids([np.asarray([t, t], np.int32)], k=3)
+    assert np.allclose(double.scores[0], 2 * single.scores[0], atol=1e-4)
+
+
+def test_bitonic_max_pad_trims_to_most_selective(zipf_index):
+    idx, _ = zipf_index
+    eng = BM25Engine(idx, mode="bitonic", interpret=True, max_pad=2048)
+    lens = idx.term_offsets[1:] - idx.term_offsets[:-1]
+    heavy = np.argsort(lens)[-3:].astype(np.int32)  # won't fit together
+    light = int(np.argsort(lens)[len(lens) // 2])
+    q = np.concatenate([heavy, [light]]).astype(np.int32)
+    res = eng.search_term_ids([q], k=5)
+    # still returns hits, scored with a subset of terms (selective first)
+    assert (res.doc_indices[0] >= 0).any()
