@@ -231,7 +231,7 @@ def _gather_kernel(starts_ref, lens_ref, cum_ref, doc_hbm, imp_hbm,
 
         def copy_chunk(c, carry):
             off = c * chunk
-            d_raw = cum_ref[qi, t] + off
+            d_raw = cum_ref[t, qi] + off
 
             @pl.when(d_raw + chunk <= limit)
             def _():
@@ -420,20 +420,20 @@ def _bitonic_gather_kernel(
         row0 = local * pad
 
         def term(t, carry):
-            w = slot_ref[qi, t]
+            w = slot_ref[t, qi]
 
             @pl.when(w > 0)
             def _():
-                dloc = cum_ref[qi, t]  # row-local offset
+                dloc = cum_ref[t, qi]  # row-local offset
                 d0 = row0 + dloc  # flat buffer offset (DMA destination)
                 # parity is the slot's 1024-block index WITHIN ITS ROW: the
                 # sort sees [pad]-wide rows, so the asc/desc alternation must
                 # follow the row-local block index, not the flat one (they
                 # differ on odd rows when pad == block)
                 parity = (dloc // block) & 1
-                s = src_ref[qi, t]
+                s = src_ref[t, qi]
 
-                @pl.when(big_ref[qi, t] == 1)
+                @pl.when(big_ref[t, qi] == 1)
                 def _():
                     def chunks(doc_hbm, imp_hbm):
                         def one(c, carry):
@@ -460,9 +460,9 @@ def _bitonic_gather_kernel(
                     def _():
                         chunks(doc_o, imp_o)
 
-                @pl.when(big_ref[qi, t] == 0)
+                @pl.when(big_ref[t, qi] == 0)
                 def _():
-                    L = rlen_ref[qi, t]
+                    L = rlen_ref[t, qi]
                     # slot parity picks data direction: even -> ascending
                     # run from the compact store; odd -> descending run from
                     # the reversed store, placed at the slot TAIL so the
@@ -560,6 +560,12 @@ def bm25_search_bitonic(
         rlen = jnp.pad(rlen, padrows)
         big = jnp.pad(big, padrows)
     cum = (jnp.cumsum(slot, axis=-1) - slot).astype(jnp.int32)
+    # prefetch operands live in SMEM lane-padded to 128: pass them as
+    # [TQ, Q] (queries on the lane dim) so a 1024-row tile costs 32KB of
+    # SMEM per operand instead of 512KB (measured OOM at [1024, 8])
+    src_t, slot_t, rlen_t, big_t, cum_t = (
+        a.T for a in (src, slot, rlen, big, cum)
+    )
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=5,
         grid=(q // row_tile,),
@@ -590,7 +596,7 @@ def bm25_search_bitonic(
         interpret=interpret,
         compiler_params=pltpu.CompilerParams(
             has_side_effects=True, vmem_limit_bytes=100 * 1024 * 1024),
-    )(src, slot, rlen, big, cum,
+    )(src_t, slot_t, rlen_t, big_t, cum_t,
       doc_e, imp_e, doc_o, imp_o, doc_c, imp_c, doc_r, imp_r)
     out_doc = out_doc.reshape(q, pad)
     out_imp = out_imp.reshape(q, pad)
