@@ -17,6 +17,7 @@ BATCH = int(os.environ.get("BENCH_DECODE_BATCH", 8))
 PROMPT_LEN = int(os.environ.get("BENCH_DECODE_PROMPT", 1024))
 MAX_NEW = int(os.environ.get("BENCH_DECODE_NEW", 150))
 INT8 = os.environ.get("BENCH_DECODE_INT8", "0") == "1"
+CAPTURE = os.environ.get("BENCH_DECODE_CAPTURE", "1") == "1"
 
 
 def main():
@@ -36,7 +37,7 @@ def main():
         from probing_rag_tpu.models.gemma import quantize_lm_params
 
         params = quantize_lm_params(params)  # halves the HBM weight payload
-    capture = CaptureSpec.for_probing(cfg)
+    capture = CaptureSpec.for_probing(cfg) if CAPTURE else CaptureSpec()
 
     rng = np.random.default_rng(0)
     tokens = jnp.asarray(
@@ -74,7 +75,9 @@ def main():
     acc = jnp.zeros((), jnp.float32)
     for i in range(n_iters):
         out = run(variants[i])
-        acc = acc + jnp.sum(out[2])  # pooled captures depend on every step
+        # the sync scalar must depend on every step: generated tokens always
+        # do; pooled captures additionally when capture is on
+        acc = acc + jnp.sum(out[0].astype(jnp.float32)) + jnp.sum(out[2])
     fetch_scalar(acc)
     raw_elapsed = time.time() - t0
     adj = raw_elapsed - fetch_baseline

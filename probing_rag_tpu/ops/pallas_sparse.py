@@ -1,26 +1,33 @@
 """Pallas TPU kernels for the sparse BM25 scoring pipeline.
 
-Two kernels replace the stages XLA handles badly (measured on v5e):
+The production path is ``bm25_search_bitonic`` (single dispatch per query
+tile, 31.2k q/s/chip on v5e at the bench corpus — see PARITY.md):
 
-1. ``postings_gather_pallas`` — segmented posting gather as contiguous DMA
-   copies. XLA lowers ``postings[idx]`` with 33M random indices to a scalar
-   gather (~20s per [256, 128k] tile); the indices are really TQ contiguous
-   runs per query, so chunked ``make_async_copy`` DMAs driven by
-   scalar-prefetched offsets do the same work in milliseconds.
-2. ``segment_topk_pallas`` — run reduction + top-k over the sorted postings
+1. DMA/roll gather over the block-alternated postings store
+   (bm25_index.BitonicStore) producing rows whose every 1024-block is
+   already sorted (ascending at even block index, descending at odd);
+2. the pass-skipping in-VMEM bitonic sort (ops/pallas_sort, starts at pass
+   2048; 2.2-2.6 ns/element vs ~25 for XLA's sort);
+3. ``segment_topk_pallas`` — run reduction + top-k over the sorted postings
    in one pass (in-register Hillis-Steele scans + running top-k in scratch;
-   ~3ms at [256, 128k] vs 6 full XLA passes). It also firewalls the XLA sort
-   from the scan compositions that otherwise send the TPU compiler into a
-   multi-hour compile (ops/sparse.py docstring).
+   ~3ms at [256, 128k] vs 6 full XLA passes).
 
-``bm25_search_padded_fused`` chains gather -> XLA sort (fast: ~70ms at
-[256, 128k]) -> segment+top-k as ONE dispatch.
+The legacy kernels are kept for the "dma" engine mode and as the measured
+record of the design space:
+
+- ``postings_gather_pallas`` — segmented posting gather as contiguous DMA
+  copies. XLA lowers ``postings[idx]`` with 33M indices to an elementwise
+  gather (~60-95 ns/element even on contiguous runs, ~677 on random); the
+  indices are really TQ contiguous runs per query, so chunked
+  ``make_async_copy`` DMAs driven by scalar-prefetched offsets do the same
+  work in milliseconds.
+- ``bm25_search_padded_fused`` chains gather -> XLA sort -> segment+top-k
+  as ONE dispatch (XLA sort is its floor: ~25 ns/element).
 
 Mosaic alignment contract: dynamic DMA slice offsets must be provably
-aligned to the memref tiling (1024 elements for 32-bit types). The engine
-stores an aligned CSR (bm25_index.aligned_csr: term starts and lengths
-padded to 1024-multiples with inert sentinel entries) and the kernel adds
-``pl.multiple_of`` hints.
+aligned to the memref tiling (1024 elements for 32-bit types). Stores keep
+term starts and lengths 1024-aligned (or copy 1024-floored windows and
+rotate in VMEM) and the kernels add ``pl.multiple_of`` hints.
 """
 
 from __future__ import annotations
