@@ -238,7 +238,7 @@ def _gather_kernel(starts_ref, lens_ref, cum_ref, doc_hbm, imp_hbm,
 
         def copy_chunk(c, carry):
             off = c * chunk
-            d_raw = cum_ref[t, qi] + off
+            d_raw = cum_ref[qi, t] + off
 
             @pl.when(d_raw + chunk <= limit)
             def _():
@@ -399,10 +399,10 @@ def bm25_search_padded_fused(
 
 
 def _bitonic_gather_kernel(
-    src_ref, slot_ref, rlen_ref, big_ref, cum_ref,
+    src_ref, srcr_ref, slot_ref, rlen_ref, big_ref, cum_ref,
     doc_e, imp_e, doc_o, imp_o, doc_c, imp_c, doc_r, imp_r,
     out_doc, out_imp, scr_doc, scr_imp, sems,
-    *, tq, nnz, sentinel, block, pad, row_tile,
+    *, tq, sentinel, block, pad, row_tile,
 ):
     """Assemble ``row_tile`` query rows of the bitonic layout (see
     bm25_index.BitonicStore): long terms as chunked DMA copies from the E/O
@@ -472,10 +472,11 @@ def _bitonic_gather_kernel(
                     L = rlen_ref[t, qi]
                     # slot parity picks data direction: even -> ascending
                     # run from the compact store; odd -> descending run from
-                    # the reversed store, placed at the slot TAIL so the
-                    # sentinel padding leads (block stays sorted desc)
-                    rstart = nnz - s - L
-                    start = jnp.where(parity == 0, s, rstart)
+                    # the reversed store (srcr = nnz - src - len, computed by
+                    # the planner so the kernel needs no per-shard nnz),
+                    # placed at the slot TAIL so the sentinel padding leads
+                    # (block stays sorted desc)
+                    start = jnp.where(parity == 0, s, srcr_ref[t, qi])
                     win = (start // block) * block
                     sh = jnp.where(
                         parity == 0,
@@ -537,12 +538,12 @@ def _bitonic_gather_kernel(
 
 @functools.partial(
     jax.jit,
-    static_argnames=("pad", "sentinel_doc", "k", "nnz", "block", "interpret"),
+    static_argnames=("pad", "sentinel_doc", "k", "block", "interpret"),
 )
 def bm25_search_bitonic(
     doc_e, imp_e, doc_o, imp_o, doc_c, imp_c, doc_r, imp_r,
-    src, slot, rlen, big,
-    *, pad: int, sentinel_doc: int, k: int, nnz: int, block: int = 1024,
+    src, srcr, slot, rlen, big,
+    *, pad: int, sentinel_doc: int, k: int, block: int = 1024,
     interpret: bool = False,
 ):
     """Single-dispatch BM25 search over the bitonic postings store: DMA/roll
@@ -550,8 +551,9 @@ def bm25_search_bitonic(
     pass 2*block (ops/pallas_sort.py) -> fused run-reduction + top-k.
 
     Store arrays must be 2-D (1, N) (BM25Engine reshapes on device_put).
-    src/slot/rlen/big are [Q, TQ] int32 per-(query, term) descriptors from
-    BM25Engine planning: aligned-store offset | compact offset, slot width
+    src/srcr/slot/rlen/big are [Q, TQ] int32 per-(query, term) descriptors
+    from BM25Engine planning: aligned-store offset | compact offset, the
+    reversed-compact offset (nnz - src - len; short terms only), slot width
     (aligned len | block | 0 for masked), real posting count, and the
     long-term flag. Row width ``pad`` must be a power of two >= the largest
     row total."""
@@ -563,6 +565,7 @@ def bm25_search_bitonic(
     if q != q_in:
         padrows = ((0, q - q_in), (0, 0))
         src = jnp.pad(src, padrows)
+        srcr = jnp.pad(srcr, padrows)
         slot = jnp.pad(slot, padrows)
         rlen = jnp.pad(rlen, padrows)
         big = jnp.pad(big, padrows)
@@ -570,11 +573,11 @@ def bm25_search_bitonic(
     # prefetch operands live in SMEM lane-padded to 128: pass them as
     # [TQ, Q] (queries on the lane dim) so a 1024-row tile costs 32KB of
     # SMEM per operand instead of 512KB (measured OOM at [1024, 8])
-    src_t, slot_t, rlen_t, big_t, cum_t = (
-        a.T for a in (src, slot, rlen, big, cum)
+    src_t, srcr_t, slot_t, rlen_t, big_t, cum_t = (
+        a.T for a in (src, srcr, slot, rlen, big, cum)
     )
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=5,
+        num_scalar_prefetch=6,
         grid=(q // row_tile,),
         in_specs=[pl.BlockSpec(memory_space=pltpu.HBM)] * 8,
         out_specs=[
@@ -590,7 +593,7 @@ def bm25_search_bitonic(
         ],
     )
     kernel = functools.partial(
-        _bitonic_gather_kernel, tq=tq, nnz=nnz, sentinel=sentinel_doc,
+        _bitonic_gather_kernel, tq=tq, sentinel=sentinel_doc,
         block=block, pad=pad, row_tile=row_tile,
     )
     out_doc, out_imp = pl.pallas_call(
@@ -603,7 +606,7 @@ def bm25_search_bitonic(
         interpret=interpret,
         compiler_params=pltpu.CompilerParams(
             has_side_effects=True, vmem_limit_bytes=100 * 1024 * 1024),
-    )(src_t, slot_t, rlen_t, big_t, cum_t,
+    )(src_t, srcr_t, slot_t, rlen_t, big_t, cum_t,
       doc_e, imp_e, doc_o, imp_o, doc_c, imp_c, doc_r, imp_r)
     out_doc = out_doc.reshape(q, pad)
     out_imp = out_imp.reshape(q, pad)

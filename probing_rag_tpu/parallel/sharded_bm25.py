@@ -27,7 +27,9 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from probing_rag_tpu.ops.sparse import postings_gather, sorted_segment_topk
 from probing_rag_tpu.retrieval.bm25 import BM25SearchResult, _next_pow2
-from probing_rag_tpu.retrieval.bm25_index import BM25Index, align_csr
+from probing_rag_tpu.retrieval.bm25_index import (
+    BM25Index, align_csr, build_bitonic_store,
+)
 
 
 def shard_index_by_docs(index: BM25Index, n_shards: int):
@@ -78,18 +80,38 @@ def shard_index_by_docs(index: BM25Index, n_shards: int):
 
 
 class ShardedBM25Engine:
-    """BM25 search over an index doc-sharded across every device of a mesh."""
+    """BM25 search over an index doc-sharded across every device of a mesh.
+
+    ``mode="bitonic"`` (the TPU default) runs the single-dispatch bitonic
+    path (ops/pallas_sparse.bm25_search_bitonic) per shard inside shard_map:
+    each shard holds its own block-alternated postings store and scores the
+    replicated query batch; the k-per-shard all_gather merge is unchanged.
+    ``mode="dma"``/``mode="xla"`` keep the legacy per-shard paths."""
 
     def __init__(self, index: BM25Index, mesh: Mesh, max_pad: int = 1 << 20,
-                 use_pallas: Optional[bool] = None):
+                 use_pallas: Optional[bool] = None, mode: Optional[str] = None,
+                 interpret: Optional[bool] = None):
         self.index = index
         self.mesh = mesh
         self.analyzer = index.config.analyzer()
         self.max_pad = max_pad
-        self.use_pallas = (
-            use_pallas if use_pallas is not None else jax.default_backend() == "tpu"
+        if mode is None and use_pallas is not None:
+            mode = "dma" if use_pallas else "xla"
+        if mode is None:
+            mode = "bitonic" if jax.default_backend() == "tpu" else "xla"
+        if mode not in ("bitonic", "dma", "xla"):
+            raise ValueError(f"unknown sharded BM25 mode {mode!r}")
+        self.mode = mode
+        self.interpret = (
+            interpret if interpret is not None else jax.default_backend() != "tpu"
         )
+        self.use_pallas = mode == "dma"
         self.n_shards = int(np.prod([mesh.shape[a] for a in mesh.axis_names]))
+        self._axes = tuple(mesh.axis_names)
+        if mode == "bitonic":
+            self.max_pad = min(max_pad, 1 << 15)  # see BM25Engine
+            self._init_bitonic(index, mesh)
+            return
         offsets, docs, imps = shard_index_by_docs(index, self.n_shards)
         if self.use_pallas:
             # per-shard aligned CSR for the DMA gather (ops/pallas_sparse.py)
@@ -109,13 +131,129 @@ class ShardedBM25Engine:
             for s_, (_, d, i) in enumerate(aligned):
                 docs[s_, : d.size] = d
                 imps[s_, : i.size] = i
-        self._axes = tuple(mesh.axis_names)
         shard_spec = P(self._axes)  # leading shard axis over all mesh axes
         self._term_offsets = jax.device_put(offsets, NamedSharding(mesh, shard_spec))
         self._postings_doc = jax.device_put(docs, NamedSharding(mesh, shard_spec))
         self._postings_impact = jax.device_put(imps, NamedSharding(mesh, shard_spec))
         # worst-case per-shard posting lengths for tile planning
         self._term_lens = (offsets[:, 1:] - offsets[:, :-1]).max(axis=0).astype(np.int64)
+
+    def _init_bitonic(self, index: BM25Index, mesh: Mesh) -> None:
+        offsets, docs, imps = shard_index_by_docs(index, self.n_shards)
+        stores = []
+        for s in range(self.n_shards):
+            nnz_s = int(offsets[s][-1])
+            stores.append(build_bitonic_store(
+                offsets[s].astype(np.int64), docs[s][:nnz_s], imps[s][:nnz_s],
+                sentinel=index.n_docs,
+            ))
+        self._stores = stores
+
+        def stack(field, fill):
+            arrs = [getattr(st, field) for st in stores]
+            n = max(1, max(a.size for a in arrs))
+            out = np.full((self.n_shards, 1, n), fill, arrs[0].dtype)
+            for s, a in enumerate(arrs):
+                out[s, 0, : a.size] = a
+            return out
+
+        sent = index.n_docs
+        shard_spec = P(self._axes)
+        put = lambda a: jax.device_put(a, NamedSharding(mesh, shard_spec))
+        self._dev_store = tuple(
+            put(stack(f, fill))
+            for f, fill in (
+                ("doc_e", sent), ("imp_e", 0.0), ("doc_o", sent), ("imp_o", 0.0),
+                ("doc_c", sent), ("imp_c", 0.0), ("doc_r", sent), ("imp_r", 0.0),
+            )
+        )
+        # per-shard planning tables (host)
+        self._a_start = np.stack([st.aligned_start for st in stores])  # [S, T]
+        self._a_len = np.stack([st.aligned_len for st in stores])
+        self._sh_lens = np.stack(
+            [(offsets[s][1:] - offsets[s][:-1]).astype(np.int64)
+             for s in range(self.n_shards)]
+        )  # [S, T]
+        self._sh_offs = offsets[:, :-1].astype(np.int64)  # [S, T]
+        self._sh_nnz = offsets[:, -1].astype(np.int64)  # [S]
+        self.block = stores[0].block
+
+    def _plan_bitonic_shards(self, term_id_lists: Sequence[np.ndarray]):
+        """Per-(shard, query, term) descriptors; each shard trims its own
+        overflow (a doc lives in exactly one shard, so per-shard trimming
+        keeps that shard's kept-term scores exact)."""
+        S = self.n_shards
+        block = self.block
+        tq = _next_pow2(max((len(i) for i in term_id_lists), default=1) or 1, 8)
+        n = len(term_id_lists)
+        src = np.zeros((S, n, tq), np.int32)
+        srcr = np.zeros((S, n, tq), np.int32)
+        slot = np.zeros((S, n, tq), np.int32)
+        rlen = np.zeros((S, n, tq), np.int32)
+        big = np.zeros((S, n, tq), np.int32)
+        max_total = 1
+        for r, ids in enumerate(term_id_lists):
+            ids = np.asarray(ids, dtype=np.int64)
+            if ids.size == 0:
+                continue
+            for s in range(S):
+                lens = self._sh_lens[s][ids]
+                keep = lens > 0  # terms absent from this shard take no slot
+                kid, klen = ids[keep], lens[keep]
+                if kid.size == 0:
+                    continue
+                isbig = self._a_len[s][kid] > 0
+                slots = np.where(isbig, self._a_len[s][kid], block).astype(np.int64)
+                if slots.sum() > self.max_pad:
+                    order = np.argsort(klen, kind="stable")
+                    cut = int(np.searchsorted(np.cumsum(slots[order]), self.max_pad, "right"))
+                    sel = np.sort(order[:cut])
+                    kid, klen, isbig, slots = kid[sel], klen[sel], isbig[sel], slots[sel]
+                m = len(kid)
+                starts = self._sh_offs[s][kid]
+                src[s, r, :m] = np.where(isbig, self._a_start[s][kid], starts)
+                srcr[s, r, :m] = np.where(isbig, 0, self._sh_nnz[s] - starts - klen)
+                slot[s, r, :m] = slots
+                rlen[s, r, :m] = klen
+                big[s, r, :m] = isbig
+                max_total = max(max_total, int(slots.sum()))
+        return src, srcr, slot, rlen, big, max_total
+
+    @functools.partial(jax.jit, static_argnames=("self", "pad", "k"))
+    def _search_bitonic(self, src, srcr, slot, rlen, big, *, pad: int, k: int):
+        from probing_rag_tpu.ops.pallas_sparse import bm25_search_bitonic
+
+        sentinel = self.index.n_docs
+        axes = self._axes
+        block = self.block
+        interpret = self.interpret
+
+        def shard_fn(de, ie, do, io, dc, ic, dr, ir, src, srcr, slot, rlen, big):
+            scores, idx = bm25_search_bitonic(
+                de[0], ie[0], do[0], io[0], dc[0], ic[0], dr[0], ir[0],
+                src[0], srcr[0], slot[0], rlen[0], big[0],
+                pad=pad, sentinel_doc=sentinel, k=k, block=block,
+                interpret=interpret,
+            )
+            all_scores = jax.lax.all_gather(scores, axes, tiled=False)  # [S,Q,k]
+            all_idx = jax.lax.all_gather(idx, axes, tiled=False)
+            s, q, _ = all_scores.shape
+            flat_s = jnp.transpose(all_scores, (1, 0, 2)).reshape(q, s * k)
+            flat_i = jnp.transpose(all_idx, (1, 0, 2)).reshape(q, s * k)
+            flat_s = jnp.where(flat_i >= 0, flat_s, -jnp.inf)
+            top_vals, pos = jax.lax.top_k(flat_s, k)
+            top_idx = jnp.take_along_axis(flat_i, pos, axis=-1)
+            hit = jnp.isfinite(top_vals)
+            return jnp.where(hit, top_vals, 0.0), jnp.where(hit, top_idx, -1)
+
+        ax = P(self._axes)
+        return jax.shard_map(
+            shard_fn,
+            mesh=self.mesh,
+            in_specs=(ax,) * 8 + (ax,) * 5,
+            out_specs=(P(), P()),
+            check_vma=False,  # outputs are replicated post-all_gather
+        )(*self._dev_store, src, srcr, slot, rlen, big)
 
     @functools.partial(jax.jit, static_argnames=("self", "pad", "k"))
     def _search(self, qterms, qmask, *, pad: int, k: int):
@@ -162,6 +300,8 @@ class ShardedBM25Engine:
         term_ids = [
             self.index.encode_query(self.analyzer(q)) for q in queries
         ]
+        if self.mode == "bitonic":
+            return self.search_term_ids(term_ids, k=k)
         tq = _next_pow2(max((len(i) for i in term_ids), default=1) or 1, 8)
         qterms = np.zeros((len(term_ids), tq), np.int32)
         qmask = np.zeros((len(term_ids), tq), bool)
@@ -186,4 +326,20 @@ class ShardedBM25Engine:
         scores, idx = self._search(
             jnp.asarray(qterms), jnp.asarray(qmask), pad=pad, k=k
         )
+        return BM25SearchResult(np.asarray(idx), np.asarray(scores))
+
+    def search_term_ids(
+        self, term_id_lists: Sequence[np.ndarray], k: int = 5
+    ) -> BM25SearchResult:
+        if self.mode != "bitonic":
+            raise NotImplementedError("search_term_ids: bitonic mode only")
+        src, srcr, slot, rlen, big, max_total = self._plan_bitonic_shards(
+            term_id_lists
+        )
+        pad = _next_pow2(max_total, self.block)
+        sharding = NamedSharding(self.mesh, P(self._axes))
+        args = tuple(
+            jax.device_put(a, sharding) for a in (src, srcr, slot, rlen, big)
+        )
+        scores, idx = self._search_bitonic(*args, pad=pad, k=k)
         return BM25SearchResult(np.asarray(idx), np.asarray(scores))

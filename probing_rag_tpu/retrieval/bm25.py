@@ -306,21 +306,26 @@ class BM25Engine:
         tq = max(self.min_tq, max((len(i) for i, _, _ in rows), default=1) or 1)
         n = len(rows)
         src = np.zeros((n, tq), np.int32)
+        srcr = np.zeros((n, tq), np.int32)  # reversed-compact offset (short)
         slot = np.zeros((n, tq), np.int32)
         rlen = np.zeros((n, tq), np.int32)
         big = np.zeros((n, tq), np.int32)
         totals = np.zeros(n, np.int64)
+        nnz = st.nnz
         for r, (ids, slots, total) in enumerate(rows):
             m = len(ids)
             if not m:
                 continue
             isbig = a_len[ids] > 0
-            src[r, :m] = np.where(isbig, a_start[ids], self._compact_offsets[ids])
+            lens = self._term_lens[ids]
+            starts = self._compact_offsets[ids]
+            src[r, :m] = np.where(isbig, a_start[ids], starts)
+            srcr[r, :m] = np.where(isbig, 0, nnz - starts - lens)
             slot[r, :m] = slots
-            rlen[r, :m] = self._term_lens[ids]
+            rlen[r, :m] = lens
             big[r, :m] = isbig
             totals[r] = total
-        return src, slot, rlen, big, totals
+        return src, srcr, slot, rlen, big, totals
 
     def _search_bitonic(
         self, term_id_lists: Sequence[np.ndarray], k: int, as_numpy: bool = True
@@ -330,7 +335,7 @@ class BM25Engine:
         from probing_rag_tpu.ops.pallas_sparse import bm25_search_bitonic
 
         st = self._store
-        src, slot, rlen, big, totals = self._plan_bitonic(term_id_lists)
+        src, srcr, slot, rlen, big, totals = self._plan_bitonic(term_id_lists)
         n = len(term_id_lists)
         buckets: dict = {}
         for i in range(n):
@@ -361,10 +366,11 @@ class BM25Engine:
                 sel = np.asarray(chunk_rows + [chunk_rows[-1]] * pad_rows)
                 scores, docs = bm25_search_bitonic(
                     *self._dev_store,
-                    jnp.asarray(src[sel]), jnp.asarray(slot[sel]),
-                    jnp.asarray(rlen[sel]), jnp.asarray(big[sel]),
+                    jnp.asarray(src[sel]), jnp.asarray(srcr[sel]),
+                    jnp.asarray(slot[sel]), jnp.asarray(rlen[sel]),
+                    jnp.asarray(big[sel]),
                     pad=pad, sentinel_doc=self.index.n_docs, k=k,
-                    nnz=st.nnz, block=st.block, interpret=self.interpret,
+                    block=st.block, interpret=self.interpret,
                 )
                 if as_numpy:
                     s = np.asarray(scores)

@@ -375,7 +375,10 @@ def build_bitonic_store(
     pad_lens = np.where(is_big, ((lens + block - 1) // block) * block, 0)
     a_start = np.zeros(n_terms, np.int64)
     np.cumsum(pad_lens[:-1], out=a_start[1:])
-    total = int(pad_lens.sum())
+    # floor of one block: kernels must be able to FORM a block-sized slice
+    # of the E/O arrays even when no long term exists (masked branches still
+    # shape-check, e.g. under interpret-mode discharge)
+    total = max(int(pad_lens.sum()), block)
     if total >= 2**31 or nnz + 2 * block >= 2**31:
         raise ValueError("bitonic store exceeds int32 indexing; shard the index")
 
@@ -399,6 +402,10 @@ def build_bitonic_store(
     term_starts_blk = np.repeat(
         a_start[big_idx] // block, (pad_lens[big_idx] // block)
     )
+    if len(term_starts_blk) < blk2:  # sentinel-only floor blocks (see above)
+        term_starts_blk = np.concatenate(
+            [term_starts_blk, np.arange(len(term_starts_blk), blk2)]
+        )
     local = local - term_starts_blk
     odd = (local & 1) == 1
     d2 = a_doc.reshape(blk2, block)

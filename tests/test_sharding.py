@@ -148,3 +148,40 @@ def test_sharded_dense_on_two_level_mesh(eight_devices):
         np.take_along_axis(scores, ref_idx, axis=-1),
         rtol=1e-5,
     )
+
+
+def test_sharded_bm25_bitonic_equals_single_device(eight_devices, corpus):
+    """The production bitonic path per shard inside shard_map (PARITY.md):
+    doc-sharded block-alternated stores + single-dispatch kernel + all_gather
+    merge must reproduce the single-device bitonic engine."""
+    index = BM25Index.build(corpus, PLAIN)
+    mesh = make_mesh(None, jax.devices()[:8])
+    sharded = ShardedBM25Engine(index, mesh, mode="bitonic", interpret=True)
+    single = BM25Engine(index, mode="bitonic", interpret=True)
+    queries = [corpus[3], corpus[77] + " w3 w5", "w1 w2 w3", "zzz-oov"]
+    rs = sharded.search(queries, k=5)
+    r1 = single.search(queries, k=5)
+    for i in range(len(queries)):
+        assert np.allclose(
+            np.sort(rs.scores[i]), np.sort(r1.scores[i]), atol=1e-4
+        ), i
+        # same doc set wherever scores are distinct
+        got = dict(zip(rs.doc_indices[i].tolist(), rs.scores[i].round(4).tolist()))
+        want = dict(zip(r1.doc_indices[i].tolist(), r1.scores[i].round(4).tolist()))
+        assert set(got) == set(want) or np.allclose(
+            sorted(got.values()), sorted(want.values()), atol=1e-4
+        )
+
+
+def test_sharded_bm25_bitonic_on_two_level_mesh(eight_devices, corpus):
+    index = BM25Index.build(corpus, PLAIN)
+    mesh = jax.sharding.Mesh(
+        np.asarray(jax.devices()[:8]).reshape(2, 4), ("slice", "chip")
+    )
+    sharded = ShardedBM25Engine(index, mesh, mode="bitonic", interpret=True)
+    single = BM25Engine(index, mode="bitonic", interpret=True)
+    queries = ["w1 w2", corpus[10]]
+    rs = sharded.search(queries, k=5)
+    r1 = single.search(queries, k=5)
+    for i in range(len(queries)):
+        assert np.allclose(np.sort(rs.scores[i]), np.sort(r1.scores[i]), atol=1e-4)
