@@ -277,11 +277,17 @@ def _block(
     positions: jnp.ndarray,
     mask: jnp.ndarray,
     cfg: GemmaConfig,
-    cache_kv: Optional[Tuple[jnp.ndarray, jnp.ndarray]],  # ([B,S,KV,hd], ...)
-    cache_pos: Optional[jnp.ndarray],
+    cache: Optional[Tuple],  # (ck [L,B,S,KV,hd], cv, layer, pos) | None
     return_attn_probs: bool = False,
 ):
-    """One transformer block. Returns (resid_mid, resid_post, (k, v), probs)."""
+    """One transformer block. Returns (resid_mid, resid_post, (ck, cv), probs).
+
+    With ``cache``, the new tokens' K/V are written into the layer's slice of
+    the STACKED cache arrays via a tiny dynamic_update_slice (aliasable
+    in-place inside the decode loop) and attention reads the updated slice.
+    The previous design DUS'd a per-layer copy and ``jnp.stack``-ed 18 layers
+    back together every step — two full-cache copies per token, which
+    dominated batch-32 decode (measured: 1,690 -> see PARITY.md)."""
     b, t, d = x.shape
     dt = cfg.compute_dtype
     h, kvh, hd = cfg.n_heads, cfg.n_kv_heads, cfg.head_dim
@@ -293,12 +299,18 @@ def _block(
     q = rope(q, positions, cfg.rope_theta)
     k = rope(k, positions, cfg.rope_theta)
 
-    if cache_kv is not None:
-        ck, cv = cache_kv
-        k = jax.lax.dynamic_update_slice(ck, k.astype(ck.dtype), (0, cache_pos, 0, 0))
-        v = jax.lax.dynamic_update_slice(cv, v.astype(cv.dtype), (0, cache_pos, 0, 0))
+    ck = cv = None
+    if cache is not None:
+        ck, cv, layer, cache_pos = cache
+        ck = jax.lax.dynamic_update_slice(
+            ck, k[None].astype(ck.dtype), (layer, 0, cache_pos, 0, 0))
+        cv = jax.lax.dynamic_update_slice(
+            cv, v[None].astype(cv.dtype), (layer, 0, cache_pos, 0, 0))
+        k = ck[layer]
+        v = cv[layer]
 
     attn, probs = _attention(q, k.astype(dt), v.astype(dt), mask, return_attn_probs)
+    del k, v
     attn_out = _mm(attn.astype(dt), lp["wo"], dt).astype(cfg.resid_dtype)
     resid_mid = x + attn_out
 
@@ -314,7 +326,7 @@ def _block(
     up = _mm(mlp_in, lp["w_up"], dt)
     mlp_out = _mm(gate * up, lp["w_down"], dt).astype(cfg.resid_dtype)
     resid_post = resid_mid + mlp_out
-    return resid_mid, resid_post, (k, v), probs
+    return resid_mid, resid_post, (ck, cv), probs
 
 
 def forward(
@@ -375,27 +387,25 @@ def forward(
 
     caps = [None] * capture.n_sites
     attn_probs = None
-    new_k, new_v = [], []
+    ck = kv_cache["k"] if kv_cache is not None else None
+    cv = kv_cache["v"] if kv_cache is not None else None
     lp_all = params["layers"]
     for layer in range(cfg.n_layers):
         lp = jax.tree.map(lambda a: a[layer], lp_all)
-        cache_kv = None
-        cache_pos = None
+        cache = None
         if kv_cache is not None:
-            cache_kv = (kv_cache["k"][layer], kv_cache["v"][layer])
-            cache_pos = kv_cache["pos"]
-        resid_mid, resid_post, (k, v), probs = _block(
-            lp, x, positions, mask, cfg, cache_kv, cache_pos,
+            cache = (ck, cv, layer, kv_cache["pos"])
+        resid_mid, resid_post, (ck2, cv2), probs = _block(
+            lp, x, positions, mask, cfg, cache,
             return_attn_probs=(attn_probs_layer is not None
                                and layer == attn_probs_layer % cfg.n_layers),
         )
+        if kv_cache is not None:
+            ck, cv = ck2, cv2
         if probs is not None:
             attn_probs = probs
         for i, site in want.get(layer, ()):
             caps[i] = resid_mid if site == "resid_mid" else resid_post
-        if kv_cache is not None:
-            new_k.append(k)
-            new_v.append(v)
         x = resid_post
 
     x = rms_norm(x, params["final_norm"], cfg.norm_eps, cfg.norm_plus_one)
@@ -412,11 +422,7 @@ def forward(
 
     new_cache = None
     if kv_cache is not None:
-        new_cache = {
-            "k": jnp.stack(new_k),
-            "v": jnp.stack(new_v),
-            "pos": kv_cache["pos"] + t,
-        }
+        new_cache = {"k": ck, "v": cv, "pos": kv_cache["pos"] + t}
     captures = jnp.stack(caps) if caps else None
     if attn_probs_layer is not None:
         return logits, new_cache, captures, attn_probs
