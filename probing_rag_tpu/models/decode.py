@@ -136,6 +136,7 @@ def decode_greedy(
         kv_cache=kv,
         positions=rope_prompt,
         attn_valid=slot_valid,
+        logits_last_only=True,
     )
     rng = rng if rng is not None else jax.random.PRNGKey(0)
     rng, k1 = jax.random.split(rng)

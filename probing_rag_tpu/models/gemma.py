@@ -229,7 +229,12 @@ def quantize_lm_params(params: Params) -> Params:
 def _mm(x: jnp.ndarray, w, dt) -> jnp.ndarray:
     """x @ w with transparent int8 support: the int8->compute-dtype convert
     is fused into the matmul's weight load; the per-output-column scale is a
-    cheap elementwise multiply on the (much smaller) activation output."""
+    cheap elementwise multiply on the (much smaller) activation output.
+
+    (A Pallas variant lives in ops/pallas_matmul.py; measured 2-10x off the
+    weight-bandwidth bound at decode shapes on v5e, so the fused-convert XLA
+    form stays the production path. The batch-32 int8 HBM blow-up is solved
+    by ``logits_last_only`` instead — see forward.)"""
     if isinstance(w, dict):
         return (x @ w["q"].astype(dt)) * w["s"].astype(dt)
     return x @ w.astype(dt)
@@ -339,6 +344,7 @@ def forward(
     positions: Optional[jnp.ndarray] = None,  # [B, T] RoPE positions
     attn_valid: Optional[jnp.ndarray] = None,  # no-cache: [B,T]; cache: [B,S] slot validity
     attn_probs_layer: Optional[int] = None,  # also return this layer's attn probs
+    logits_last_only: bool = False,  # head only on the final position
 ):
     """LM forward. Returns (logits [B,T,V], new_kv_cache | None,
     captures [n_sites, B, T, D] f32 | None).
@@ -408,6 +414,12 @@ def forward(
             caps[i] = resid_mid if site == "resid_mid" else resid_post
         x = resid_post
 
+    if logits_last_only:
+        # decode prefill only consumes logits[:, -1]: slicing the hidden
+        # state BEFORE the head saves the [B, T, vocab] logits tensor
+        # (15.6 GB at batch 32 for Gemma's 256k vocab — an HBM OOM on the
+        # quantized path, and ~20% of prefill FLOPs on any path)
+        x = x[:, -1:, :]
     x = rms_norm(x, params["final_norm"], cfg.norm_eps, cfg.norm_plus_one)
     dt = cfg.compute_dtype
     if cfg.tied_head:
