@@ -98,21 +98,38 @@ def main():
     fetch_scalar(jnp.sum(jnp.zeros((8, 128))))
     fetch_baseline = time.time() - t0
 
-    # timed pass: the same queries shuffled — same shapes (no compiles),
-    # distinct tile contents (no remote dispatch memoization)
-    perm = rng.permutation(N_QUERIES)
-    shuffled = [query_ids[i] for i in perm]
+    # timed passes: the same queries shuffled — same shapes (no compiles),
+    # distinct tile contents (no remote dispatch memoization). Three passes
+    # share ONE final fetch, so the tunnel's noisy fetch latency (measured
+    # 0.03-1.3 s) is amortized instead of polluting a ~0.3 s measurement.
+    n_passes = 3
     t0 = time.time()
-    res = engine.search_stream(shuffled, k=K, as_numpy=False)
-    acc = fold(res.parts)
-    fetch_scalar(acc)
+    accs = []
+    n_disp = 0
+    for p in range(n_passes):
+        perm = rng.permutation(N_QUERIES)
+        shuffled = [query_ids[i] for i in perm]
+        res = engine.search_stream(shuffled, k=K, as_numpy=False)
+        accs.append(fold(res.parts))
+        n_disp = len(res.parts)
+    total = sum(accs)
+    fetch_scalar(total)
     raw_elapsed = time.time() - t0
-    # the fetch baseline is noisy on this tunnel; if subtraction undershoots,
-    # fall back to the raw total (a strict lower bound on throughput)
-    elapsed = raw_elapsed - fetch_baseline
+    # fetch a FRESH trivial scalar right after: measures the current fetch
+    # latency under the same connection state (re-fetching `total` would be
+    # served from jax's host-side cache without an RPC). Subtract the
+    # SMALLER of the two fetch estimates (conservative: under-subtracting
+    # lowers qps), and fall back to the raw total if it undershoots.
+    t0 = time.time()
+    fetch_scalar(jnp.sum(jnp.ones((8, 128))))
+    fetch_after = time.time() - t0
+    # fetch_baseline can be compile-polluted (first tiny-program build);
+    # fetch_after is the same-state estimate — still take the min to stay
+    # conservative
+    elapsed = raw_elapsed - min(fetch_baseline, fetch_after)
     if elapsed <= 0.05 * raw_elapsed:
         elapsed = raw_elapsed
-    qps = N_QUERIES / elapsed
+    qps = n_passes * N_QUERIES / elapsed
 
     print(
         json.dumps(
@@ -126,11 +143,12 @@ def main():
                     "nnz": index.nnz,
                     "n_queries": N_QUERIES,
                     "k": K,
-                    "n_dispatches": len(res.parts) + 1,
+                    "n_dispatches_per_pass": n_disp + 1,
                     "index_build_s": round(build_s, 1),
                     "warmup_compile_s": round(warmup_s, 1),
                     "raw_elapsed_s": round(raw_elapsed, 2),
                     "fetch_baseline_s": round(fetch_baseline, 2),
+                    "fetch_after_s": round(fetch_after, 2),
                     "device": str(jax.devices()[0]),
                 },
             }

