@@ -97,3 +97,47 @@ def test_bitonic_max_pad_trims_to_most_selective(zipf_index):
     res = eng.search_term_ids([q], k=5)
     # still returns hits, scored with a subset of terms (selective first)
     assert (res.doc_indices[0] >= 0).any()
+
+
+def test_plan_bitonic_matches_reference_implementation(zipf_index):
+    """The vectorized planner (retrieval/bm25.py::_plan_bitonic) must equal
+    a straightforward per-query implementation, including trimming."""
+    idx, rng = zipf_index
+    eng = BM25Engine(idx, mode="bitonic", interpret=True, max_pad=4096)
+    st = eng._store
+    qids = [
+        idx.encode_query([f"t{t}" for t in (rng.zipf(1.2, rng.integers(1, 8)) % 400)])
+        for _ in range(30)
+    ] + [np.zeros(0, np.int32)]
+    src, srcr, slot, rlen, big, totals = eng._plan_bitonic(qids)
+    for r, ids in enumerate(qids):
+        ids = np.asarray(ids, np.int64)
+        if ids.size:
+            slots = np.where(
+                st.aligned_len[ids] > 0, st.aligned_len[ids], st.block
+            ).astype(np.int64)
+            if slots.sum() > eng.max_pad:
+                order = np.argsort(eng._term_lens[ids], kind="stable")
+                keep = int(
+                    np.searchsorted(np.cumsum(slots[order]), eng.max_pad, "right")
+                )
+                sel = np.sort(order[:keep])
+                ids, slots = ids[sel], slots[sel]
+        m = len(ids)
+        assert totals[r] == slots.sum() if m else totals[r] == 0
+        kept = slot[r][slot[r] > 0]
+        assert sorted(kept.tolist()) == sorted(slots.tolist()) if m else kept.size == 0
+        for j in range(m):
+            # every kept term's descriptors are self-consistent
+            t_candidates = np.nonzero(
+                (rlen[r] == eng._term_lens[ids[j]]) & (slot[r] > 0)
+            )[0]
+            assert len(t_candidates) >= 1
+        for j in range(len(slot[r])):
+            if slot[r][j] == 0:
+                continue
+            if big[r][j]:
+                assert slot[r][j] % st.block == 0 and srcr[r][j] == 0
+            else:
+                assert slot[r][j] == st.block
+                assert srcr[r][j] == st.nnz - src[r][j] - rlen[r][j]
