@@ -44,6 +44,14 @@ def _next_pow4(n: int, floor: int) -> int:
 
 @dataclass
 class BM25SearchResult:
+    """Top-k per query.
+
+    With ``as_numpy=False`` the top-level ``doc_indices``/``scores`` are only
+    the LAST device chunk (bucket/chunk order, padded rows included) — use
+    ``parts`` (the full list of per-chunk (scores, docs) device arrays) for
+    benchmark folding; the top-level fields are not per-query results in that
+    mode."""
+
     doc_indices: np.ndarray  # [Q, k] int32, -1 for empty slots
     scores: np.ndarray  # [Q, k] f32
     parts: Optional[list] = None  # device-resident per-bucket results (as_numpy=False)
@@ -52,10 +60,13 @@ class BM25SearchResult:
 class BM25Engine:
     """Device-resident BM25 index + batched search.
 
-    ``max_pad`` caps the padded posting tile per query; queries whose terms
-    match more postings than the cap are scored with their most selective
-    (shortest posting list) terms first — with stopword removal this path is
-    effectively never taken on the eval corpora, and the cap is configurable.
+    ``max_pad`` caps the padded posting tile per query. In bitonic mode the
+    cap is further clamped to 32768 (unrolled sort-network compile time);
+    queries whose block-aligned slot total exceeds it are routed to the exact
+    XLA fallback path over the compact postings copy (already device-resident
+    in the bitonic store) — no terms are dropped up to ``fallback_max_pad``
+    (1M postings). Beyond that, queries keep their most selective terms and
+    the trim is counted in ``last_stats``.
     """
 
     def __init__(
@@ -92,13 +103,17 @@ class BM25Engine:
             interpret if interpret is not None else jax.default_backend() != "tpu"
         )
         put = lambda x: jax.device_put(x, device) if device is not None else jnp.asarray(x)
+        self.last_stats = {"n_queries": 0, "n_fallback": 0, "n_trimmed": 0}
         if mode == "bitonic":
             # row width bound: unrolled sort-network compile time grows with
-            # P (74s at 32768, measured); queries over the cap keep their
-            # most selective terms, same as the legacy max_pad semantics
+            # P (74s at 32768, measured); queries over the cap run the exact
+            # XLA fallback over the compact copy (doc_c), whose tile cap is
+            # independent of the bitonic row cap
+            self.fallback_max_pad = 1 << 20
             self.max_pad = min(max_pad, 1 << 15)
             store = index.bitonic_csr()
             self._store = store
+            self._dev_offsets = put(index.term_offsets.astype(np.int32))
             # 2-D (1, N) layout: the gather kernel's DMA rules (see
             # ops/pallas_sparse.py::bm25_search_bitonic)
             self._dev_store = tuple(
@@ -290,8 +305,8 @@ class BM25Engine:
         """Per-(query, term) descriptors for bm25_search_bitonic: slot width
         (aligned len for long terms, one block for short), source offset
         (E/O store | compact), reversed-compact offset, real length,
-        long-term flag. Queries whose slot total exceeds max_pad keep their
-        most selective terms.
+        long-term flag. Rows whose slot total exceeds max_pad are returned
+        untrimmed — the caller routes them to the exact fallback path.
 
         Fully vectorized over the [N, TQ] id matrix: a per-query Python
         loop costs ~20 us/query — 35% of end-to-end throughput at the bench
@@ -300,7 +315,11 @@ class BM25Engine:
         block = st.block
         a_start, a_len = st.aligned_start, st.aligned_len
         n = len(term_id_lists)
-        tq = max(self.min_tq, max((len(i) for i in term_id_lists), default=1) or 1)
+        # pow2 tq so a stream of differently-sized queries compiles a bounded
+        # set of (pad, Qb, TQ) kernel variants
+        tq = _next_pow2(
+            max((len(i) for i in term_id_lists), default=1) or 1, self.min_tq
+        )
         ids = np.zeros((n, tq), np.int64)
         mask = np.zeros((n, tq), bool)
         for r, row in enumerate(term_id_lists):  # ragged -> padded (cheap)
@@ -314,19 +333,6 @@ class BM25Engine:
         isbig = alens > 0
         slot = np.where(isbig, alens, np.where(mask, block, 0)).astype(np.int64)
         totals = slot.sum(axis=1)
-
-        over = np.nonzero(totals > self.max_pad)[0]
-        for r in over:  # rare: keep the most selective terms under the cap
-            order = np.argsort(np.where(mask[r], lens[r], np.iinfo(np.int64).max),
-                               kind="stable")
-            csum = np.cumsum(slot[r][order])
-            keep = int(np.searchsorted(csum, self.max_pad, side="right"))
-            drop = order[keep:]
-            mask[r, drop] = False
-            slot[r, drop] = 0
-            isbig[r, drop] = False
-            lens[r, drop] = 0
-            totals[r] = slot[r].sum()
 
         starts = np.where(mask, self._compact_offsets[ids], 0)
         src = np.where(isbig, a_start[ids], starts).astype(np.int32)
@@ -344,14 +350,22 @@ class BM25Engine:
         self, term_id_lists: Sequence[np.ndarray], k: int, as_numpy: bool = True
     ) -> BM25SearchResult:
         """Stream search on the bitonic path: pow2 row-width buckets, one
-        fused gather->sort->segment-top-k dispatch per (pad, Qb) tile."""
+        fused gather->sort->segment-top-k dispatch per (pad, Qb) tile.
+        Queries whose slot total exceeds the 32768-row cap run the exact XLA
+        fallback over the compact copy (``_search_fallback``)."""
         from probing_rag_tpu.ops.pallas_sparse import bm25_search_bitonic
 
         st = self._store
         src, srcr, slot, rlen, big, totals = self._plan_bitonic(term_id_lists)
         n = len(term_id_lists)
+        over = set(np.nonzero(totals > self.max_pad)[0].tolist())
+        self.last_stats = {
+            "n_queries": n, "n_fallback": len(over), "n_trimmed": 0,
+        }
         buckets: dict = {}
         for i in range(n):
+            if i in over:
+                continue
             pad = _next_pow2(max(int(totals[i]), 1), st.block)
             buckets.setdefault(pad, []).append(i)
 
@@ -392,12 +406,79 @@ class BM25Engine:
                     out_scores[chunk_rows] = s[: len(chunk_rows)]
                 else:
                     parts.append((scores, docs))
+        if over:
+            over_rows = sorted(over)
+            fb = self._search_fallback(
+                [term_id_lists[i] for i in over_rows], k, as_numpy=as_numpy
+            )
+            if as_numpy:
+                out_docs[over_rows] = fb.doc_indices
+                out_scores[over_rows] = fb.scores
+            else:
+                parts.extend(fb.parts or [])
         if not as_numpy:
             if not parts:
                 return BM25SearchResult(
                     np.full((0, k), -1, np.int32), np.zeros((0, k), np.float32)
                 )
             return BM25SearchResult(parts[-1][1], parts[-1][0], parts=parts)
+        return BM25SearchResult(out_docs, out_scores)
+
+    def _search_fallback(
+        self, term_id_lists: Sequence[np.ndarray], k: int, as_numpy: bool = True
+    ) -> BM25SearchResult:
+        """Exact scoring for queries over the bitonic row cap: XLA gather ->
+        sort -> segment-top-k over the compact postings copy already resident
+        in the bitonic store (doc_c/imp_c), pad up to ``fallback_max_pad``.
+        Only queries beyond THAT (1M+ matched postings) keep their most
+        selective terms, counted in ``last_stats['n_trimmed']``."""
+        kept: List[Tuple[np.ndarray, int]] = []
+        for ids in term_id_lists:
+            ids = np.asarray(ids, dtype=np.int32)
+            total = int(self._term_lens[ids].sum()) if ids.size else 0
+            if total > self.fallback_max_pad:
+                order = np.argsort(self._term_lens[ids], kind="stable")
+                lens_sorted = self._term_lens[ids[order]]
+                keep = int(np.searchsorted(
+                    np.cumsum(lens_sorted), self.fallback_max_pad, side="right"
+                ))
+                ids = ids[np.sort(order[:keep])]
+                total = int(self._term_lens[ids].sum())
+                self.last_stats["n_trimmed"] += 1
+            kept.append((ids, total))
+
+        tq = _next_pow2(max((len(i) for i, _ in kept), default=1) or 1, self.min_tq)
+        buckets: dict = {}
+        for i, (_, total) in enumerate(kept):
+            buckets.setdefault(_next_pow2(max(total, 1), self.min_pad), []).append(i)
+
+        n = len(term_id_lists)
+        out_docs = np.full((n, k), -1, np.int32)
+        out_scores = np.zeros((n, k), np.float32)
+        parts = []
+        doc_c, imp_c = self._dev_store[4], self._dev_store[5]
+        for pad, rows in sorted(buckets.items()):
+            for start in range(0, len(rows), self.q_tile):
+                chunk_rows = rows[start : start + self.q_tile]
+                qb = _next_pow2(len(chunk_rows), 8)
+                qt = np.zeros((qb, tq), np.int32)
+                qm = np.zeros((qb, tq), bool)
+                for row, i in enumerate(chunk_rows):
+                    ids = kept[i][0]
+                    qt[row, : len(ids)] = ids
+                    qm[row, : len(ids)] = True
+                scores, docs = _bitonic_fallback_search(
+                    self._dev_offsets, doc_c, imp_c,
+                    jnp.asarray(qt), jnp.asarray(qm),
+                    pad=pad, sentinel_doc=self.index.n_docs, k=k,
+                )
+                if as_numpy:
+                    out_docs[chunk_rows] = np.asarray(docs)[: len(chunk_rows)]
+                    out_scores[chunk_rows] = np.asarray(scores)[: len(chunk_rows)]
+                else:
+                    parts.append((scores, docs))
+        if not as_numpy:
+            return BM25SearchResult(out_docs, out_scores, parts=parts)
         return BM25SearchResult(out_docs, out_scores)
 
     # ------------------------------------------------------- stream search
@@ -625,6 +706,33 @@ class BM25Engine:
 
 
 import functools
+
+
+@functools.partial(jax.jit, static_argnames=("pad", "sentinel_doc"))
+def _fallback_gather_sort(term_offsets, doc_c, imp_c, qterms, qmask, *, pad, sentinel_doc):
+    """Gather+sort over the bitonic store's (1, N) compact copies (reshape is
+    free inside jit). Kept as its own program: composing the TPU sort with
+    the downstream segment scans is a known multi-hour-compile trigger
+    (ops/sparse.py::bm25_search_padded)."""
+    from probing_rag_tpu.ops.sparse import postings_gather
+
+    doc, impact = postings_gather(
+        term_offsets, doc_c.reshape(-1), imp_c.reshape(-1), qterms, qmask,
+        pad, sentinel_doc,
+    )
+    return jax.lax.sort_key_val(doc, impact, dimension=-1)
+
+
+def _bitonic_fallback_search(
+    term_offsets, doc_c, imp_c, qterms, qmask, *, pad, sentinel_doc, k
+):
+    from probing_rag_tpu.ops.sparse import presorted_segment_topk
+
+    doc, impact = _fallback_gather_sort(
+        term_offsets, doc_c, imp_c, qterms, qmask,
+        pad=pad, sentinel_doc=sentinel_doc,
+    )
+    return presorted_segment_topk(doc, impact, k=k, sentinel=sentinel_doc)
 
 
 @functools.partial(

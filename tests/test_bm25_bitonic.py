@@ -87,7 +87,10 @@ def test_bitonic_duplicate_term_counts_twice(zipf_index):
     assert np.allclose(double.scores[0], 2 * single.scores[0], atol=1e-4)
 
 
-def test_bitonic_max_pad_trims_to_most_selective(zipf_index):
+def test_bitonic_overcap_query_exact_via_fallback(zipf_index):
+    """Queries whose slot total exceeds the bitonic row cap must be EXACT
+    (routed to the XLA fallback over the compact copy), not term-trimmed
+    (round-2 advisor finding: silent recall loss on high-df terms)."""
     idx, _ = zipf_index
     eng = BM25Engine(idx, mode="bitonic", interpret=True, max_pad=2048)
     lens = idx.term_offsets[1:] - idx.term_offsets[:-1]
@@ -95,13 +98,62 @@ def test_bitonic_max_pad_trims_to_most_selective(zipf_index):
     light = int(np.argsort(lens)[len(lens) // 2])
     q = np.concatenate([heavy, [light]]).astype(np.int32)
     res = eng.search_term_ids([q], k=5)
-    # still returns hits, scored with a subset of terms (selective first)
-    assert (res.doc_indices[0] >= 0).any()
+    assert eng.last_stats == {"n_queries": 1, "n_fallback": 1, "n_trimmed": 0}
+    oracle = idx.score_all(q)
+    exp = np.sort(oracle)[::-1][:5]
+    # f32 cumsum order differs from the float64 oracle on heavy runs
+    assert np.allclose(np.sort(res.scores[0])[::-1], exp, rtol=1e-4, atol=1e-3)
+    for d, s in zip(res.doc_indices[0], res.scores[0]):
+        assert d >= 0 and oracle[d] == pytest.approx(s, rel=1e-4, abs=1e-3)
+
+
+def test_bitonic_single_highdf_term_returns_hits(zipf_index):
+    """A single-term query on a term whose aligned slot exceeds max_pad used
+    to return ZERO hits (the term was unscorable in bitonic mode). Now it
+    scores exactly via the fallback."""
+    idx, _ = zipf_index
+    lens = idx.term_offsets[1:] - idx.term_offsets[:-1]
+    t = int(np.argmax(lens))
+    st = idx.bitonic_csr()
+    cap = max(1024, int(st.aligned_len[t]) // 2)  # force over-cap
+    eng = BM25Engine(idx, mode="bitonic", interpret=True, max_pad=cap)
+    res = eng.search_term_ids([np.asarray([t], np.int32)], k=5)
+    assert eng.last_stats["n_fallback"] == 1
+    oracle = idx.score_all(np.asarray([t]))
+    assert np.allclose(np.sort(res.scores[0])[::-1], np.sort(oracle)[::-1][:5],
+                       rtol=1e-4, atol=1e-3)
+
+
+def test_bitonic_mixed_stream_overcap_and_normal(zipf_index):
+    """A stream mixing over-cap and normal queries: every row exact, stats
+    split correctly, order preserved."""
+    idx, rng = zipf_index
+    eng = BM25Engine(idx, mode="bitonic", interpret=True, max_pad=2048)
+    lens = idx.term_offsets[1:] - idx.term_offsets[:-1]
+    heavy = np.argsort(lens)[-2:].astype(np.int32)
+    qids = [
+        idx.encode_query([f"t{t}" for t in (rng.zipf(1.2, 3) % 400)])
+        for _ in range(6)
+    ]
+    qids.insert(2, heavy.copy())
+    qids.insert(5, heavy.copy())
+    res = eng.search_term_ids(qids, k=5)
+    assert eng.last_stats["n_queries"] == 8
+    assert eng.last_stats["n_fallback"] >= 2
+    for i, ids in enumerate(qids):
+        if len(ids) == 0:
+            continue
+        oracle = idx.score_all(ids)
+        got = res.scores[i][res.doc_indices[i] >= 0]
+        assert np.allclose(np.sort(got)[::-1], np.sort(oracle)[::-1][: len(got)],
+                           rtol=1e-4, atol=1e-3), i
 
 
 def test_plan_bitonic_matches_reference_implementation(zipf_index):
     """The vectorized planner (retrieval/bm25.py::_plan_bitonic) must equal
-    a straightforward per-query implementation, including trimming."""
+    a straightforward per-query implementation. The planner never trims —
+    over-cap rows are returned with their full (over-cap) totals so the
+    caller can route them to the exact fallback."""
     idx, rng = zipf_index
     eng = BM25Engine(idx, mode="bitonic", interpret=True, max_pad=4096)
     st = eng._store
@@ -110,25 +162,21 @@ def test_plan_bitonic_matches_reference_implementation(zipf_index):
         for _ in range(30)
     ] + [np.zeros(0, np.int32)]
     src, srcr, slot, rlen, big, totals = eng._plan_bitonic(qids)
+    assert (totals > eng.max_pad).any()  # the stream does exercise over-cap
     for r, ids in enumerate(qids):
         ids = np.asarray(ids, np.int64)
         if ids.size:
             slots = np.where(
                 st.aligned_len[ids] > 0, st.aligned_len[ids], st.block
             ).astype(np.int64)
-            if slots.sum() > eng.max_pad:
-                order = np.argsort(eng._term_lens[ids], kind="stable")
-                keep = int(
-                    np.searchsorted(np.cumsum(slots[order]), eng.max_pad, "right")
-                )
-                sel = np.sort(order[:keep])
-                ids, slots = ids[sel], slots[sel]
+        else:
+            slots = np.zeros(0, np.int64)
         m = len(ids)
         assert totals[r] == slots.sum() if m else totals[r] == 0
         kept = slot[r][slot[r] > 0]
         assert sorted(kept.tolist()) == sorted(slots.tolist()) if m else kept.size == 0
         for j in range(m):
-            # every kept term's descriptors are self-consistent
+            # every term's descriptors are self-consistent
             t_candidates = np.nonzero(
                 (rlen[r] == eng._term_lens[ids[j]]) & (slot[r] > 0)
             )[0]
