@@ -1,0 +1,209 @@
+"""End-to-end adaptive-RAG benchmark at Gemma-2B scale on the real chip.
+
+This is the reference's actual entry point (exp_rag.py:394-474) as ONE
+composed serving graph: batched CoT prefill -> while_loop decode with fused
+prober capture -> jitted ensemble gate -> BM25 retrieval (bitonic engine)
+-> host re-prompt -> regenerate, up to the 4-round cap. Every subsystem has
+its own bench (bench.py, bench_decode.py); this one measures the
+COMPOSITION — compile behavior, HBM with the gate resident next to the 2B
+LM, and the per-round latency split.
+
+Setup mirrors the paper config at full scale with random weights (quality
+needs checkpoints; latency doesn't): full-size Gemma-2B bf16, a 100k-doc
+Zipf corpus behind the bitonic BM25 engine, 6 random probers, and a
+hash-word tokenizer over the full 256k vocab whose decoded tokens are
+corpus terms — so round>=1 retrieval queries (the reference queries BM25
+with the ENTIRE prompt+generation string, exp_rag.py:425-428) hit real
+posting lists. threshold=+1e6 forces the gate's worst case: every query
+runs all 4 retrieval rounds (5 generations). threshold=-1e6 measures the
+no-retrieval floor. Real traffic lands between the two (the paper's gate
+retrieves on ~43% of queries, BASELINE.md).
+
+Prints one JSON line.
+"""
+
+import json
+import os
+import sys
+import time
+import zlib
+from collections import defaultdict
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+import numpy as np
+
+N_DOCS = int(os.environ.get("BENCH_E2E_DOCS", 100_000))
+DOC_LEN = 60
+VOCAB_TERMS = 50_000
+N_QUERIES = int(os.environ.get("BENCH_E2E_QUERIES", 64))
+BATCH = int(os.environ.get("BENCH_E2E_BATCH", 32))
+MAX_NEW = int(os.environ.get("BENCH_E2E_NEW", 150))
+
+
+class HashWordTokenizer:
+    """Whitespace-word tokenizer over the full Gemma vocab: encode hashes
+    words into [3, V); decode maps ids onto the synthetic corpus vocabulary
+    (``t{i}``), so generated text re-enters retrieval as real query terms."""
+
+    def __init__(self, vocab_size: int):
+        self.vocab_size = vocab_size
+        self.bos_id = 1
+        self.eos_id = 2
+        self.pad_id = 2  # parity: pad = eos (exp_rag.py:304)
+
+    def encode(self, text: str, add_bos: bool = False):
+        ids = [
+            3 + zlib.crc32(w.encode()) % (self.vocab_size - 3)
+            for w in text.split()
+        ]
+        return ([self.bos_id] + ids) if add_bos else ids
+
+    def decode(self, ids):
+        return " ".join(f"t{(i - 3) % VOCAB_TERMS}" for i in ids if i >= 3)
+
+    def token_strings(self):
+        # no token contains a newline: the paragraph stop never fires and
+        # every generation runs the full MAX_NEW tokens (worst case)
+        return [""] * self.vocab_size
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+
+    cache_dir = os.path.join(os.path.dirname(os.path.abspath(__file__)), ".jax_cache")
+    jax.config.update("jax_compilation_cache_dir", cache_dir)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
+    from probing_rag_tpu.data.corpus import DocStore
+    from probing_rag_tpu.models.gemma import GemmaConfig, init_params
+    from probing_rag_tpu.pipeline.rag import AdaptiveRAGPipeline, RAGConfig
+    from probing_rag_tpu.prober.train import ProberTrainConfig, init_prober_stack
+    from probing_rag_tpu.retrieval.bm25 import BM25Engine
+    from probing_rag_tpu.retrieval.bm25_index import BM25Config, BM25Index
+
+    rng = np.random.default_rng(0)
+    t0 = time.time()
+    zipf = rng.zipf(1.3, size=N_DOCS * DOC_LEN * 3)
+    zipf = zipf[zipf >= 180][: N_DOCS * DOC_LEN]
+    term_ids = (zipf % VOCAB_TERMS).astype(np.int64)
+    docs_tokens = [
+        [f"t{t}" for t in term_ids[i * DOC_LEN : (i + 1) * DOC_LEN]]
+        for i in range(N_DOCS)
+    ]
+    index = BM25Index.build_tokenized(
+        docs_tokens, BM25Config(stem=False, remove_stopwords=False)
+    )
+    build_s = time.time() - t0
+    engine = BM25Engine(index)
+    texts = [" ".join(toks) for toks in docs_tokens]
+    store = DocStore.from_texts(texts)
+
+    if os.environ.get("BENCH_E2E_TINY") == "1":  # CPU smoke of the harness
+        import dataclasses
+
+        cfg = dataclasses.replace(GemmaConfig.tiny(4096), compute_dtype=jnp.float32)
+        params = init_params(cfg, jax.random.PRNGKey(0))
+    else:
+        cfg = GemmaConfig.gemma_2b()
+        params = init_params(cfg, jax.random.PRNGKey(0), dtype=jnp.bfloat16)
+    tok = HashWordTokenizer(cfg.vocab_size)
+    tc = ProberTrainConfig(layers=cfg.probe_layers, positions=("resid_post",))
+    probers = init_prober_stack(tc, cfg.d_model, jax.random.PRNGKey(1))
+
+    qz = rng.zipf(1.3, size=N_QUERIES * 48)
+    qz = qz[qz >= 180][: N_QUERIES * 4].reshape(N_QUERIES, 4)
+    questions = [" ".join(f"t{t % VOCAB_TERMS}" for t in row) for row in qz]
+
+    phase = defaultdict(float)
+    calls = defaultdict(int)
+
+    class TimedPipeline(AdaptiveRAGPipeline):
+        def _generate(self, prompt_texts, with_capture):
+            t = time.time()
+            out = super()._generate(prompt_texts, with_capture)
+            phase["generate"] += time.time() - t
+            calls["generations"] += len(prompt_texts)
+            return out
+
+        def _gate(self, pooled):
+            t = time.time()
+            out = super()._gate(pooled)
+            phase["gate"] += time.time() - t
+            return out
+
+        def _retrieve_evidences(self, queries):
+            t = time.time()
+            out = super()._retrieve_evidences(queries)
+            phase["retrieval"] += time.time() - t
+            calls["retrievals"] += len(queries)
+            return out
+
+    def build(threshold):
+        return TimedPipeline(
+            params, cfg, tok, engine, store, probers,
+            RAGConfig(retr_method="probing", threshold=threshold,
+                      batch_size=BATCH, max_new_tokens=MAX_NEW),
+        )
+
+    # warmup at 2 queries: _generate pads every chunk to BATCH, so this
+    # compiles the exact executables (round-0 + retrieval-round decode,
+    # gate, retrieval buckets) the timed run reuses
+    t0 = time.time()
+    build(1e6).run(questions[:2])
+    warmup_s = time.time() - t0
+    phase.clear()
+    calls.clear()
+
+    # no-retrieval floor: gate fires round 0 only
+    t0 = time.time()
+    floor = build(-1e6).run(questions)
+    floor_s = time.time() - t0
+    assert all(c == 0 for c in floor.retr_count_list)
+    floor_phase = {k: round(v, 2) for k, v in phase.items()}
+    phase.clear()
+    calls.clear()
+
+    # forced worst case: every query runs all 4 retrieval rounds
+    t0 = time.time()
+    out = build(1e6).run(questions)
+    total_s = time.time() - t0
+    assert all(c == 3 for c in out.retr_count_list)
+
+    other = total_s - sum(phase.values())
+    print(
+        json.dumps(
+            {
+                "metric": "adaptive_rag_e2e_queries_per_sec_per_chip",
+                "value": round(N_QUERIES / total_s, 3),
+                "unit": "queries/s",
+                "vs_baseline": None,
+                "detail": {
+                    "model": ("tiny (smoke)" if os.environ.get("BENCH_E2E_TINY") == "1"
+                              else "gemma-2b (random bf16)"),
+                    "n_queries": N_QUERIES,
+                    "batch": BATCH,
+                    "max_new_tokens": MAX_NEW,
+                    "rounds_per_query": 5,
+                    "generations": calls["generations"],
+                    "retrieval_calls": calls["retrievals"],
+                    "total_s": round(total_s, 1),
+                    "phase_s": {k: round(v, 2) for k, v in phase.items()},
+                    "host_other_s": round(other, 2),
+                    "tokens_per_sec": round(calls["generations"] * MAX_NEW / phase["generate"], 1),
+                    "no_retrieval_floor_qps": round(N_QUERIES / floor_s, 3),
+                    "floor_phase_s": floor_phase,
+                    "warmup_compile_s": round(warmup_s, 1),
+                    "index": {"n_docs": N_DOCS, "nnz": index.nnz,
+                              "build_s": round(build_s, 1)},
+                    "bm25_stats": dict(engine.last_stats),
+                    "device": str(jax.devices()[0]),
+                },
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

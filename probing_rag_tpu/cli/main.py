@@ -145,7 +145,19 @@ def _build_pipeline(args, retr_method: str):
         tc = ProberTrainConfig(layers=cfg.probe_layers, positions=(args.position,))
         template = init_prober_stack(tc, cfg.d_model, __import__("jax").random.PRNGKey(0))
         if args.probers:
-            probers, _ = load_pytree(Path(args.probers), like=template)
+            # checkpoints trained over both positions carry 2x the gate's
+            # sites (the reference trains resid_mid+resid_post but gates on
+            # resid_post only, exp_rag.py:311): select the gate's site rows
+            # by the manifest's site order
+            import jax
+
+            probers, meta = load_pytree(Path(args.probers))
+            saved_sites = [tuple(s) for s in meta.get("sites", [])]
+            want = [list(s) for s in tc.sites]
+            if saved_sites and [list(s) for s in saved_sites] != want:
+                rows = [saved_sites.index((l, p)) for l, p in tc.sites]
+                idx = np.asarray(rows)
+                probers = jax.tree.map(lambda a: a[idx], probers)
         else:
             print("[probing-rag-tpu] no --probers: random gate (smoke only)", file=sys.stderr)
             probers = template
@@ -384,6 +396,102 @@ def cmd_analyze(args):
         print(f"\nreport -> {report}")
 
 
+def cmd_parity(args):
+    """One-command parity drill: the reference's full five-step workflow
+    (README.md:35-66 — index build -> prober-dataset make (simple + none) ->
+    prober train -> probing RAG eval per dataset -> analyze vs the published
+    tables) chained end-to-end through the same CLI surface as the manual
+    RUNBOOK.md steps.
+
+    With ``--checkpoint`` pointing at a real google/gemma-2b HF checkpoint
+    dir and ``--raw-dir`` holding the downloaded datasets
+    (scripts/download_data.sh), this reproduces every BASELINE.md table;
+    expected runtime at the paper config (500 dev questions x 5 datasets,
+    150-token CoT decoding at ~2.4k tok/s/chip measured in PARITY.md) is
+    roughly 1-2 h/dataset on one v5e chip plus 2-3 h for prober-dataset
+    generation + training. Without a checkpoint it runs the identical chain
+    on a synthetic fixture corpus with the random-init tiny model (~2 min
+    CPU; tests/test_cli_parity.py) — checkpoint availability is the only
+    variable left between this command and the published numbers."""
+    import json
+
+    work = Path(args.workdir)
+    work.mkdir(parents=True, exist_ok=True)
+    datasets = args.datasets.split(",")
+    base = ["--platform", args.platform] if args.platform else []
+    if args.checkpoint:
+        base += ["--checkpoint", args.checkpoint]
+        if args.tokenizer:
+            base += ["--tokenizer", args.tokenizer]
+
+    if args.checkpoint and not args.fixture_scale:
+        corpus_args = lambda ds: ["--dataset", ds, "--raw-dir", args.raw_dir]
+        qa_args = lambda ds, split: [
+            "--dataset", ds, "--split", split, "--raw-dir", args.raw_dir,
+        ]
+    else:
+        # synthetic fixture path: one shared corpus + per-dataset QA files
+        rng = np.random.default_rng(args.seed)
+        topics = ["paris france capital", "nile africa river", "gemma language model",
+                  "tpu google accelerator", "everest tallest mountain"]
+        corpus_path = work / "corpus.txt"
+        corpus_path.write_text("\n".join(
+            f"{t} fact {i} " + " ".join(rng.choice(list("abcdefgh"), 3))
+            for i, t in enumerate(topics * 8)
+        ))
+        qa = [
+            {"question": "What is the capital of France?", "answers": ["paris"]},
+            {"question": "Which river is in Africa?", "answers": ["nile"]},
+            {"question": "What is the tallest mountain?", "answers": ["everest"]},
+            {"question": "Who makes TPUs?", "answers": ["google"]},
+        ]
+        qa_path = work / "qa.json"
+        qa_path.write_text(json.dumps(qa))
+        corpus_args = lambda ds: ["--dataset", ds, "--fixture", str(corpus_path)]
+        qa_args = lambda ds, split: [
+            "--dataset", ds, "--split", split, "--fixture-qa", str(qa_path),
+        ]
+
+    results_dir = work / "result"
+    steps = ["--steps-limit", str(args.steps_limit),
+             "--max-new-tokens", str(args.max_new_tokens),
+             "--batch-size", str(args.batch_size),
+             "--results-dir", str(results_dir)]
+
+    print(f"[parity 1/5] index build -> {work}/index_*")
+    for ds in datasets:
+        main(base + ["index-build", *corpus_args(ds), "--out", str(work / f"index_{ds}")])
+
+    print("[parity 2/5] prober-dataset make (simple + none, train split)")
+    ds0 = datasets[0]
+    row_files = []
+    for method in ("simple", "none"):
+        out = work / f"rows_{method}.csv"
+        main(base + ["dataset-make", *qa_args(ds0, "train"),
+                     "--retr-method", method,
+                     "--index", str(work / f"index_{ds0}"),
+                     "--out", str(out), *steps])
+        row_files.append(str(out))
+
+    print("[parity 3/5] prober training")
+    main(base + ["prober-train", "--data", *row_files,
+                 "--out", str(work / "probers"),
+                 "--epochs", str(args.epochs),
+                 "--batch-size", str(args.batch_size)])
+
+    print("[parity 4/5] probing RAG eval per dataset")
+    for ds in datasets:
+        main(base + ["rag-run", *qa_args(ds, "dev"),
+                     "--retr-method", "probing",
+                     "--index", str(work / f"index_{ds}"),
+                     "--probers", str(work / "probers" / "probers"), *steps])
+
+    print("[parity 5/5] analysis vs published tables")
+    main(["analyze", "--runs", str(results_dir / "runs.jsonl"),
+          "--report", str(work / "report")])
+    print(f"parity drill complete -> {work}")
+
+
 def cmd_param_audit(args):
     """Prober-vs-classifier parameter audit (exp_parameter_check.py)."""
     import jax
@@ -486,6 +594,19 @@ def build_parser() -> argparse.ArgumentParser:
                     help="json {position: [per-layer acc]} for the heatmap")
     sp.add_argument("--layers", default="6,8,10,12,14,16")
     sp.set_defaults(fn=cmd_analyze)
+
+    sp = sub.add_parser("parity")
+    common(sp)
+    sp.add_argument("--workdir", required=True)
+    sp.add_argument("--raw-dir", default="raw_data")
+    sp.add_argument("--datasets", default="nq,trivia,hotpotqa,2wikimultihopqa,musique")
+    sp.add_argument("--steps-limit", type=int, default=500)
+    sp.add_argument("--max-new-tokens", type=int, default=150)
+    sp.add_argument("--batch-size", type=int, default=8)
+    sp.add_argument("--epochs", type=int, default=2)
+    sp.add_argument("--fixture-scale", action="store_true",
+                    help="synthetic fixture corpus even with a checkpoint")
+    sp.set_defaults(fn=cmd_parity)
 
     sp = sub.add_parser("param-audit")
     sp.add_argument("--d-model", type=int, default=2048)

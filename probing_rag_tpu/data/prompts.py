@@ -17,6 +17,8 @@ Conventions that downstream code relies on:
 
 from __future__ import annotations
 
+import re as _re
+
 from dataclasses import dataclass
 from typing import List, Sequence
 
@@ -211,8 +213,21 @@ def retr_qa_cot(query: str, docs: str) -> str:
 
 def format_evidences(passages: Sequence[str]) -> str:
     """Render retrieved passages as the ``passage i:`` block
-    (return_evidences, exp_rag.py:369-379)."""
-    return "\n".join(f"passage {i + 1}: {p}" for i, p in enumerate(passages))
+    (return_evidences, exp_rag.py:369-379).
+
+    DELIBERATE DIVERGENCE from the reference: paragraph breaks inside a
+    passage are collapsed to single newlines. The reference's decode stop
+    re-splits the FULL decoded text on "\\n\\n" every token and halts when
+    the count moves off 5 (exp_rag.py:190-193) — a retrieved passage that
+    itself contains "\\n\\n" makes it stop after the FIRST generated token,
+    producing an empty answer. The on-device stop here only triggers on a
+    NEW paragraph break (models/decode.py), so we sanitize evidence text to
+    keep prompt paragraph counts stable instead of reproducing the
+    degenerate immediate-stop (tests/test_prompts.py pins this)."""
+    return "\n".join(
+        "passage %d: %s" % (i + 1, _re.sub("\n{2,}", "\n", p))
+        for i, p in enumerate(passages)
+    )
 
 
 def inst_prompt(q: str) -> str:

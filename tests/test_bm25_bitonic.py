@@ -53,6 +53,7 @@ def test_bitonic_store_invariants(zipf_index):
     assert (st.doc_r[st.nnz :] == st.sentinel).all()
 
 
+@pytest.mark.slow
 def test_bitonic_search_matches_oracle(zipf_index):
     idx, rng = zipf_index
     eng = BM25Engine(idx, mode="bitonic", interpret=True)

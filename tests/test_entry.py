@@ -5,6 +5,7 @@ import sys
 from pathlib import Path
 
 import jax
+import pytest
 
 sys.path.insert(0, str(Path(__file__).parent.parent))
 
@@ -18,6 +19,7 @@ def test_entry_compiles():
     assert caps.shape[0] == 6  # six probed layers
 
 
+@pytest.mark.slow
 def test_dryrun_multichip(eight_devices):
     import __graft_entry__ as g
 

@@ -119,6 +119,7 @@ def _simulate_reference_decode(params, prompt_ids, max_new, eos_id, capture, tok
     return tokens[len(prompt_ids):], pooled, len(cache) - 1
 
 
+@pytest.mark.slow
 def test_decode_matches_reference_simulation(params):
     tok = ByteTokenizer(CFG.vocab_size)
     capture = CaptureSpec.for_probing(CFG)

@@ -77,6 +77,7 @@ def test_probing_method_forced_retrieve(setup):
     assert "passage 1:" in res.pred_list[0]
 
 
+@pytest.mark.slow
 def test_probing_batch_sizes_dont_change_results(setup):
     lm, tok, engine, store, probers = setup
     questions = ["capital of france", "first president", "powerhouse"]

@@ -67,6 +67,25 @@ def test_format_evidences():
     assert out == "passage 1: alpha\npassage 2: beta"
 
 
+def test_format_evidences_sanitizes_paragraph_breaks():
+    """A passage containing "\n\n" must not add a paragraph to the prompt:
+    the reference's stop heuristic re-splits the full decoded text on
+    "\n\n" and would halt after the FIRST generated token on such a
+    passage (exp_rag.py:190-193) — a degenerate empty answer. We collapse
+    runs of newlines inside evidence text instead (deliberate divergence,
+    documented at data/prompts.py::format_evidences)."""
+    dirty = "first para.\n\nsecond para.\n\n\nthird."
+    out = prompts.format_evidences([dirty, "clean"])
+    assert "\n\n" not in out
+    assert out == (
+        "passage 1: first para.\nsecond para.\nthird.\npassage 2: clean"
+    )
+    # the rendered retrieval prompt keeps exactly 5 paragraphs (the stop
+    # contract the decode loop relies on)
+    p = prompts.retr_qa_cot2("why?", prompts.format_evidences([dirty]))
+    assert len(p.split("\n\n")) == 5
+
+
 def test_retr_qa_cot_matches_committed_fixture():
     """Offline byte-parity pin for the full 5-passage-demo prompt
     (reference prompts.py:117-167), via the committed render fixture."""

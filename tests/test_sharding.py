@@ -150,6 +150,7 @@ def test_sharded_dense_on_two_level_mesh(eight_devices):
     )
 
 
+@pytest.mark.slow
 def test_sharded_bm25_bitonic_equals_single_device(eight_devices, corpus):
     """The production bitonic path per shard inside shard_map (PARITY.md):
     doc-sharded block-alternated stores + single-dispatch kernel + all_gather
@@ -173,6 +174,7 @@ def test_sharded_bm25_bitonic_equals_single_device(eight_devices, corpus):
         )
 
 
+@pytest.mark.slow
 def test_sharded_bm25_bitonic_on_two_level_mesh(eight_devices, corpus):
     index = BM25Index.build(corpus, PLAIN)
     mesh = jax.sharding.Mesh(
