@@ -349,13 +349,22 @@ class ShardedBM25Engine:
         sentinel = self.index.n_docs
         axes = self._axes
         doc_c, imp_c = self._dev_store[4], self._dev_store[5]
+        interpret = self.interpret
 
         def shard_fn(offs, docs, imps, qt, qm):
+            from probing_rag_tpu.ops.pallas_sparse import segment_topk_pallas
+
             doc, imp = postings_gather(
                 offs[0], docs[0].reshape(-1), imps[0].reshape(-1),
                 qt, qm, pad, sentinel,
             )
-            scores, idx = sorted_segment_topk(doc, imp, k, sentinel=sentinel)
+            doc, imp = jax.lax.sort_key_val(doc, imp, dimension=-1)
+            # Pallas tiled run-reduction: the XLA associative-scan segment
+            # stage explodes at fallback widths (1201 s at [8, 524288]
+            # measured — see retrieval/bm25.py::_bitonic_fallback_search)
+            scores, idx = segment_topk_pallas(
+                doc, imp, k=k, sentinel=sentinel, interpret=interpret,
+            )
             all_scores = jax.lax.all_gather(scores, axes, tiled=False)  # [S,Q,k]
             all_idx = jax.lax.all_gather(idx, axes, tiled=False)
             s, q, _ = all_scores.shape

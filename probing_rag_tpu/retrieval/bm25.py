@@ -726,13 +726,22 @@ def _fallback_gather_sort(term_offsets, doc_c, imp_c, qterms, qmask, *, pad, sen
 def _bitonic_fallback_search(
     term_offsets, doc_c, imp_c, qterms, qmask, *, pad, sentinel_doc, k
 ):
-    from probing_rag_tpu.ops.sparse import presorted_segment_topk
+    """Over-cap query scoring: XLA gather+sort, then the Pallas tiled
+    run-reduction. The XLA segment stage (associative_scan over the lane
+    axis) is PATHOLOGICAL at fallback widths — measured 1201 s at
+    [8, 524288] on v5e (compile blow-up of the 19-level scan recursion)
+    vs ~1 s for the grid-tiled Pallas kernel, whose compile cost is
+    width-independent."""
+    from probing_rag_tpu.ops.pallas_sparse import segment_topk_pallas
 
     doc, impact = _fallback_gather_sort(
         term_offsets, doc_c, imp_c, qterms, qmask,
         pad=pad, sentinel_doc=sentinel_doc,
     )
-    return presorted_segment_topk(doc, impact, k=k, sentinel=sentinel_doc)
+    return segment_topk_pallas(
+        doc, impact, k=k, sentinel=sentinel_doc,
+        interpret=jax.default_backend() != "tpu",
+    )
 
 
 @functools.partial(

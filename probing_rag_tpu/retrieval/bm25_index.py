@@ -60,7 +60,11 @@ def _compute_idf(n_docs: int, doc_freqs: np.ndarray, config: BM25Config) -> np.n
     if config.variant != "okapi":
         raise ValueError(f"unknown BM25 variant {config.variant!r}")
     idf = np.log((n_docs - doc_freqs + 0.5) / (doc_freqs + 0.5))
-    eps = config.epsilon * idf.mean() if idf.size else 0.0
+    # okapi floors negative idf at eps * mean(idf) over terms IN the corpus
+    # (rank_bm25 semantics): term-id spaces with absent ids (the integer-
+    # stream builder) must not let df=0 slots inflate the mean
+    present = idf[doc_freqs > 0]
+    eps = config.epsilon * present.mean() if present.size else 0.0
     return np.where(idf < 0, eps, idf)
 
 
@@ -141,6 +145,53 @@ class BM25Index:
         return cls(
             config=config,
             vocab=vocab,
+            term_offsets=term_offsets,
+            postings_doc=doc_arr,
+            postings_impact=impact.astype(np.float32),
+            doc_lens=doc_lens.astype(np.int32),
+            doc_ids=list(doc_ids) if doc_ids is not None else [str(i) for i in range(n_docs)],
+        )
+
+    @classmethod
+    def build_tokenized_ids(
+        cls,
+        token_ids: np.ndarray,  # [NTOK] int64, flat pre-tokenized stream
+        doc_lens: np.ndarray,  # [N] int, tokens per doc (sums to NTOK)
+        config: Optional[BM25Config] = None,
+        doc_ids: Optional[Sequence[str]] = None,
+    ) -> "BM25Index":
+        """Fully vectorized CSR build from an integer token stream — the
+        web-scale path (the reference's Wikipedia psgs_w100 corpus is 21M
+        passages, make_indexer.py:252-293; a Python per-doc dict loop over
+        billions of tokens is hours, one np.unique sort is minutes). Term
+        id == token id (callers hash strings upstream); ``vocab`` maps
+        ``"t{id}"`` for symmetry with ``encode_query``."""
+        config = config or BM25Config()
+        token_ids = np.asarray(token_ids, dtype=np.int64)
+        doc_lens = np.asarray(doc_lens, dtype=np.int64)
+        n_docs = len(doc_lens)
+        assert doc_lens.sum() == token_ids.size
+        n_terms = int(token_ids.max()) + 1 if token_ids.size else 0
+        doc_of_token = np.repeat(np.arange(n_docs, dtype=np.int64), doc_lens)
+        # (term, doc) pair counts in one sort: key = term * n_docs + doc
+        key = token_ids * n_docs + doc_of_token
+        uniq, tf = np.unique(key, return_counts=True)
+        term_arr = uniq // n_docs
+        doc_arr = (uniq % n_docs).astype(np.int32)
+        tf_arr = tf.astype(np.float32)
+
+        doc_freqs = np.bincount(term_arr, minlength=n_terms).astype(np.int64)
+        term_offsets = np.zeros(n_terms + 1, dtype=np.int64)
+        np.cumsum(doc_freqs, out=term_offsets[1:])
+        idf = _compute_idf(n_docs, doc_freqs.astype(np.float64), config)
+        avgdl = float(doc_lens.mean()) if n_docs else 0.0
+        dl_norm = config.k1 * (
+            1.0 - config.b + config.b * doc_lens.astype(np.float64) / max(avgdl, 1e-9)
+        )
+        impact = idf[term_arr] * tf_arr * (config.k1 + 1.0) / (tf_arr + dl_norm[doc_arr])
+        return cls(
+            config=config,
+            vocab={f"t{t}": t for t in range(n_terms)},
             term_offsets=term_offsets,
             postings_doc=doc_arr,
             postings_impact=impact.astype(np.float32),

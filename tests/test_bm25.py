@@ -237,3 +237,62 @@ def test_search_stream_device_parts_cover_stream():
     assert res.parts
     total_rows = sum(int(np.asarray(s).shape[0]) for s, _ in res.parts)
     assert total_rows >= len(term_ids)
+
+
+def test_build_tokenized_ids_matches_string_build():
+    """The vectorized integer-stream builder (the web-scale path,
+    bench_wiki_scale.py) must produce the same CSR + impacts as the
+    per-doc string builder on an identical corpus."""
+    from probing_rag_tpu.retrieval.bm25_index import BM25Config, BM25Index
+
+    rng = np.random.default_rng(11)
+    doc_lens = rng.integers(3, 20, size=120)
+    token_ids = rng.zipf(1.3, size=int(doc_lens.sum())) % 97
+    cfg = BM25Config(stem=False, remove_stopwords=False)
+    a = BM25Index.build_tokenized_ids(token_ids, doc_lens, cfg)
+
+    docs_tokens, pos = [], 0
+    for n in doc_lens:
+        docs_tokens.append([f"t{t}" for t in token_ids[pos : pos + n]])
+        pos += n
+    b = BM25Index.build_tokenized(docs_tokens, cfg)
+
+    # same postings per term (b's term ids come from first-seen order)
+    for term, tb in b.vocab.items():
+        ta = a.vocab[term]
+        sa = slice(a.term_offsets[ta], a.term_offsets[ta + 1])
+        sb = slice(b.term_offsets[tb], b.term_offsets[tb + 1])
+        np.testing.assert_array_equal(a.postings_doc[sa], b.postings_doc[sb])
+        np.testing.assert_allclose(
+            a.postings_impact[sa], b.postings_impact[sb], rtol=1e-6
+        )
+
+
+def test_int32_bounds_trip_at_scale_boundary():
+    """The engine/store int32 guards (retrieval/bm25.py, bm25_index.py) must
+    raise with the 'shard the index' message. Broadcast arrays give the
+    huge lengths without allocating."""
+    import pytest
+
+    from probing_rag_tpu.retrieval.bm25 import BM25Engine
+    from probing_rag_tpu.retrieval.bm25_index import (
+        BM25Config, BM25Index, build_bitonic_store,
+    )
+
+    huge_doc = np.broadcast_to(np.int32(0), (2**31,))
+    huge_imp = np.broadcast_to(np.float32(0), (2**31,))
+    idx = BM25Index(
+        config=BM25Config(),
+        vocab={"t0": 0},
+        term_offsets=np.asarray([0, 2**31], np.int64),
+        postings_doc=huge_doc,
+        postings_impact=huge_imp,
+        doc_lens=np.ones(4, np.int32),
+        doc_ids=["0", "1", "2", "3"],
+    )
+    with pytest.raises(ValueError, match="shard the index"):
+        BM25Engine(idx, mode="xla")
+    with pytest.raises(ValueError, match="shard the index"):
+        build_bitonic_store(
+            idx.term_offsets, huge_doc, huge_imp, sentinel=4
+        )
