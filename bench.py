@@ -36,6 +36,21 @@ K = 5
 TARGET_QPS = 10_000.0
 
 
+def _zipf_tokens(rng, n, a=1.3, lo=180):
+    """Exactly n Zipf draws >= lo. (A fixed 3x oversample only survives the
+    filter ~18% of the time — round-2's corpus silently came out at ~53%
+    of the stated doc count, with the tail docs empty.)"""
+    import numpy as np
+    out = []
+    need = n
+    while need > 0:
+        z = rng.zipf(a, size=int(need / 0.17) + 1024)
+        z = z[z >= lo]
+        out.append(z[:need])
+        need -= len(out[-1])
+    return np.concatenate(out)
+
+
 def main():
     import jax
 
@@ -57,9 +72,7 @@ def main():
     # bounds posting lengths on real corpora. Even so, the heaviest kept
     # terms match ~10% of all docs — a heavy workload relative to real
     # natural-language queries.
-    zipf = rng.zipf(1.3, size=N_DOCS * DOC_LEN * 3)
-    zipf = zipf[zipf >= 180][: N_DOCS * DOC_LEN]
-    term_ids = (zipf % VOCAB).astype(np.int64)
+    term_ids = (_zipf_tokens(rng, N_DOCS * DOC_LEN) % VOCAB).astype(np.int64)
     docs_tokens = [
         [f"t{t}" for t in term_ids[i * DOC_LEN : (i + 1) * DOC_LEN]]
         for i in range(N_DOCS)
@@ -71,9 +84,7 @@ def main():
     build_s = time.time() - t0
 
     engine = BM25Engine(index, max_pad=1 << 17)
-    qz = rng.zipf(1.3, size=N_QUERIES * 48)
-    qz = qz[qz >= 180][: N_QUERIES * 4].reshape(N_QUERIES, 4)
-    q_terms = (qz % VOCAB).astype(np.int64)
+    q_terms = (_zipf_tokens(rng, N_QUERIES * 4).reshape(N_QUERIES, 4) % VOCAB).astype(np.int64)
     query_ids = [
         index.encode_query([f"t{t}" for t in row]) for row in q_terms
     ]

@@ -17,6 +17,7 @@ BATCH = int(os.environ.get("BENCH_DECODE_BATCH", 8))
 PROMPT_LEN = int(os.environ.get("BENCH_DECODE_PROMPT", 1024))
 MAX_NEW = int(os.environ.get("BENCH_DECODE_NEW", 150))
 INT8 = os.environ.get("BENCH_DECODE_INT8", "0") == "1"
+KV_INT8 = os.environ.get("BENCH_DECODE_KV_INT8", "0") == "1"
 CAPTURE = os.environ.get("BENCH_DECODE_CAPTURE", "1") == "1"
 
 
@@ -52,6 +53,7 @@ def main():
         return decode_greedy(
             params, toks, valid, zeros, zeros, zeros,
             cfg=cfg, capture=capture, max_new_tokens=MAX_NEW, eos_id=-1,
+            kv_int8=KV_INT8,
         )
 
     def fetch_scalar(x) -> float:
@@ -88,7 +90,7 @@ def main():
         json.dumps(
             {
                 "metric": "gemma2b_decode_tokens_per_sec_per_chip"
-                + ("_int8" if INT8 else ""),
+                + ("_int8" if INT8 else "") + ("_kvint8" if KV_INT8 else ""),
                 "value": round(tok_s, 1),
                 "unit": "tokens/s",
                 "vs_baseline": None,
@@ -97,6 +99,7 @@ def main():
                     "prompt_len": PROMPT_LEN,
                     "max_new": MAX_NEW,
                     "capture_sites": capture.n_sites,
+                    "kv_int8": KV_INT8,
                     "compile_s": round(compile_s, 1),
                     "per_batch_latency_s": round(elapsed, 2),
                     "fetch_baseline_s": round(fetch_baseline, 1),

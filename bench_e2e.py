@@ -68,6 +68,21 @@ class HashWordTokenizer:
         return [""] * self.vocab_size
 
 
+def _zipf_tokens(rng, n, a=1.3, lo=180):
+    """Exactly n Zipf draws >= lo. (A fixed 3x oversample only survives the
+    filter ~18% of the time — round-2's corpus silently came out at ~53%
+    of the stated doc count, with the tail docs empty.)"""
+    import numpy as np
+    out = []
+    need = n
+    while need > 0:
+        z = rng.zipf(a, size=int(need / 0.17) + 1024)
+        z = z[z >= lo]
+        out.append(z[:need])
+        need -= len(out[-1])
+    return np.concatenate(out)
+
+
 def main():
     import jax
     import jax.numpy as jnp
@@ -85,9 +100,7 @@ def main():
 
     rng = np.random.default_rng(0)
     t0 = time.time()
-    zipf = rng.zipf(1.3, size=N_DOCS * DOC_LEN * 3)
-    zipf = zipf[zipf >= 180][: N_DOCS * DOC_LEN]
-    term_ids = (zipf % VOCAB_TERMS).astype(np.int64)
+    term_ids = (_zipf_tokens(rng, N_DOCS * DOC_LEN) % VOCAB_TERMS).astype(np.int64)
     docs_tokens = [
         [f"t{t}" for t in term_ids[i * DOC_LEN : (i + 1) * DOC_LEN]]
         for i in range(N_DOCS)
@@ -112,8 +125,7 @@ def main():
     tc = ProberTrainConfig(layers=cfg.probe_layers, positions=("resid_post",))
     probers = init_prober_stack(tc, cfg.d_model, jax.random.PRNGKey(1))
 
-    qz = rng.zipf(1.3, size=N_QUERIES * 48)
-    qz = qz[qz >= 180][: N_QUERIES * 4].reshape(N_QUERIES, 4)
+    qz = _zipf_tokens(rng, N_QUERIES * 4).reshape(N_QUERIES, 4)
     questions = [" ".join(f"t{t % VOCAB_TERMS}" for t in row) for row in qz]
 
     phase = defaultdict(float)

@@ -31,6 +31,21 @@ N_SEARCH = int(os.environ.get("WIKI_SEARCH", 64))
 N_SHARDS = 8
 
 
+def _zipf_tokens(rng, n, a=1.3, lo=180):
+    """Exactly n Zipf draws >= lo. (A fixed 3x oversample only survives the
+    filter ~18% of the time — round-2's corpus silently came out at ~53%
+    of the stated doc count, with the tail docs empty.)"""
+    import numpy as np
+    out = []
+    need = n
+    while need > 0:
+        z = rng.zipf(a, size=int(need / 0.17) + 1024)
+        z = z[z >= lo]
+        out.append(z[:need])
+        need -= len(out[-1])
+    return np.concatenate(out)
+
+
 def main():
     import jax
 
@@ -43,10 +58,7 @@ def main():
 
     rng = np.random.default_rng(0)
     t0 = time.time()
-    zipf = rng.zipf(1.3, size=int(N_DOCS * DOC_LEN * 2.2))
-    zipf = zipf[zipf >= 180][: N_DOCS * DOC_LEN]
-    token_ids = (zipf % VOCAB).astype(np.int64)
-    del zipf
+    token_ids = (_zipf_tokens(rng, N_DOCS * DOC_LEN) % VOCAB).astype(np.int64)
     synth_s = time.time() - t0
 
     t0 = time.time()
@@ -67,8 +79,7 @@ def main():
     shard_build_s = time.time() - t0
 
     # planning microbench: 8 shards x 8k queries, vectorized [S, N, TQ]
-    qz = rng.zipf(1.3, size=N_QUERIES * 48)
-    qz = qz[qz >= 180][: N_QUERIES * 4].reshape(N_QUERIES, 4)
+    qz = _zipf_tokens(rng, N_QUERIES * 4).reshape(N_QUERIES, 4)
     qids = [(row % VOCAB).astype(np.int32) for row in qz]
     t0 = time.time()
     src, srcr, slot, rlen, big, totals = engine._plan_bitonic_shards(qids)

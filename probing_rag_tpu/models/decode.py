@@ -99,7 +99,7 @@ def _pad_batch(
 
 @functools.partial(
     jax.jit,
-    static_argnames=("cfg", "capture", "max_new_tokens", "eos_id", "sampling"),
+    static_argnames=("cfg", "capture", "max_new_tokens", "eos_id", "sampling", "kv_int8"),
 )
 def decode_greedy(
     params: Params,
@@ -115,10 +115,13 @@ def decode_greedy(
     max_new_tokens: int,
     eos_id: int,
     sampling: SamplingConfig = SamplingConfig(),
+    kv_int8: bool = False,
 ):
     b, t = prompt_tokens.shape
     total = t + max_new_tokens
-    kv = init_kv_cache(cfg, b, total, dtype=cfg.compute_dtype)
+    kv = init_kv_cache(
+        cfg, b, total, dtype=jnp.int8 if kv_int8 else cfg.compute_dtype
+    )
 
     # Cache-slot validity: prompt pad slots never attendable; generated slots
     # become attendable as the causal buffer index advances.
@@ -206,6 +209,7 @@ def generate(
     paragraph_stop: bool = True,
     sampling: SamplingConfig = SamplingConfig(),
     seed: int = 0,
+    kv_int8: bool = False,
 ) -> Tuple[List[str], DecodeResult]:
     """End-to-end batched generation: tokenize, decode on device, detokenize.
 
@@ -236,6 +240,7 @@ def generate(
         max_new_tokens=max_new_tokens,
         eos_id=tokenizer.eos_id,
         sampling=sampling,
+        kv_int8=kv_int8,
     )
     gen = np.asarray(gen)
     gen_valid = np.asarray(gen_valid)

@@ -304,15 +304,27 @@ def _block(
     q = rope(q, positions, cfg.rope_theta)
     k = rope(k, positions, cfg.rope_theta)
 
-    ck = cv = None
+    ck = cv = ks = vs = None
     if cache is not None:
-        ck, cv, layer, cache_pos = cache
-        ck = jax.lax.dynamic_update_slice(
-            ck, k[None].astype(ck.dtype), (layer, 0, cache_pos, 0, 0))
-        cv = jax.lax.dynamic_update_slice(
-            cv, v[None].astype(cv.dtype), (layer, 0, cache_pos, 0, 0))
-        k = ck[layer]
-        v = cv[layer]
+        ck, cv, ks, vs, layer, cache_pos = cache
+        if ck.dtype == jnp.int8:
+            qk, sk = _quant_kv(k)
+            qv, sv = _quant_kv(v)
+            ck = jax.lax.dynamic_update_slice(ck, qk[None], (layer, 0, cache_pos, 0, 0))
+            cv = jax.lax.dynamic_update_slice(cv, qv[None], (layer, 0, cache_pos, 0, 0))
+            ks = jax.lax.dynamic_update_slice(ks, sk[None], (layer, 0, cache_pos, 0, 0))
+            vs = jax.lax.dynamic_update_slice(vs, sv[None], (layer, 0, cache_pos, 0, 0))
+            # dequant (convert + broadcast multiply) fuses into the
+            # attention einsum's cache read: HBM reads stay int8
+            k = ck[layer].astype(dt) * ks[layer].astype(dt)
+            v = cv[layer].astype(dt) * vs[layer].astype(dt)
+        else:
+            ck = jax.lax.dynamic_update_slice(
+                ck, k[None].astype(ck.dtype), (layer, 0, cache_pos, 0, 0))
+            cv = jax.lax.dynamic_update_slice(
+                cv, v[None].astype(cv.dtype), (layer, 0, cache_pos, 0, 0))
+            k = ck[layer]
+            v = cv[layer]
 
     attn, probs = _attention(q, k.astype(dt), v.astype(dt), mask, return_attn_probs)
     del k, v
@@ -331,7 +343,7 @@ def _block(
     up = _mm(mlp_in, lp["w_up"], dt)
     mlp_out = _mm(gate * up, lp["w_down"], dt).astype(cfg.resid_dtype)
     resid_post = resid_mid + mlp_out
-    return resid_mid, resid_post, (ck, cv), probs
+    return resid_mid, resid_post, (ck, cv, ks, vs), probs
 
 
 def forward(
@@ -395,19 +407,21 @@ def forward(
     attn_probs = None
     ck = kv_cache["k"] if kv_cache is not None else None
     cv = kv_cache["v"] if kv_cache is not None else None
+    ks = kv_cache.get("k_scale") if kv_cache is not None else None
+    vs = kv_cache.get("v_scale") if kv_cache is not None else None
     lp_all = params["layers"]
     for layer in range(cfg.n_layers):
         lp = jax.tree.map(lambda a: a[layer], lp_all)
         cache = None
         if kv_cache is not None:
-            cache = (ck, cv, layer, kv_cache["pos"])
-        resid_mid, resid_post, (ck2, cv2), probs = _block(
+            cache = (ck, cv, ks, vs, layer, kv_cache["pos"])
+        resid_mid, resid_post, (ck2, cv2, ks2, vs2), probs = _block(
             lp, x, positions, mask, cfg, cache,
             return_attn_probs=(attn_probs_layer is not None
                                and layer == attn_probs_layer % cfg.n_layers),
         )
         if kv_cache is not None:
-            ck, cv = ck2, cv2
+            ck, cv, ks, vs = ck2, cv2, ks2, vs2
         if probs is not None:
             attn_probs = probs
         for i, site in want.get(layer, ()):
@@ -435,6 +449,9 @@ def forward(
     new_cache = None
     if kv_cache is not None:
         new_cache = {"k": ck, "v": cv, "pos": kv_cache["pos"] + t}
+        if ks is not None:
+            new_cache["k_scale"] = ks
+            new_cache["v_scale"] = vs
     captures = jnp.stack(caps) if caps else None
     if attn_probs_layer is not None:
         return logits, new_cache, captures, attn_probs
@@ -442,9 +459,26 @@ def forward(
 
 
 def init_kv_cache(cfg: GemmaConfig, batch: int, max_len: int, dtype: Any = jnp.bfloat16) -> Params:
+    """KV cache. ``dtype=jnp.int8`` stores K/V quantized per (token, kv-head)
+    with f32 scales alongside — halves the decode step's KV HBM traffic; the
+    dequant (convert + broadcast multiply) fuses into the attention einsum's
+    cache read so HBM reads stay int8."""
     shape = (cfg.n_layers, batch, max_len, cfg.n_kv_heads, cfg.head_dim)
-    return {
+    cache = {
         "k": jnp.zeros(shape, dtype),
         "v": jnp.zeros(shape, dtype),
         "pos": jnp.asarray(0, jnp.int32),
     }
+    if dtype == jnp.int8:
+        sshape = shape[:-1] + (1,)
+        cache["k_scale"] = jnp.zeros(sshape, jnp.float32)
+        cache["v_scale"] = jnp.zeros(sshape, jnp.float32)
+    return cache
+
+
+def _quant_kv(x: jnp.ndarray):
+    """[B, T, KV, hd] -> (int8 values, f32 scales [B, T, KV, 1])."""
+    s = jnp.max(jnp.abs(x.astype(jnp.float32)), axis=-1, keepdims=True) / 127.0
+    s = jnp.where(s == 0.0, 1.0, s)
+    q = jnp.clip(jnp.round(x.astype(jnp.float32) / s), -127, 127).astype(jnp.int8)
+    return q, s

@@ -93,9 +93,17 @@ def _kernel(q_ref, emb_ref, sqn_ref, out_v_ref, out_i_ref, vals, idxs, *, k, met
     col = base + jax.lax.broadcasted_iota(jnp.int32, scores.shape, 1)
     scores = jnp.where(col < n_total, scores, -jnp.inf)
 
-    new_vals, new_idx = topk_merge_tile(scores, col, vals[:], idxs[:], k)
-    vals[:] = new_vals
-    idxs[:] = new_idx
+    # block-level merge skip (the faiss trick): once the running top-k is
+    # warm, a tile whose best score cannot beat ANY query's current k-th
+    # value has nothing to insert — on unordered data that is almost every
+    # tile, so the serial VPU merge (k rounds of masked-max) drops out of
+    # the MXU/DMA pipeline's critical path.
+    kth = jnp.min(vals[:, k - 1])
+    @pl.when(jnp.max(scores) > kth)
+    def _():
+        new_vals, new_idx = topk_merge_tile(scores, col, vals[:], idxs[:], k)
+        vals[:] = new_vals
+        idxs[:] = new_idx
 
     @pl.when(ni == n_tiles - 1)
     def _():
@@ -113,14 +121,23 @@ def dense_topk_pallas(
     k: int,
     metric: str = "ip",
     tile_n: int = 2048,
-    tile_q: int = 128,
+    tile_q: int = 0,
     interpret: bool = False,
 ):
     """Returns (scores [Q, k], indices [Q, k]); same contract as
-    ops.dense_topk.matmul_topk."""
+    ops.dense_topk.matmul_topk.
+
+    ``tile_q=0`` (default) picks the query-block size adaptively: the
+    embedding matrix streams through VMEM once PER QUERY BLOCK, so covering
+    the whole batch in one block (up to 512 queries; ~1.5 MB of VMEM at
+    d=768) halves-or-better the HBM traffic whenever Q exceeds a block."""
     assert k <= K_PAD
     q, d = queries.shape
     n = embeddings.shape[0]
+    if tile_q == 0:
+        tile_q = 8
+        while tile_q < min(q, 512):
+            tile_q *= 2
     qp = -(-q // tile_q) * tile_q
     np_ = -(-n // tile_n) * tile_n
     if qp != q:

@@ -427,14 +427,25 @@ class BM25Engine:
     def _search_fallback(
         self, term_id_lists: Sequence[np.ndarray], k: int, as_numpy: bool = True
     ) -> BM25SearchResult:
-        """Exact scoring for queries over the bitonic row cap: XLA gather ->
-        sort -> segment-top-k over the compact postings copy already resident
-        in the bitonic store (doc_c/imp_c), pad up to ``fallback_max_pad``.
-        Only queries beyond THAT (1M+ matched postings) keep their most
-        selective terms, counted in ``last_stats['n_trimmed']``."""
-        kept: List[Tuple[np.ndarray, int]] = []
+        """Exact scoring for queries over the bitonic row cap, hybrid-
+        gathered: big terms (those with an aligned region in the bitonic
+        store) are chunked DMA copies straight from copy E — block order
+        inside the row is irrelevant because the row is sorted next — while
+        the short tail rides the XLA gather over the compact copy. The DMA
+        path moves postings at ~4 ns/element vs ~60-95 for XLA's gather,
+        and big terms are ~95% of an over-cap query's posting mass.
+        Then one XLA sort + the Pallas run-reduction (the XLA scan segment
+        stage is pathological at these widths — 1,201 s to build at
+        [8, 524288], measured). Pad cap ``fallback_max_pad``; only queries
+        beyond THAT (1M+ matched postings) keep their most selective terms,
+        counted in ``last_stats['n_trimmed']``."""
+        from probing_rag_tpu.ops.pallas_sparse import gather_capacity, segment_topk_pallas
+
+        st = self._store
+        a_len, a_start = st.aligned_len, st.aligned_start
+        entries = []
         for ids in term_id_lists:
-            ids = np.asarray(ids, dtype=np.int32)
+            ids = np.asarray(ids, dtype=np.int64)
             total = int(self._term_lens[ids].sum()) if ids.size else 0
             if total > self.fallback_max_pad:
                 order = np.argsort(self._term_lens[ids], kind="stable")
@@ -443,34 +454,72 @@ class BM25Engine:
                     np.cumsum(lens_sorted), self.fallback_max_pad, side="right"
                 ))
                 ids = ids[np.sort(order[:keep])]
-                total = int(self._term_lens[ids].sum())
                 self.last_stats["n_trimmed"] += 1
-            kept.append((ids, total))
+            isbig = a_len[ids] > 0
+            big_ids, short_ids = ids[isbig], ids[~isbig]
+            entries.append((
+                big_ids, short_ids,
+                int(a_len[big_ids].sum()), int(self._term_lens[short_ids].sum()),
+            ))
 
-        tq = _next_pow2(max((len(i) for i, _ in kept), default=1) or 1, self.min_tq)
+        def pad_for_big(total: int) -> int:
+            if total == 0:
+                return 0
+            pad = _next_pow2(total, 1024)
+            while gather_capacity(pad) < total:
+                pad *= 2
+            return pad
+
         buckets: dict = {}
-        for i, (_, total) in enumerate(kept):
-            buckets.setdefault(_next_pow2(max(total, 1), self.min_pad), []).append(i)
+        for i, (_, _, bt, stot) in enumerate(entries):
+            key = (pad_for_big(bt), _next_pow2(max(stot, 1), self.min_pad))
+            buckets.setdefault(key, []).append(i)
 
         n = len(term_id_lists)
         out_docs = np.full((n, k), -1, np.int32)
         out_scores = np.zeros((n, k), np.float32)
         parts = []
+        sentinel = self.index.n_docs
+        doc_e, imp_e = self._dev_store[0], self._dev_store[1]
         doc_c, imp_c = self._dev_store[4], self._dev_store[5]
-        for pad, rows in sorted(buckets.items()):
+        for (pad_big, pad_short), rows in sorted(buckets.items()):
+            tqb = _next_pow2(
+                max((len(entries[i][0]) for i in rows), default=1) or 1, 8
+            )
+            tqs = _next_pow2(
+                max((len(entries[i][1]) for i in rows), default=1) or 1,
+                self.min_tq,
+            )
             for start in range(0, len(rows), self.q_tile):
                 chunk_rows = rows[start : start + self.q_tile]
                 qb = _next_pow2(len(chunk_rows), 8)
-                qt = np.zeros((qb, tq), np.int32)
-                qm = np.zeros((qb, tq), bool)
+                bstarts = np.zeros((qb, tqb), np.int32)
+                blens = np.zeros((qb, tqb), np.int32)
+                qt = np.zeros((qb, tqs), np.int32)
+                qm = np.zeros((qb, tqs), bool)
                 for row, i in enumerate(chunk_rows):
-                    ids = kept[i][0]
-                    qt[row, : len(ids)] = ids
-                    qm[row, : len(ids)] = True
-                scores, docs = _bitonic_fallback_search(
-                    self._dev_offsets, doc_c, imp_c,
-                    jnp.asarray(qt), jnp.asarray(qm),
-                    pad=pad, sentinel_doc=self.index.n_docs, k=k,
+                    big_ids, short_ids = entries[i][0], entries[i][1]
+                    bstarts[row, : len(big_ids)] = a_start[big_ids]
+                    blens[row, : len(big_ids)] = a_len[big_ids]
+                    qt[row, : len(short_ids)] = short_ids
+                    qm[row, : len(short_ids)] = True
+                if pad_big:
+                    doc, imp = _hybrid_gather_sort(
+                        doc_e, imp_e,
+                        jnp.asarray(bstarts), jnp.asarray(blens),
+                        self._dev_offsets, doc_c, imp_c,
+                        jnp.asarray(qt), jnp.asarray(qm),
+                        pad_big=pad_big, pad_short=pad_short,
+                        sentinel_doc=sentinel, interpret=self.interpret,
+                    )
+                else:  # no big terms in this bucket: pure XLA gather
+                    doc, imp = _fallback_gather_sort(
+                        self._dev_offsets, doc_c, imp_c,
+                        jnp.asarray(qt), jnp.asarray(qm),
+                        pad=pad_short, sentinel_doc=sentinel,
+                    )
+                scores, docs = segment_topk_pallas(
+                    doc, imp, k=k, sentinel=sentinel, interpret=self.interpret,
                 )
                 if as_numpy:
                     out_docs[chunk_rows] = np.asarray(docs)[: len(chunk_rows)]
@@ -723,25 +772,35 @@ def _fallback_gather_sort(term_offsets, doc_c, imp_c, qterms, qmask, *, pad, sen
     return jax.lax.sort_key_val(doc, impact, dimension=-1)
 
 
-def _bitonic_fallback_search(
-    term_offsets, doc_c, imp_c, qterms, qmask, *, pad, sentinel_doc, k
+@functools.partial(
+    jax.jit,
+    static_argnames=("pad_big", "pad_short", "sentinel_doc", "interpret"),
+)
+def _hybrid_gather_sort(
+    doc_e, imp_e, big_starts, big_lens, term_offsets, doc_c, imp_c,
+    qt_short, qm_short, *, pad_big, pad_short, sentinel_doc, interpret,
 ):
-    """Over-cap query scoring: XLA gather+sort, then the Pallas tiled
-    run-reduction. The XLA segment stage (associative_scan over the lane
-    axis) is PATHOLOGICAL at fallback widths — measured 1201 s at
-    [8, 524288] on v5e (compile blow-up of the 19-level scan recursion)
-    vs ~1 s for the grid-tiled Pallas kernel, whose compile cost is
-    width-independent."""
-    from probing_rag_tpu.ops.pallas_sparse import segment_topk_pallas
+    """Over-cap gather: big terms as chunked DMA copies from the (guarded)
+    aligned E store — the within-row block order is destroyed anyway by the
+    sort that follows, so the E copy's asc/desc alternation and its inline
+    sentinel padding are both inert — concatenated with the XLA-gathered
+    short tail, then one sort. Kept as a single program (gathers + sort
+    compose fine; only sort+scan blows up — ops/sparse.py)."""
+    from probing_rag_tpu.ops.pallas_sparse import gather_chunk, postings_gather_pallas
+    from probing_rag_tpu.ops.sparse import postings_gather
 
-    doc, impact = _fallback_gather_sort(
-        term_offsets, doc_c, imp_c, qterms, qmask,
-        pad=pad, sentinel_doc=sentinel_doc,
+    db, ib = postings_gather_pallas(
+        doc_e.reshape(-1), imp_e.reshape(-1), big_starts, big_lens,
+        pad=pad_big, sentinel=sentinel_doc, chunk=gather_chunk(pad_big),
+        interpret=interpret,
     )
-    return segment_topk_pallas(
-        doc, impact, k=k, sentinel=sentinel_doc,
-        interpret=jax.default_backend() != "tpu",
+    ds, is_ = postings_gather(
+        term_offsets, doc_c.reshape(-1), imp_c.reshape(-1),
+        qt_short, qm_short, pad_short, sentinel_doc,
     )
+    doc = jnp.concatenate([db, ds], axis=1)
+    imp = jnp.concatenate([ib, is_], axis=1)
+    return jax.lax.sort_key_val(doc, imp, dimension=-1)
 
 
 @functools.partial(

@@ -461,13 +461,16 @@ def build_bitonic_store(
     odd = (local & 1) == 1
     d2 = a_doc.reshape(blk2, block)
     i2 = a_imp.reshape(blk2, block)
-    doc_e = _reverse_blocks(d2, odd).reshape(-1)
-    imp_e = _reverse_blocks(i2, odd).reshape(-1)
-    doc_o = _reverse_blocks(d2, ~odd).reshape(-1)
-    imp_o = _reverse_blocks(i2, ~odd).reshape(-1)
-
     guard = np.full(2 * block, sentinel, np.int32)
     guardf = np.zeros(2 * block, np.float32)
+    # E/O carry a guard tail too: the over-cap fallback DMA-gathers big
+    # terms straight from copy E (retrieval/bm25.py::_hybrid_gather_sort),
+    # and the chunked-copy kernel may overshoot the final term's region by
+    # up to one chunk (ops/pallas_sparse.py::postings_gather_pallas)
+    doc_e = np.concatenate([_reverse_blocks(d2, odd).reshape(-1), guard, guard])
+    imp_e = np.concatenate([_reverse_blocks(i2, odd).reshape(-1), guardf, guardf])
+    doc_o = np.concatenate([_reverse_blocks(d2, ~odd).reshape(-1), guard, guard])
+    imp_o = np.concatenate([_reverse_blocks(i2, ~odd).reshape(-1), guardf, guardf])
     doc_c = np.concatenate([postings_doc.astype(np.int32), guard])
     imp_c = np.concatenate([postings_impact.astype(np.float32), guardf])
     doc_r = np.concatenate([postings_doc[::-1].astype(np.int32), guard])

@@ -72,6 +72,28 @@ def test_kv_cache_matches_full_forward(params):
     )
 
 
+def test_int8_kv_cache_bounded_logit_drift(params):
+    """int8 KV cache (per-token-per-head scales, dequant fused into the
+    attention read) must track the f32-cache logits closely and keep the
+    greedy path identical on a well-separated distribution."""
+    tokens = jax.random.randint(jax.random.PRNGKey(3), (2, 10), 0, CFG.vocab_size)
+    full_logits, _, _ = forward(params, tokens, CFG)
+
+    kv = init_kv_cache(CFG, 2, 10, dtype=jnp.int8)
+    assert kv["k"].dtype == jnp.int8 and "k_scale" in kv
+    logits_a, kv, _ = forward(params, tokens[:, :6], CFG, kv_cache=kv)
+    outs = [logits_a]
+    for i in range(6, 10):
+        step_logits, kv, _ = forward(params, tokens[:, i : i + 1], CFG, kv_cache=kv)
+        outs.append(step_logits)
+    inc = np.asarray(jnp.concatenate(outs, axis=1))
+    ref = np.asarray(full_logits)
+    # drift bounded relative to the logit scale (int8 quantization error)
+    assert np.max(np.abs(inc - ref)) < 0.05 * np.max(np.abs(ref))
+    # greedy tokens agree
+    np.testing.assert_array_equal(np.argmax(ref, -1), np.argmax(inc, -1))
+
+
 def test_left_padding_invariance(params):
     ids = jax.random.randint(jax.random.PRNGKey(2), (1, 7), 0, CFG.vocab_size)
     logits_plain, _, _ = forward(params, ids, CFG)
