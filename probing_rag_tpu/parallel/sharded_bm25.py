@@ -339,29 +339,48 @@ class ShardedBM25Engine:
         )
         return BM25SearchResult(np.asarray(idx), np.asarray(scores))
 
-    @functools.partial(jax.jit, static_argnames=("self", "pad", "k"))
-    def _search_fallback_sharded(self, qterms, qmask, *, pad: int, k: int):
-        """Exact per-shard scoring for over-cap queries: XLA gather ->
-        sort -> segment-top-k over each shard's compact copy (doc_c/imp_c,
-        already resident in the bitonic store), same all_gather merge. Every
-        shard scores the SAME term set (the planner trims globally, if at
-        all), so cross-shard scores are always comparable."""
+    @functools.partial(
+        jax.jit, static_argnames=("self", "pad_big", "pad_short", "k")
+    )
+    def _search_fallback_sharded(
+        self, bstarts, blens, qterms, qmask, *, pad_big: int, pad_short: int, k: int
+    ):
+        """Exact per-shard scoring for over-cap queries, hybrid-gathered
+        like the single-chip path (retrieval/bm25.py::_search_fallback):
+        each shard DMA-copies its big terms from its aligned E store and
+        XLA-gathers its short tail from the compact copy, one sort, Pallas
+        run-reduction (the XLA scan segment stage is pathological at these
+        widths), then the k-per-shard all_gather merge. The big/short split
+        is PER SHARD (a term's df differs per shard); zero-width descriptor
+        slots are skipped by both gathers, so no compaction is needed.
+        Every shard scores the SAME term set (the planner trims globally,
+        if at all), so cross-shard scores stay comparable."""
         sentinel = self.index.n_docs
         axes = self._axes
+        doc_e, imp_e = self._dev_store[0], self._dev_store[1]
         doc_c, imp_c = self._dev_store[4], self._dev_store[5]
         interpret = self.interpret
 
-        def shard_fn(offs, docs, imps, qt, qm):
-            from probing_rag_tpu.ops.pallas_sparse import segment_topk_pallas
-
-            doc, imp = postings_gather(
-                offs[0], docs[0].reshape(-1), imps[0].reshape(-1),
-                qt, qm, pad, sentinel,
+        def shard_fn(de, ie, offs, docs, imps, bs, bl, qt, qm):
+            from probing_rag_tpu.ops.pallas_sparse import (
+                gather_chunk, postings_gather_pallas, segment_topk_pallas,
             )
+
+            ds, is_ = postings_gather(
+                offs[0], docs[0].reshape(-1), imps[0].reshape(-1),
+                qt[0], qm[0], pad_short, sentinel,
+            )
+            if pad_big:
+                db, ib = postings_gather_pallas(
+                    de[0].reshape(-1), ie[0].reshape(-1), bs[0], bl[0],
+                    pad=pad_big, sentinel=sentinel,
+                    chunk=gather_chunk(pad_big), interpret=interpret,
+                )
+                doc = jnp.concatenate([db, ds], axis=1)
+                imp = jnp.concatenate([ib, is_], axis=1)
+            else:
+                doc, imp = ds, is_
             doc, imp = jax.lax.sort_key_val(doc, imp, dimension=-1)
-            # Pallas tiled run-reduction: the XLA associative-scan segment
-            # stage explodes at fallback widths (1201 s at [8, 524288]
-            # measured — see retrieval/bm25.py::_bitonic_fallback_search)
             scores, idx = segment_topk_pallas(
                 doc, imp, k=k, sentinel=sentinel, interpret=interpret,
             )
@@ -380,10 +399,11 @@ class ShardedBM25Engine:
         return jax.shard_map(
             shard_fn,
             mesh=self.mesh,
-            in_specs=(ax, ax, ax, P(), P()),
+            in_specs=(ax,) * 5 + (ax,) * 4,
             out_specs=(P(), P()),
             check_vma=False,  # outputs are replicated post-all_gather
-        )(self._dev_sh_offsets, doc_c, imp_c, qterms, qmask)
+        )(doc_e, imp_e, self._dev_sh_offsets, doc_c, imp_c,
+          bstarts, blens, qterms, qmask)
 
     def search_term_ids(
         self, term_id_lists: Sequence[np.ndarray], k: int = 5
@@ -432,8 +452,12 @@ class ShardedBM25Engine:
     def _fallback_into(self, term_id_lists, over, k, out_docs, out_scores):
         """Score over-cap queries exactly (or, beyond fallback_max_pad, with
         a GLOBALLY consistent most-selective term subset — the same kept set
-        on every shard, so the merge compares like with like)."""
-        # worst-shard compact posting total per term governs the tile
+        on every shard, so the merge compares like with like). Descriptors
+        are per-shard [S, Qb, TQ]: the hybrid big/short split follows each
+        shard's own aligned table."""
+        from probing_rag_tpu.ops.pallas_sparse import gather_capacity
+
+        # worst-shard compact posting total per term governs the trim
         worst_lens = self._sh_lens.max(axis=0)  # [T]
         kept: List[np.ndarray] = []
         for i in over:
@@ -448,21 +472,49 @@ class ShardedBM25Engine:
                 ids = ids[np.sort(order[:cut])]
                 self.last_stats["n_trimmed"] += 1
             kept.append(ids)
+
+        S = self.n_shards
+        r_count = len(kept)
+        qb = _next_pow2(r_count, 8)
         tq = _next_pow2(max((len(i) for i in kept), default=1) or 1, 8)
-        fb_buckets: dict = {}
-        for j, ids in enumerate(kept):
-            total = int(worst_lens[ids].sum()) if ids.size else 0
-            fb_buckets.setdefault(_next_pow2(max(total, 1), 512), []).append(j)
-        for pad, rows in sorted(fb_buckets.items()):
-            qb = _next_pow2(len(rows), 8)
-            qt = np.zeros((qb, tq), np.int32)
-            qm = np.zeros((qb, tq), bool)
-            for r, j in enumerate(rows):
-                qt[r, : len(kept[j])] = kept[j]
-                qm[r, : len(kept[j])] = True
-            scores, idx = self._search_fallback_sharded(
-                jnp.asarray(qt), jnp.asarray(qm), pad=pad, k=k
-            )
-            rows_global = over[np.asarray(rows)]
-            out_docs[rows_global] = np.asarray(idx)[: len(rows)]
-            out_scores[rows_global] = np.asarray(scores)[: len(rows)]
+        ids_pad = np.zeros((r_count, tq), np.int64)
+        mask = np.zeros((r_count, tq), bool)
+        for r, ids in enumerate(kept):
+            ids_pad[r, : len(ids)] = ids
+            mask[r, : len(ids)] = True
+
+        lens = self._sh_lens[:, ids_pad]  # [S, R, TQ]
+        present = mask[None] & (lens > 0)
+        isbig = present & (self._a_len[:, ids_pad] > 0)
+        short = present & ~isbig
+
+        bstarts = np.zeros((S, qb, tq), np.int32)
+        blens = np.zeros((S, qb, tq), np.int32)
+        qt = np.zeros((S, qb, tq), np.int32)
+        qm = np.zeros((S, qb, tq), bool)
+        bstarts[:, :r_count] = np.where(isbig, self._a_start[:, ids_pad], 0)
+        blens[:, :r_count] = np.where(isbig, self._a_len[:, ids_pad], 0)
+        qt[:, :r_count] = np.where(short, ids_pad[None], 0)
+        qm[:, :r_count] = short
+
+        big_total = int(blens.sum(axis=2).max()) if r_count else 0
+        short_total = int(
+            np.where(short, lens, 0).sum(axis=2).max()
+        ) if r_count else 0
+        if big_total:
+            pad_big = _next_pow2(big_total, 1024)
+            while gather_capacity(pad_big) < big_total:
+                pad_big *= 2
+        else:
+            pad_big = 0
+        pad_short = _next_pow2(max(short_total, 1), 512)
+
+        sharding = NamedSharding(self.mesh, P(self._axes))
+        args = tuple(
+            jax.device_put(a, sharding) for a in (bstarts, blens, qt, qm)
+        )
+        scores, idx = self._search_fallback_sharded(
+            *args, pad_big=pad_big, pad_short=pad_short, k=k
+        )
+        out_docs[np.asarray(over)] = np.asarray(idx)[:r_count]
+        out_scores[np.asarray(over)] = np.asarray(scores)[:r_count]
