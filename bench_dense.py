@@ -1,0 +1,125 @@
+"""Benchmark: dense retrieval queries/sec/chip (flat inner-product top-k).
+
+Measures the production hot path (`ops/pallas_dense.dense_topk_pallas` with a
+prepared store: pre-padded bf16 embeddings + cached norms, the DenseEngine
+contract) at the reference's serving shape — contriever-msmarco embeddings
+are [N, 768] f32 in faiss (SURVEY.md §2.3, make_indexer.py:446-457); the TPU
+store keeps them bf16 (the MXU's native input width; ranking parity tested in
+tests/test_pallas_dense.py). Prints ONE JSON line like bench.py.
+
+Protocol identical to bench.py: warm pass compiles, timed passes fold into a
+device scalar, one fetch, conservative fetch-cost subtraction (the tunnel's
+block_until_ready is submission-only — see PARITY.md).
+"""
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+import numpy as np
+
+Q = int(os.environ.get("BENCH_DENSE_Q", 256))
+N = int(os.environ.get("BENCH_DENSE_N", 500_000))
+D = int(os.environ.get("BENCH_DENSE_D", 768))
+K = 10
+TILE_N = int(os.environ.get("BENCH_DENSE_TILE", 4096))
+N_PASSES = 30
+# the BASELINE target is stated for BM25; for dense we report against the
+# HBM bandwidth bound (v5e ~820 GB/s): time >= N*D*2 bytes / BW per batch
+HBM_GBPS = 820.0
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+
+    cache_dir = os.path.join(os.path.dirname(os.path.abspath(__file__)), ".jax_cache")
+    jax.config.update("jax_compilation_cache_dir", cache_dir)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
+    from probing_rag_tpu.ops.pallas_dense import dense_topk_pallas, prepare_dense_store
+
+    rng = np.random.default_rng(0)
+    emb32 = rng.normal(size=(N, D)).astype(np.float32)
+    store, sqn, n = prepare_dense_store(
+        jnp.asarray(emb32, jnp.bfloat16), tile_n=TILE_N, metric="ip"
+    )
+    store = jax.block_until_ready(store)
+    # distinct query batches: identical dispatches can be memoized remotely
+    qs = [jnp.asarray(rng.normal(size=(Q, D)).astype(np.float32)) for _ in range(10)]
+
+    def fetch(x) -> float:
+        return float(np.asarray(x))
+
+    t0 = time.time()
+    v, i = dense_topk_pallas(
+        qs[0], store, k=K, sq_norms=sqn, n_total=n, tile_n=TILE_N
+    )
+    fetch(jnp.sum(v))
+    warmup_s = time.time() - t0
+
+    t0 = time.time()
+    fetch(jnp.sum(jnp.zeros((8, 128))))
+    fetch_before = time.time() - t0
+    t0 = time.time()
+    acc = jnp.zeros((), jnp.float32)
+    for j in range(N_PASSES):
+        v, i = dense_topk_pallas(
+            qs[j % len(qs)], store, k=K, sq_norms=sqn, n_total=n, tile_n=TILE_N
+        )
+        acc = acc + jnp.sum(v)
+    fetch(acc)
+    raw = time.time() - t0
+    t0 = time.time()
+    fetch(jnp.sum(jnp.ones((8, 128))))
+    fetch_after = time.time() - t0
+    elapsed = raw - min(fetch_before, fetch_after)
+    if elapsed <= 0.05 * raw:
+        elapsed = raw
+
+    per_batch = elapsed / N_PASSES
+    qps = Q / per_batch
+    read_gbps = N * D * 2 / per_batch / 1e9  # bf16 store
+    bound_s = N * D * 2 / (HBM_GBPS * 1e9)
+
+    # correctness spot check on the last batch (untimed)
+    scores = np.asarray(qs[(N_PASSES - 1) % len(qs)][:8]) @ emb32.T
+    idx = np.asarray(i[:8])
+    got = np.take_along_axis(scores, idx, axis=-1)
+    exact = np.sort(scores, axis=-1)[:, ::-1][:, :K]
+    # bf16 store: accept ranking within bf16 rounding of the f32 oracle
+    rank_ok = bool(np.all(got >= exact[:, K - 1 : K] - 0.35))
+
+    print(
+        json.dumps(
+            {
+                "metric": "dense_queries_per_sec_per_chip",
+                "value": round(qps, 1),
+                "unit": "queries/s",
+                "vs_baseline": round(bound_s / per_batch, 3),  # fraction of HBM bound
+                "detail": {
+                    "n_docs": N,
+                    "dim": D,
+                    "q_batch": Q,
+                    "k": K,
+                    "tile_n": TILE_N,
+                    "store_dtype": "bfloat16",
+                    "per_batch_ms": round(per_batch * 1e3, 2),
+                    "emb_read_gbps": round(read_gbps, 1),
+                    "pct_of_hbm_bound": round(100 * bound_s / per_batch, 1),
+                    "topk_within_bf16_rounding_of_oracle": rank_ok,
+                    "warmup_compile_s": round(warmup_s, 1),
+                    "fetch_before_s": round(fetch_before, 2),
+                    "fetch_after_s": round(fetch_after, 2),
+                    "device": str(jax.devices()[0]),
+                },
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

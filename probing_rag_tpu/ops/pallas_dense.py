@@ -29,33 +29,60 @@ from jax.experimental.pallas import tpu as pltpu
 K_PAD = 16  # scratch top-k width (>= requested k), aligned-ish
 
 
-def topk_merge_tile(scores, idx_source, run_vals, run_idx, k):
+def topk_merge_tile(scores, idx_source, run_vals, run_idx, k, thresh_k=None):
     """Fold one [QB, TN] candidate tile into the running top-k ([QB, K_PAD]).
 
     ``idx_source[q, lane]`` is the id recorded for a candidate (a global
     column for dense search, a doc id for sparse run totals). -inf scores
     never insert (run_vals is seeded with -inf and insertion positions past
     the existing -inf tail are no-ops for ranking).
-    """
+
+    Adaptive round count: insert rounds run only while some row's best
+    remaining candidate beats that row's current ``k``-th value — never more
+    than ``k`` rounds (each round extracts the global remaining max of a
+    qualifying tile), and almost always 0-2 once the running top-k is warm
+    (expected qualifying candidates per [256, 2048] tile of a 500k-doc sweep
+    is ~0.04/query). The fixed-``k`` version of this loop was the dense
+    kernel's bottleneck: ~30 us/tile of serial VPU reduces, 10x the tile's
+    DMA time, dropping the sweep to 7-13%% of HBM bandwidth (measured).
+
+    ``k`` bounds the insert rounds (the most candidates one call can place);
+    ``thresh_k`` is the buffer rank whose value gates insertion, defaulting
+    to ``k``. Callers merging a few candidates into a deeper buffer (the
+    segment kernel's run-carry merges use k=1 against a top-``K`` buffer)
+    must pass their true ``thresh_k=K`` — gating a single candidate on slot
+    0 would drop everything below the current best."""
     qb, tn = scores.shape
+    tk = k if thresh_k is None else thresh_k
     lane = jax.lax.broadcasted_iota(jnp.int32, (qb, tn), 1)
     kcol = jax.lax.broadcasted_iota(jnp.int32, (qb, K_PAD), 1)
 
-    def body(j, carry):
-        scores, run_vals, run_idx = carry
-        cur_max = jnp.max(scores, axis=-1, keepdims=True)  # [QB, 1]
+    def qualifies(scores_max, run_vals):
+        # a candidate only matters if it beats its row's current k-th value;
+        # ties can't change the ranking (insertion is stable) and -inf
+        # (exhausted / masked) never qualifies
+        return scores_max[:, 0] > run_vals[:, tk - 1]
+
+    def cond(carry):
+        scores_max, _, run_vals, _ = carry
+        return jnp.any(qualifies(scores_max, run_vals))
+
+    def body(carry):
+        cur_max, scores, run_vals, run_idx = carry
+        live = qualifies(cur_max, run_vals)[:, None]  # [QB, 1]
         is_max = scores == cur_max
         cur_arg = jnp.min(jnp.where(is_max, lane, tn), axis=-1, keepdims=True)
         cur_id = jnp.sum(
             jnp.where(lane == cur_arg, idx_source, 0), axis=-1, keepdims=True
         )
-        # mask the taken element
+        # mask the taken element (also in non-qualifying rows: their max is
+        # <= their k-th value, so it could never insert in a later round
+        # either — run_vals only rises)
         scores = jnp.where(lane == cur_arg, -jnp.inf, scores)
         # insertion position among running values (descending order)
         pos = jnp.sum((run_vals > cur_max).astype(jnp.int32), axis=-1, keepdims=True)
-        skip = ~jnp.isfinite(cur_max)  # nothing left to take in this tile
-        insert = (kcol == pos) & ~skip
-        shift_right = (kcol > pos) & ~skip
+        insert = (kcol == pos) & live
+        shift_right = (kcol > pos) & live
         prev_vals = jnp.concatenate(
             [jnp.full((qb, 1), -jnp.inf, run_vals.dtype), run_vals[:, :-1]], axis=-1
         )
@@ -66,10 +93,11 @@ def topk_merge_tile(scores, idx_source, run_vals, run_idx, k):
         new_idx = jnp.where(
             insert, cur_id, jnp.where(shift_right, prev_idx, run_idx)
         )
-        return scores, new_vals, new_idx
+        return jnp.max(scores, axis=-1, keepdims=True), scores, new_vals, new_idx
 
-    _, run_vals, run_idx = jax.lax.fori_loop(
-        0, k, body, (scores, run_vals, run_idx)
+    _, _, run_vals, run_idx = jax.lax.while_loop(
+        cond, body,
+        (jnp.max(scores, axis=-1, keepdims=True), scores, run_vals, run_idx),
     )
     return run_vals, run_idx
 
@@ -93,17 +121,13 @@ def _kernel(q_ref, emb_ref, sqn_ref, out_v_ref, out_i_ref, vals, idxs, *, k, met
     col = base + jax.lax.broadcasted_iota(jnp.int32, scores.shape, 1)
     scores = jnp.where(col < n_total, scores, -jnp.inf)
 
-    # block-level merge skip (the faiss trick): once the running top-k is
-    # warm, a tile whose best score cannot beat ANY query's current k-th
-    # value has nothing to insert — on unordered data that is almost every
-    # tile, so the serial VPU merge (k rounds of masked-max) drops out of
-    # the MXU/DMA pipeline's critical path.
-    kth = jnp.min(vals[:, k - 1])
-    @pl.when(jnp.max(scores) > kth)
-    def _():
-        new_vals, new_idx = topk_merge_tile(scores, col, vals[:], idxs[:], k)
-        vals[:] = new_vals
-        idxs[:] = new_idx
+    # the merge's while-loop runs zero insert rounds on the (overwhelmingly
+    # common) tiles where no candidate beats any query's current k-th value,
+    # so the serial VPU merge stays off the MXU/DMA pipeline's critical path
+    # without a separate block-skip branch
+    new_vals, new_idx = topk_merge_tile(scores, col, vals[:], idxs[:], k)
+    vals[:] = new_vals
+    idxs[:] = new_idx
 
     @pl.when(ni == n_tiles - 1)
     def _():
@@ -111,17 +135,51 @@ def _kernel(q_ref, emb_ref, sqn_ref, out_v_ref, out_i_ref, vals, idxs, *, k, met
         out_i_ref[:] = idxs[:]
 
 
+def prepare_dense_store(
+    embeddings: jnp.ndarray,  # [N, D]
+    *,
+    tile_n: int = 4096,
+    metric: str = "ip",
+):
+    """One-time store preparation: pad the embedding matrix to a ``tile_n``
+    multiple and (for ``l2``) materialize the squared-norm row block.
+
+    Doing this per search call costs a full read+write copy of the matrix
+    (the pad) plus a second full read (the norms) — measured at 3x the
+    kernel's own HBM traffic at [500k x 768]. Callers that search the same
+    store repeatedly (DenseEngine) should prepare once and pass
+    ``(emb_padded, sq_norms, n_docs)`` through to :func:`dense_topk_pallas`.
+    """
+    n = embeddings.shape[0]
+    np_ = -(-n // tile_n) * tile_n
+    if np_ != n:
+        embeddings = jnp.pad(embeddings, ((0, np_ - n), (0, 0)))
+    sq_norms = None
+    if metric == "l2":
+        # [8, N] with replicated sublanes: TPU block shapes need the second-
+        # to-last dim divisible by 8 (a [1, tile_n] block is not lowerable)
+        sq_norms = jnp.asarray(jnp.broadcast_to(
+            jnp.sum(embeddings.astype(jnp.float32) ** 2, axis=-1)[None, :],
+            (8, np_),
+        ))
+    return embeddings, sq_norms, n
+
+
 @functools.partial(
-    jax.jit, static_argnames=("k", "metric", "tile_n", "tile_q", "interpret")
+    jax.jit,
+    static_argnames=("k", "metric", "tile_n", "tile_q", "interpret", "n_total"),
 )
 def dense_topk_pallas(
     queries: jnp.ndarray,  # [Q, D]
-    embeddings: jnp.ndarray,  # [N, D]
+    embeddings: jnp.ndarray,  # [N, D] (or pre-padded [N_pad, D] with n_total)
     *,
     k: int,
     metric: str = "ip",
-    tile_n: int = 2048,
+    tile_n: int = 4096,  # sweep: 1024/8192 lose 5x (grid overhead / carry
+    # spill), 16384 exceeds the 64 MB scoped-vmem cap; 4096 is the optimum
     tile_q: int = 0,
+    sq_norms: jnp.ndarray | None = None,  # [8, N_pad] from prepare_dense_store
+    n_total: int = 0,  # true doc count when embeddings are pre-padded
     interpret: bool = False,
 ):
     """Returns (scores [Q, k], indices [Q, k]); same contract as
@@ -130,29 +188,50 @@ def dense_topk_pallas(
     ``tile_q=0`` (default) picks the query-block size adaptively: the
     embedding matrix streams through VMEM once PER QUERY BLOCK, so covering
     the whole batch in one block (up to 512 queries; ~1.5 MB of VMEM at
-    d=768) halves-or-better the HBM traffic whenever Q exceeds a block."""
+    d=768) halves-or-better the HBM traffic whenever Q exceeds a block.
+
+    Hot-path contract: pass pre-padded ``embeddings`` + ``sq_norms`` +
+    ``n_total`` from :func:`prepare_dense_store`; otherwise the pad and the
+    norm pass re-run inside the jitted program on EVERY call."""
     assert k <= K_PAD
+    if embeddings.dtype == jnp.bfloat16:
+        # pure-bf16 MXU matmul (f32 accumulate): a mixed f32 x bf16 dot
+        # falls on the multi-pass f32 MXU path (~4x slower, measured)
+        queries = queries.astype(jnp.bfloat16)
     q, d = queries.shape
-    n = embeddings.shape[0]
+    n = n_total or embeddings.shape[0]
     if tile_q == 0:
         tile_q = 8
         while tile_q < min(q, 512):
             tile_q *= 2
     qp = -(-q // tile_q) * tile_q
-    np_ = -(-n // tile_n) * tile_n
+    np_ = -(-embeddings.shape[0] // tile_n) * tile_n
     if qp != q:
         queries = jnp.pad(queries, ((0, qp - q), (0, 0)))
-    if np_ != n:
-        embeddings = jnp.pad(embeddings, ((0, np_ - n), (0, 0)))
-    # [8, N] with replicated sublanes: TPU block shapes need the second-to-
-    # last dim divisible by 8 (a [1, tile_n] block is not lowerable)
-    sq_norms = jnp.broadcast_to(
-        jnp.sum(embeddings.astype(jnp.float32) ** 2, axis=-1)[None, :], (8, np_)
-    )
+    if np_ != embeddings.shape[0]:
+        embeddings = jnp.pad(
+            embeddings, ((0, np_ - embeddings.shape[0]), (0, 0))
+        )
+    if metric == "l2" and sq_norms is None:
+        sq_norms = jnp.broadcast_to(
+            jnp.sum(embeddings.astype(jnp.float32) ** 2, axis=-1)[None, :],
+            (8, np_),
+        )
+    if metric == "l2":
+        sqn_spec = pl.BlockSpec(
+            (8, tile_n), lambda qi, ni: (0, ni), memory_space=pltpu.VMEM
+        )
+    else:
+        # ip never reads the norms: feed a constant dummy block so no
+        # [8, N] stream rides along with the embedding DMA
+        sq_norms = jnp.zeros((8, tile_n), jnp.float32)
+        sqn_spec = pl.BlockSpec(
+            (8, tile_n), lambda qi, ni: (0, 0), memory_space=pltpu.VMEM
+        )
 
     grid = (qp // tile_q, np_ // tile_n)
     kernel = functools.partial(
-        _kernel, k=k, metric=metric, n_total=n, tile_n=tile_n
+        _kernel, k=k, metric=metric, n_total=n, tile_n=tile_n,
     )
     out_v, out_i = pl.pallas_call(
         kernel,
@@ -160,7 +239,7 @@ def dense_topk_pallas(
         in_specs=[
             pl.BlockSpec((tile_q, d), lambda qi, ni: (qi, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((tile_n, d), lambda qi, ni: (ni, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((8, tile_n), lambda qi, ni: (0, ni), memory_space=pltpu.VMEM),
+            sqn_spec,
         ],
         out_specs=[
             pl.BlockSpec((tile_q, K_PAD), lambda qi, ni: (qi, 0), memory_space=pltpu.VMEM),
@@ -175,6 +254,10 @@ def dense_topk_pallas(
             pltpu.VMEM((tile_q, K_PAD), jnp.int32),
         ],
         interpret=interpret,
+        # adaptive tile_q (512-query blocks) overflows the 16 MB default
+        # scoped-vmem budget; the double-buffered working set still fits
+        # comfortably below this raised cap
+        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=64 * 1024 * 1024),
     )(queries, embeddings, sq_norms)
 
     vals = out_v[:q, :k]

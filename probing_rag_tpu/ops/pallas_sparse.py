@@ -131,7 +131,9 @@ def _segment_kernel(doc_ref, imp_ref, out_v_ref, out_i_ref,
         & (carry_doc[:] != sentinel)
     cand_vals = jnp.where((lane == 0) & carry_ended, carry_sum[:], -jnp.inf)
     cand_ids = jnp.broadcast_to(carry_doc[:], d.shape)
-    nv, ni_ = topk_merge_tile(cand_vals, cand_ids, run_vals[:], run_idx[:], 1)
+    nv, ni_ = topk_merge_tile(
+        cand_vals, cand_ids, run_vals[:], run_idx[:], 1, thresh_k=k
+    )
 
     # runs ending inside this tile (the tile's last lane is never an end —
     # it's finalized via the carry in the next tile / at the flush)
@@ -153,7 +155,9 @@ def _segment_kernel(doc_ref, imp_ref, out_v_ref, out_i_ref,
         flush = (carry_doc[:] != _CARRY_INIT) & (carry_doc[:] != sentinel)
         fv = jnp.where((lane == 0) & flush, carry_sum[:], -jnp.inf)
         fi = jnp.broadcast_to(carry_doc[:], d.shape)
-        nv2, ni2 = topk_merge_tile(fv, fi, run_vals[:], run_idx[:], 1)
+        nv2, ni2 = topk_merge_tile(
+            fv, fi, run_vals[:], run_idx[:], 1, thresh_k=k
+        )
         hit = jnp.isfinite(nv2)
         out_v_ref[:] = jnp.where(hit, nv2, 0.0)
         out_i_ref[:] = jnp.where(hit, ni2, -1)
@@ -542,7 +546,7 @@ def _bitonic_gather_kernel(
 )
 def bm25_search_bitonic(
     doc_e, imp_e, doc_o, imp_o, doc_c, imp_c, doc_r, imp_r,
-    src, srcr, slot, rlen, big,
+    src, srcr, slot, rlen, big, wtblk=None,
     *, pad: int, sentinel_doc: int, k: int, block: int = 1024,
     interpret: bool = False,
 ):
@@ -556,7 +560,14 @@ def bm25_search_bitonic(
     reversed-compact offset (nnz - src - len; short terms only), slot width
     (aligned len | block | 0 for masked), real posting count, and the
     long-term flag. Row width ``pad`` must be a power of two >= the largest
-    row total."""
+    row total.
+
+    ``wtblk`` ([Q, pad // block] f32, optional) scales each 1024-block's
+    impacts — the exact term-dedup hook: slots are block-aligned, so the
+    planner can express "term t was planned once for m occurrences" as
+    weight m on every block of t's slot. The multiply fuses into the row-
+    tail masking pass that already touches [Q, pad]; unweighted calls
+    compile the variant without it."""
     from probing_rag_tpu.ops.pallas_sort import sort_pairs_pallas
 
     q_in, tq = src.shape
@@ -617,6 +628,14 @@ def bm25_search_bitonic(
     valid = lane < total
     doc = jnp.where(valid, out_doc, sentinel_doc)
     imp = jnp.where(valid, out_imp, 0.0)
+    if wtblk is not None:
+        if wtblk.shape[0] != q:
+            wtblk = jnp.pad(
+                wtblk, ((0, q - wtblk.shape[0]), (0, 0)), constant_values=1.0
+            )
+        imp = imp * jnp.broadcast_to(
+            wtblk[:, :, None], (q, pad // block, block)
+        ).reshape(q, pad)
     doc, imp = sort_pairs_pallas(doc, imp, k_start=2 * block, interpret=interpret)
     scores, docs = segment_topk_pallas(
         doc, imp, k=k, sentinel=sentinel_doc, interpret=interpret

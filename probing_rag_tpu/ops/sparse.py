@@ -36,12 +36,18 @@ def postings_gather(
     qmask: jnp.ndarray,  # [Q, TQ] bool
     pad: int,  # static P: padded postings per query
     sentinel_doc: int,  # static: n_docs (sorts after every real doc)
+    qweights: jnp.ndarray | None = None,  # [Q, TQ] f32 per-term multiplier
 ):
     """Flatten each query's posting slices into a fixed [Q, P] tile.
 
     Slot p of query q holds the p-th posting of the concatenation of that
     query's term posting lists; slots past the query's total posting count
     hold (sentinel_doc, 0).
+
+    ``qweights`` scales each term's gathered impacts — the exact-dedup hook:
+    a term appearing m times in the raw query is planned once with weight m
+    (rank_bm25 scores per occurrence; m * impact == the m-fold sum up to one
+    rounding).
     """
     lens = term_offsets[qterms + 1] - term_offsets[qterms]  # [Q, TQ]
     lens = jnp.where(qmask, lens, 0)
@@ -68,6 +74,8 @@ def postings_gather(
     posting_idx = jnp.where(valid, posting_idx, 0)
     doc = jnp.where(valid, postings_doc[posting_idx], sentinel_doc)
     impact = jnp.where(valid, postings_impact[posting_idx], 0.0)
+    if qweights is not None:
+        impact = impact * jnp.take_along_axis(qweights, term_rank, axis=-1)
     return doc, impact
 
 

@@ -90,7 +90,7 @@ class ShardedBM25Engine:
 
     def __init__(self, index: BM25Index, mesh: Mesh, max_pad: int = 1 << 20,
                  use_pallas: Optional[bool] = None, mode: Optional[str] = None,
-                 interpret: Optional[bool] = None):
+                 interpret: Optional[bool] = None, dedup: bool = True):
         self.index = index
         self.mesh = mesh
         self.analyzer = index.config.analyzer()
@@ -106,6 +106,9 @@ class ShardedBM25Engine:
             interpret if interpret is not None else jax.default_backend() != "tpu"
         )
         self.use_pallas = mode == "dma"
+        # exact weighted-slot dedup, matching BM25Engine (bitonic mode only
+        # — keeps sharded-vs-single score comparisons bit-consistent)
+        self.dedup = dedup and mode == "bitonic"
         self.n_shards = int(np.prod([mesh.shape[a] for a in mesh.axis_names]))
         self._axes = tuple(mesh.axis_names)
         self.last_stats = {"n_queries": 0, "n_fallback": 0, "n_trimmed": 0}
@@ -186,7 +189,11 @@ class ShardedBM25Engine:
             offsets.astype(np.int32), NamedSharding(mesh, P(self._axes))
         )
 
-    def _plan_bitonic_shards(self, term_id_lists: Sequence[np.ndarray]):
+    def _plan_bitonic_shards(
+        self,
+        term_id_lists: Sequence[np.ndarray],
+        weight_lists: Optional[Sequence[np.ndarray]] = None,
+    ):
         """Per-(shard, query, term) descriptors, fully vectorized over the
         stacked [S, T] shard tables — the per-(query x shard) Python double
         loop it replaces cost ~20 us x n_shards per query (35% of single-chip
@@ -196,19 +203,23 @@ class ShardedBM25Engine:
         holes cost nothing). No trimming: rows whose slot total exceeds
         max_pad on any shard are routed to the exact fallback by the caller.
 
-        Returns (src, srcr, slot, rlen, big) as [S, N, TQ] int32 plus
-        per-query max-over-shards slot totals [N]."""
+        Returns (src, srcr, slot, rlen, big) as [S, N, TQ] int32, per-query
+        max-over-shards slot totals [N], and the [N, TQ] dedup weight table
+        (occurrence counts are shard-independent; 1.0 where absent)."""
         S = self.n_shards
         block = self.block
         n = len(term_id_lists)
         tq = _next_pow2(max((len(i) for i in term_id_lists), default=1) or 1, 8)
         ids = np.zeros((n, tq), np.int64)
         mask = np.zeros((n, tq), bool)
+        wt = np.ones((n, tq), np.float32)
         for r, row in enumerate(term_id_lists):
             m = len(row)
             if m:
                 ids[r, :m] = row
                 mask[r, :m] = True
+                if weight_lists is not None:
+                    wt[r, :m] = weight_lists[r]
 
         lens = self._sh_lens[:, ids]  # [S, N, TQ]
         present = mask[None] & (lens > 0)  # absent-from-shard terms: no slot
@@ -228,10 +239,13 @@ class ShardedBM25Engine:
             np.where(present, lens, 0).astype(np.int32),
             isbig.astype(np.int32),
             totals,
+            wt,
         )
 
     @functools.partial(jax.jit, static_argnames=("self", "pad", "k"))
-    def _search_bitonic(self, src, srcr, slot, rlen, big, *, pad: int, k: int):
+    def _search_bitonic(
+        self, src, srcr, slot, rlen, big, wtblk=None, *, pad: int, k: int
+    ):
         from probing_rag_tpu.ops.pallas_sparse import bm25_search_bitonic
 
         sentinel = self.index.n_docs
@@ -239,10 +253,12 @@ class ShardedBM25Engine:
         block = self.block
         interpret = self.interpret
 
-        def shard_fn(de, ie, do, io, dc, ic, dr, ir, src, srcr, slot, rlen, big):
+        def shard_fn(de, ie, do, io, dc, ic, dr, ir, src, srcr, slot, rlen, big,
+                     *wt):
             scores, idx = bm25_search_bitonic(
                 de[0], ie[0], do[0], io[0], dc[0], ic[0], dr[0], ir[0],
                 src[0], srcr[0], slot[0], rlen[0], big[0],
+                wt[0][0] if wt else None,
                 pad=pad, sentinel_doc=sentinel, k=k, block=block,
                 interpret=interpret,
             )
@@ -258,13 +274,14 @@ class ShardedBM25Engine:
             return jnp.where(hit, top_vals, 0.0), jnp.where(hit, top_idx, -1)
 
         ax = P(self._axes)
+        extra = () if wtblk is None else (wtblk,)
         return jax.shard_map(
             shard_fn,
             mesh=self.mesh,
-            in_specs=(ax,) * 8 + (ax,) * 5,
+            in_specs=(ax,) * 8 + (ax,) * (5 + len(extra)),
             out_specs=(P(), P()),
             check_vma=False,  # outputs are replicated post-all_gather
-        )(*self._dev_store, src, srcr, slot, rlen, big)
+        )(*self._dev_store, src, srcr, slot, rlen, big, *extra)
 
     @functools.partial(jax.jit, static_argnames=("self", "pad", "k"))
     def _search(self, qterms, qmask, *, pad: int, k: int):
@@ -343,7 +360,8 @@ class ShardedBM25Engine:
         jax.jit, static_argnames=("self", "pad_big", "pad_short", "k")
     )
     def _search_fallback_sharded(
-        self, bstarts, blens, qterms, qmask, *, pad_big: int, pad_short: int, k: int
+        self, bstarts, blens, qterms, qmask, big_wtblk=None, qw_short=None,
+        *, pad_big: int, pad_short: int, k: int
     ):
         """Exact per-shard scoring for over-cap queries, hybrid-gathered
         like the single-chip path (retrieval/bm25.py::_search_fallback):
@@ -361,14 +379,20 @@ class ShardedBM25Engine:
         doc_c, imp_c = self._dev_store[4], self._dev_store[5]
         interpret = self.interpret
 
-        def shard_fn(de, ie, offs, docs, imps, bs, bl, qt, qm):
+        block = self.block
+
+        def shard_fn(de, ie, offs, docs, imps, bs, bl, qt, qm, *wts):
             from probing_rag_tpu.ops.pallas_sparse import (
                 gather_chunk, postings_gather_pallas, segment_topk_pallas,
             )
 
+            # optional dedup weights ride at the tail: (big_wtblk?, qw_short?)
+            wts = list(wts)
+            bw = wts.pop(0)[0] if big_wtblk is not None else None
+            qw = wts.pop(0)[0] if qw_short is not None else None
             ds, is_ = postings_gather(
                 offs[0], docs[0].reshape(-1), imps[0].reshape(-1),
-                qt[0], qm[0], pad_short, sentinel,
+                qt[0], qm[0], pad_short, sentinel, qweights=qw,
             )
             if pad_big:
                 db, ib = postings_gather_pallas(
@@ -376,6 +400,11 @@ class ShardedBM25Engine:
                     pad=pad_big, sentinel=sentinel,
                     chunk=gather_chunk(pad_big), interpret=interpret,
                 )
+                if bw is not None:
+                    qn = ib.shape[0]
+                    ib = ib * jnp.broadcast_to(
+                        bw[:, :, None], (qn, pad_big // block, block)
+                    ).reshape(qn, pad_big)
                 doc = jnp.concatenate([db, ds], axis=1)
                 imp = jnp.concatenate([ib, is_], axis=1)
             else:
@@ -396,22 +425,29 @@ class ShardedBM25Engine:
             return jnp.where(hit, top_vals, 0.0), jnp.where(hit, top_idx, -1)
 
         ax = P(self._axes)
+        extra = tuple(a for a in (big_wtblk, qw_short) if a is not None)
         return jax.shard_map(
             shard_fn,
             mesh=self.mesh,
-            in_specs=(ax,) * 5 + (ax,) * 4,
+            in_specs=(ax,) * 5 + (ax,) * (4 + len(extra)),
             out_specs=(P(), P()),
             check_vma=False,  # outputs are replicated post-all_gather
         )(doc_e, imp_e, self._dev_sh_offsets, doc_c, imp_c,
-          bstarts, blens, qterms, qmask)
+          bstarts, blens, qterms, qmask, *extra)
 
     def search_term_ids(
         self, term_id_lists: Sequence[np.ndarray], k: int = 5
     ) -> BM25SearchResult:
         if self.mode != "bitonic":
             raise NotImplementedError("search_term_ids: bitonic mode only")
-        src, srcr, slot, rlen, big, totals = self._plan_bitonic_shards(
-            term_id_lists
+        weights = None
+        any_dup = False
+        if self.dedup:
+            from probing_rag_tpu.retrieval.bm25 import _dedup_term_ids
+
+            term_id_lists, weights, any_dup = _dedup_term_ids(term_id_lists)
+        src, srcr, slot, rlen, big, totals, wt = self._plan_bitonic_shards(
+            term_id_lists, weights
         )
         n = len(term_id_lists)
         over = np.nonzero(totals > self.max_pad)[0]
@@ -441,15 +477,38 @@ class ShardedBM25Engine:
                     jax.device_put(a[:, sel], sharding)
                     for a in (src, srcr, slot, rlen, big)
                 )
-                scores, idx = self._search_bitonic(*args, pad=pad, k=k)
+                wtblk = None
+                if any_dup:
+                    from probing_rag_tpu.retrieval.bm25 import _weight_blocks
+
+                    S = self.n_shards
+                    # per-shard maps: slot widths differ per shard, the
+                    # weight (occurrence count) does not
+                    wtblk = jax.device_put(
+                        _weight_blocks(
+                            slot[:, sel].reshape(S * qb, -1),
+                            np.broadcast_to(
+                                wt[sel][None], (S, qb, wt.shape[1])
+                            ).reshape(S * qb, -1),
+                            pad, self.block,
+                        ).reshape(S, qb, pad // self.block),
+                        sharding,
+                    )
+                scores, idx = self._search_bitonic(
+                    *args, wtblk, pad=pad, k=k
+                )
                 out_docs[chunk] = np.asarray(idx)[: len(chunk)]
                 out_scores[chunk] = np.asarray(scores)[: len(chunk)]
 
         if len(over):
-            self._fallback_into(term_id_lists, over, k, out_docs, out_scores)
+            self._fallback_into(
+                term_id_lists, over, k, out_docs, out_scores,
+                weight_lists=weights,
+            )
         return BM25SearchResult(out_docs, out_scores)
 
-    def _fallback_into(self, term_id_lists, over, k, out_docs, out_scores):
+    def _fallback_into(self, term_id_lists, over, k, out_docs, out_scores,
+                       weight_lists=None):
         """Score over-cap queries exactly (or, beyond fallback_max_pad, with
         a GLOBALLY consistent most-selective term subset — the same kept set
         on every shard, so the merge compares like with like). Descriptors
@@ -460,8 +519,14 @@ class ShardedBM25Engine:
         # worst-shard compact posting total per term governs the trim
         worst_lens = self._sh_lens.max(axis=0)  # [T]
         kept: List[np.ndarray] = []
+        kept_w: List[np.ndarray] = []
         for i in over:
             ids = np.asarray(term_id_lists[i], dtype=np.int64)
+            w = (
+                np.asarray(weight_lists[i], np.float32)
+                if weight_lists is not None
+                else np.ones(ids.size, np.float32)
+            )
             total = int(worst_lens[ids].sum()) if ids.size else 0
             if total > self.fallback_max_pad:
                 order = np.argsort(worst_lens[ids], kind="stable")
@@ -469,9 +534,12 @@ class ShardedBM25Engine:
                     np.cumsum(worst_lens[ids[order]]),
                     self.fallback_max_pad, side="right",
                 ))
-                ids = ids[np.sort(order[:cut])]
+                sel = np.sort(order[:cut])
+                ids, w = ids[sel], w[sel]
                 self.last_stats["n_trimmed"] += 1
             kept.append(ids)
+            kept_w.append(w)
+        any_wt = any((w != 1.0).any() for w in kept_w)
 
         S = self.n_shards
         r_count = len(kept)
@@ -479,9 +547,11 @@ class ShardedBM25Engine:
         tq = _next_pow2(max((len(i) for i in kept), default=1) or 1, 8)
         ids_pad = np.zeros((r_count, tq), np.int64)
         mask = np.zeros((r_count, tq), bool)
+        wtab = np.ones((r_count, tq), np.float32)
         for r, ids in enumerate(kept):
             ids_pad[r, : len(ids)] = ids
             mask[r, : len(ids)] = True
+            wtab[r, : len(ids)] = kept_w[r]
 
         lens = self._sh_lens[:, ids_pad]  # [S, R, TQ]
         present = mask[None] & (lens > 0)
@@ -513,8 +583,26 @@ class ShardedBM25Engine:
         args = tuple(
             jax.device_put(a, sharding) for a in (bstarts, blens, qt, qm)
         )
+        big_wtblk = qw_short = None
+        if any_wt:
+            from probing_rag_tpu.retrieval.bm25 import _weight_blocks
+
+            qw = np.ones((S, qb, tq), np.float32)
+            qw[:, :r_count] = np.where(short, wtab[None], 1.0)
+            qw_short = jax.device_put(qw, sharding)
+            if pad_big:
+                bw = np.ones((S, qb, tq), np.float32)
+                bw[:, :r_count] = np.where(isbig, wtab[None], 1.0)
+                big_wtblk = jax.device_put(
+                    _weight_blocks(
+                        blens.reshape(S * qb, tq), bw.reshape(S * qb, tq),
+                        pad_big, self.block,
+                    ).reshape(S, qb, pad_big // self.block),
+                    sharding,
+                )
         scores, idx = self._search_fallback_sharded(
-            *args, pad_big=pad_big, pad_short=pad_short, k=k
+            *args, big_wtblk, qw_short,
+            pad_big=pad_big, pad_short=pad_short, k=k
         )
         out_docs[np.asarray(over)] = np.asarray(idx)[:r_count]
         out_scores[np.asarray(over)] = np.asarray(scores)[:r_count]

@@ -42,6 +42,54 @@ def _next_pow4(n: int, floor: int) -> int:
     return p
 
 
+def _dedup_term_ids(term_id_lists: Sequence[np.ndarray]):
+    """Collapse repeated term ids into (unique ids, occurrence counts).
+
+    rank_bm25 scores a query term once PER OCCURRENCE (exp_rag.py:426 passes
+    the raw token list), so a term repeated m times contributes m x impact
+    per doc — expressed exactly as weight m on a single planned slot. Long
+    adaptive-RAG retrieval queries (the full prompt + generation string,
+    exp_rag.py:425-428) repeat common words heavily; deduping shrinks their
+    slot totals, sort widths, and over-cap fallbacks together.
+
+    Returns (unique_lists, weight_lists [f32], any_dup)."""
+    uniq, weights, any_dup = [], [], False
+    for ids in term_id_lists:
+        ids = np.asarray(ids, dtype=np.int64)
+        if ids.size == 0:
+            uniq.append(ids)
+            weights.append(np.ones(0, np.float32))
+            continue
+        u, c = np.unique(ids, return_counts=True)
+        uniq.append(u)
+        weights.append(c.astype(np.float32))
+        any_dup = any_dup or bool((c > 1).any())
+    return uniq, weights, any_dup
+
+
+def _weight_blocks(
+    slot_rows: np.ndarray,  # [R, TQ] int: per-term slot widths (block-aligned)
+    wt_rows: np.ndarray,  # [R, TQ] f32: per-term weights
+    pad: int,
+    block: int,
+) -> np.ndarray:
+    """Expand per-term weights into the [R, pad // block] per-1024-block map
+    the weighted kernels consume: block b of row r carries the weight of the
+    term whose slot covers it (tail blocks: 1.0). Vectorized (np.repeat +
+    flat scatter) — no per-query Python, matching the planner discipline."""
+    nblk = pad // block
+    reps = (slot_rows // block).astype(np.int64)  # [R, TQ] blocks per term
+    lengths = reps.sum(axis=1)  # [R] blocks used
+    out = np.ones((slot_rows.shape[0], nblk), np.float32)
+    flat_w = np.repeat(wt_rows.ravel(), reps.ravel())
+    if flat_w.size:
+        rowi = np.repeat(np.arange(slot_rows.shape[0]), lengths)
+        starts = np.concatenate([[0], np.cumsum(lengths)[:-1]])
+        coli = np.arange(flat_w.size) - np.repeat(starts, lengths)
+        out[rowi, coli] = flat_w
+    return out
+
+
 @dataclass
 class BM25SearchResult:
     """Top-k per query.
@@ -80,6 +128,7 @@ class BM25Engine:
         use_pallas: Optional[bool] = None,  # legacy knob: True=dma, False=xla
         mode: Optional[str] = None,  # "bitonic" | "dma" | "xla" (None = auto)
         interpret: Optional[bool] = None,
+        dedup: bool = True,  # bitonic mode: collapse repeated query terms
     ):
         if index.nnz >= 2**31:
             raise ValueError(
@@ -103,6 +152,9 @@ class BM25Engine:
             interpret if interpret is not None else jax.default_backend() != "tpu"
         )
         put = lambda x: jax.device_put(x, device) if device is not None else jnp.asarray(x)
+        # exact term dedup (weighted slots) lives on the bitonic paths; the
+        # legacy dma/xla paths keep one gathered slice per occurrence
+        self.dedup = dedup and self.mode == "bitonic"
         self.last_stats = {"n_queries": 0, "n_fallback": 0, "n_trimmed": 0}
         if mode == "bitonic":
             # row width bound: unrolled sort-network compile time grows with
@@ -301,12 +353,18 @@ class BM25Engine:
         return BM25SearchResult(out_docs, out_scores)
 
     # ---------------------------------------------------- bitonic planning
-    def _plan_bitonic(self, term_id_lists: Sequence[np.ndarray]):
+    def _plan_bitonic(
+        self,
+        term_id_lists: Sequence[np.ndarray],
+        weight_lists: Optional[Sequence[np.ndarray]] = None,
+    ):
         """Per-(query, term) descriptors for bm25_search_bitonic: slot width
         (aligned len for long terms, one block for short), source offset
         (E/O store | compact), reversed-compact offset, real length,
         long-term flag. Rows whose slot total exceeds max_pad are returned
         untrimmed — the caller routes them to the exact fallback path.
+        ``weight_lists`` (dedup occurrence counts) ride along as a
+        [N, TQ] f32 table (1.0 where absent).
 
         Fully vectorized over the [N, TQ] id matrix: a per-query Python
         loop costs ~20 us/query — 35% of end-to-end throughput at the bench
@@ -322,11 +380,14 @@ class BM25Engine:
         )
         ids = np.zeros((n, tq), np.int64)
         mask = np.zeros((n, tq), bool)
+        wt = np.ones((n, tq), np.float32)
         for r, row in enumerate(term_id_lists):  # ragged -> padded (cheap)
             m = len(row)
             if m:
                 ids[r, :m] = row
                 mask[r, :m] = True
+                if weight_lists is not None:
+                    wt[r, :m] = weight_lists[r]
 
         lens = np.where(mask, self._term_lens[ids], 0)
         alens = np.where(mask, a_len[ids], 0)
@@ -344,6 +405,7 @@ class BM25Engine:
             lens.astype(np.int32),
             isbig.astype(np.int32),
             totals,
+            wt,
         )
 
     def _search_bitonic(
@@ -356,7 +418,13 @@ class BM25Engine:
         from probing_rag_tpu.ops.pallas_sparse import bm25_search_bitonic
 
         st = self._store
-        src, srcr, slot, rlen, big, totals = self._plan_bitonic(term_id_lists)
+        weights = None
+        any_dup = False
+        if self.dedup:
+            term_id_lists, weights, any_dup = _dedup_term_ids(term_id_lists)
+        src, srcr, slot, rlen, big, totals, wt = self._plan_bitonic(
+            term_id_lists, weights
+        )
         n = len(term_id_lists)
         over = set(np.nonzero(totals > self.max_pad)[0].tolist())
         self.last_stats = {
@@ -391,11 +459,18 @@ class BM25Engine:
                 start += qb
                 pad_rows = qb - len(chunk_rows)
                 sel = np.asarray(chunk_rows + [chunk_rows[-1]] * pad_rows)
+                wtblk = None
+                if any_dup:
+                    # per-block dedup weights; the unweighted variant stays
+                    # compiled for dup-free batches
+                    wtblk = jnp.asarray(
+                        _weight_blocks(slot[sel], wt[sel], pad, st.block)
+                    )
                 scores, docs = bm25_search_bitonic(
                     *self._dev_store,
                     jnp.asarray(src[sel]), jnp.asarray(srcr[sel]),
                     jnp.asarray(slot[sel]), jnp.asarray(rlen[sel]),
-                    jnp.asarray(big[sel]),
+                    jnp.asarray(big[sel]), wtblk,
                     pad=pad, sentinel_doc=self.index.n_docs, k=k,
                     block=st.block, interpret=self.interpret,
                 )
@@ -409,7 +484,10 @@ class BM25Engine:
         if over:
             over_rows = sorted(over)
             fb = self._search_fallback(
-                [term_id_lists[i] for i in over_rows], k, as_numpy=as_numpy
+                [term_id_lists[i] for i in over_rows], k, as_numpy=as_numpy,
+                weight_lists=(
+                    [weights[i] for i in over_rows] if weights is not None else None
+                ),
             )
             if as_numpy:
                 out_docs[over_rows] = fb.doc_indices
@@ -425,7 +503,11 @@ class BM25Engine:
         return BM25SearchResult(out_docs, out_scores)
 
     def _search_fallback(
-        self, term_id_lists: Sequence[np.ndarray], k: int, as_numpy: bool = True
+        self,
+        term_id_lists: Sequence[np.ndarray],
+        k: int,
+        as_numpy: bool = True,
+        weight_lists: Optional[Sequence[np.ndarray]] = None,
     ) -> BM25SearchResult:
         """Exact scoring for queries over the bitonic row cap, hybrid-
         gathered: big terms (those with an aligned region in the bitonic
@@ -443,9 +525,17 @@ class BM25Engine:
 
         st = self._store
         a_len, a_start = st.aligned_len, st.aligned_start
+        any_wt = weight_lists is not None and any(
+            (np.asarray(w) != 1.0).any() for w in weight_lists
+        )
         entries = []
-        for ids in term_id_lists:
+        for qi, ids in enumerate(term_id_lists):
             ids = np.asarray(ids, dtype=np.int64)
+            w = (
+                np.asarray(weight_lists[qi], np.float32)
+                if weight_lists is not None
+                else np.ones(ids.size, np.float32)
+            )
             total = int(self._term_lens[ids].sum()) if ids.size else 0
             if total > self.fallback_max_pad:
                 order = np.argsort(self._term_lens[ids], kind="stable")
@@ -453,13 +543,15 @@ class BM25Engine:
                 keep = int(np.searchsorted(
                     np.cumsum(lens_sorted), self.fallback_max_pad, side="right"
                 ))
-                ids = ids[np.sort(order[:keep])]
+                sel = np.sort(order[:keep])
+                ids, w = ids[sel], w[sel]
                 self.last_stats["n_trimmed"] += 1
             isbig = a_len[ids] > 0
             big_ids, short_ids = ids[isbig], ids[~isbig]
             entries.append((
                 big_ids, short_ids,
                 int(a_len[big_ids].sum()), int(self._term_lens[short_ids].sum()),
+                w[isbig], w[~isbig],
             ))
 
         def pad_for_big(total: int) -> int:
@@ -471,7 +563,7 @@ class BM25Engine:
             return pad
 
         buckets: dict = {}
-        for i, (_, _, bt, stot) in enumerate(entries):
+        for i, (_, _, bt, stot, _, _) in enumerate(entries):
             key = (pad_for_big(bt), _next_pow2(max(stot, 1), self.min_pad))
             buckets.setdefault(key, []).append(i)
 
@@ -497,25 +589,39 @@ class BM25Engine:
                 blens = np.zeros((qb, tqb), np.int32)
                 qt = np.zeros((qb, tqs), np.int32)
                 qm = np.zeros((qb, tqs), bool)
+                bw = np.ones((qb, tqb), np.float32)
+                sw = np.ones((qb, tqs), np.float32)
                 for row, i in enumerate(chunk_rows):
                     big_ids, short_ids = entries[i][0], entries[i][1]
                     bstarts[row, : len(big_ids)] = a_start[big_ids]
                     blens[row, : len(big_ids)] = a_len[big_ids]
                     qt[row, : len(short_ids)] = short_ids
                     qm[row, : len(short_ids)] = True
+                    if any_wt:
+                        bw[row, : len(big_ids)] = entries[i][4]
+                        sw[row, : len(short_ids)] = entries[i][5]
                 if pad_big:
+                    big_wtblk = qw_short = None
+                    if any_wt:
+                        big_wtblk = jnp.asarray(
+                            _weight_blocks(blens, bw, pad_big, st.block)
+                        )
+                        qw_short = jnp.asarray(sw)
                     doc, imp = _hybrid_gather_sort(
                         doc_e, imp_e,
                         jnp.asarray(bstarts), jnp.asarray(blens),
                         self._dev_offsets, doc_c, imp_c,
                         jnp.asarray(qt), jnp.asarray(qm),
+                        big_wtblk, qw_short,
                         pad_big=pad_big, pad_short=pad_short,
-                        sentinel_doc=sentinel, interpret=self.interpret,
+                        sentinel_doc=sentinel, block=st.block,
+                        interpret=self.interpret,
                     )
                 else:  # no big terms in this bucket: pure XLA gather
                     doc, imp = _fallback_gather_sort(
                         self._dev_offsets, doc_c, imp_c,
                         jnp.asarray(qt), jnp.asarray(qm),
+                        jnp.asarray(sw) if any_wt else None,
                         pad=pad_short, sentinel_doc=sentinel,
                     )
                 scores, docs = segment_topk_pallas(
@@ -758,7 +864,10 @@ import functools
 
 
 @functools.partial(jax.jit, static_argnames=("pad", "sentinel_doc"))
-def _fallback_gather_sort(term_offsets, doc_c, imp_c, qterms, qmask, *, pad, sentinel_doc):
+def _fallback_gather_sort(
+    term_offsets, doc_c, imp_c, qterms, qmask, qweights=None,
+    *, pad, sentinel_doc,
+):
     """Gather+sort over the bitonic store's (1, N) compact copies (reshape is
     free inside jit). Kept as its own program: composing the TPU sort with
     the downstream segment scans is a known multi-hour-compile trigger
@@ -767,25 +876,32 @@ def _fallback_gather_sort(term_offsets, doc_c, imp_c, qterms, qmask, *, pad, sen
 
     doc, impact = postings_gather(
         term_offsets, doc_c.reshape(-1), imp_c.reshape(-1), qterms, qmask,
-        pad, sentinel_doc,
+        pad, sentinel_doc, qweights=qweights,
     )
     return jax.lax.sort_key_val(doc, impact, dimension=-1)
 
 
 @functools.partial(
     jax.jit,
-    static_argnames=("pad_big", "pad_short", "sentinel_doc", "interpret"),
+    static_argnames=("pad_big", "pad_short", "sentinel_doc", "block", "interpret"),
 )
 def _hybrid_gather_sort(
     doc_e, imp_e, big_starts, big_lens, term_offsets, doc_c, imp_c,
-    qt_short, qm_short, *, pad_big, pad_short, sentinel_doc, interpret,
+    qt_short, qm_short, big_wtblk=None, qw_short=None,
+    *, pad_big, pad_short, sentinel_doc, block=1024, interpret,
 ):
     """Over-cap gather: big terms as chunked DMA copies from the (guarded)
     aligned E store — the within-row block order is destroyed anyway by the
     sort that follows, so the E copy's asc/desc alternation and its inline
     sentinel padding are both inert — concatenated with the XLA-gathered
     short tail, then one sort. Kept as a single program (gathers + sort
-    compose fine; only sort+scan blows up — ops/sparse.py)."""
+    compose fine; only sort+scan blows up — ops/sparse.py).
+
+    Dedup weights: ``big_wtblk`` [Q, pad_big // block] scales each aligned
+    block's impacts (big-term slots are ``block``-aligned, and DMA chunk
+    overshoot into a later term's slice is overwritten before this multiply
+    runs, so block ownership is exact); ``qw_short`` [Q, TQs] rides the XLA
+    gather's per-term rank decomposition."""
     from probing_rag_tpu.ops.pallas_sparse import gather_chunk, postings_gather_pallas
     from probing_rag_tpu.ops.sparse import postings_gather
 
@@ -794,9 +910,14 @@ def _hybrid_gather_sort(
         pad=pad_big, sentinel=sentinel_doc, chunk=gather_chunk(pad_big),
         interpret=interpret,
     )
+    if big_wtblk is not None:
+        qn = ib.shape[0]
+        ib = ib * jnp.broadcast_to(
+            big_wtblk[:, :, None], (qn, pad_big // block, block)
+        ).reshape(qn, pad_big)
     ds, is_ = postings_gather(
         term_offsets, doc_c.reshape(-1), imp_c.reshape(-1),
-        qt_short, qm_short, pad_short, sentinel_doc,
+        qt_short, qm_short, pad_short, sentinel_doc, qweights=qw_short,
     )
     doc = jnp.concatenate([db, ds], axis=1)
     imp = jnp.concatenate([ib, is_], axis=1)

@@ -86,6 +86,15 @@ class DenseEngine:
         self.use_pallas = (
             use_pallas if use_pallas is not None else jax.default_backend() == "tpu"
         )
+        if self.use_pallas:
+            # pad + norms once at construction: doing it per call re-reads
+            # and re-writes the full store (3x the kernel's HBM traffic)
+            from probing_rag_tpu.ops.pallas_dense import prepare_dense_store
+
+            self._pallas_tile_n = min(4096, max(128, index.n_docs))
+            self._emb, self._sqn, _ = prepare_dense_store(
+                self._emb, tile_n=self._pallas_tile_n, metric=index.metric
+            )
 
     def search_embeddings(
         self, query_emb: np.ndarray, k: int = 5, as_numpy: bool = True
@@ -96,7 +105,8 @@ class DenseEngine:
 
             vals, idx = dense_topk_pallas(
                 q, self._emb, k=k, metric=self.index.metric,
-                tile_n=min(2048, max(128, self.index.n_docs)),
+                tile_n=self._pallas_tile_n,
+                sq_norms=self._sqn, n_total=self.index.n_docs,
                 interpret=jax.default_backend() != "tpu",
             )
         else:

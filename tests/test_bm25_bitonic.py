@@ -72,11 +72,13 @@ def test_bitonic_search_matches_oracle(zipf_index):
             continue
         oracle = idx.score_all(ids)
         exp = np.sort(oracle)[::-1][: len(got)]
-        assert np.allclose(np.sort(got)[::-1], exp, atol=1e-4), i
+        # 5e-4: f32 segment sums vs the f64 oracle, plus dedup's m*x vs
+        # m-fold-add rounding (one extra f32 rounding per repeated term)
+        assert np.allclose(np.sort(got)[::-1], exp, atol=5e-4), i
         # returned doc ids actually achieve the returned scores
         for d, s in zip(res.doc_indices[i], res.scores[i]):
             if d >= 0:
-                assert oracle[d] == pytest.approx(s, abs=1e-4)
+                assert oracle[d] == pytest.approx(s, abs=5e-4)
 
 
 def test_bitonic_duplicate_term_counts_twice(zipf_index):
@@ -162,7 +164,8 @@ def test_plan_bitonic_matches_reference_implementation(zipf_index):
         idx.encode_query([f"t{t}" for t in (rng.zipf(1.2, rng.integers(1, 8)) % 400)])
         for _ in range(30)
     ] + [np.zeros(0, np.int32)]
-    src, srcr, slot, rlen, big, totals = eng._plan_bitonic(qids)
+    src, srcr, slot, rlen, big, totals, wt = eng._plan_bitonic(qids)
+    assert (wt == 1.0).all()  # no weights requested -> identity table
     assert (totals > eng.max_pad).any()  # the stream does exercise over-cap
     for r, ids in enumerate(qids):
         ids = np.asarray(ids, np.int64)
@@ -190,3 +193,72 @@ def test_plan_bitonic_matches_reference_implementation(zipf_index):
             else:
                 assert slot[r][j] == st.block
                 assert srcr[r][j] == st.nnz - src[r][j] - rlen[r][j]
+
+
+def test_weight_blocks_matches_loop_reference():
+    """_weight_blocks (vectorized np.repeat + flat scatter) vs a per-row
+    loop: block b of row r carries the weight of the slot covering it."""
+    from probing_rag_tpu.retrieval.bm25 import _weight_blocks
+
+    rng = np.random.default_rng(3)
+    block, pad = 4, 64
+    slot = (rng.integers(0, 4, size=(6, 5)) * block).astype(np.int64)
+    # keep totals within pad
+    while (slot.sum(1) > pad).any():
+        slot = np.where(slot.sum(1, keepdims=True) > pad, slot // 2 // block * block, slot)
+    wt = rng.integers(1, 5, size=(6, 5)).astype(np.float32)
+    got = _weight_blocks(slot, wt, pad, block)
+    exp = np.ones((6, pad // block), np.float32)
+    for r in range(6):
+        b = 0
+        for t in range(5):
+            for _ in range(slot[r, t] // block):
+                exp[r, b] = wt[r, t]
+                b += 1
+    np.testing.assert_array_equal(got, exp)
+
+
+def test_bitonic_dedup_heavy_duplicates_match_oracle(zipf_index):
+    """Repeated terms are planned once with occurrence-count weights (exact
+    dedup); scores must match the per-occurrence oracle on both the bitonic
+    path and the over-cap fallback."""
+    idx, _ = zipf_index
+    rng = np.random.default_rng(11)
+    base = (rng.zipf(1.2, 6) % 400).astype(np.int64)
+    reps = rng.integers(1, 7, size=6)
+    q = idx.encode_query([f"t{t}" for t in np.repeat(base, reps)])
+    for cap in (1 << 15, 512):  # main path / forced fallback
+        eng = BM25Engine(idx, mode="bitonic", interpret=True, max_pad=cap)
+        res = eng.search_term_ids([q], k=5)
+        if cap == 512:
+            assert eng.last_stats["n_fallback"] == 1
+        oracle = idx.score_all(q)
+        order = np.argsort(oracle)[::-1][:5]
+        got = res.scores[0][res.doc_indices[0] >= 0]
+        np.testing.assert_allclose(
+            np.sort(got)[::-1], oracle[order], rtol=2e-5, atol=5e-4
+        )
+
+
+def test_bitonic_dedup_shrinks_planned_totals(zipf_index):
+    """Dedup must reduce the planned slot total (the whole point: smaller
+    sort widths and fewer over-cap fallbacks on repetitive query text)."""
+    idx, _ = zipf_index
+    eng = BM25Engine(idx, mode="bitonic", interpret=True)
+    t = int(np.argmax(idx.term_offsets[1:] - idx.term_offsets[:-1]))
+    q10 = np.asarray([t] * 10, np.int32)
+    eng.search_term_ids([q10], k=3)
+    assert eng.last_stats["n_fallback"] == 0
+    # deduped: one slot, not ten
+    _, _, _, _, _, totals, wt = eng._plan_bitonic(*_dedup_args([q10]))
+    single_total = totals[0]
+    _, _, _, _, _, totals_dup, _ = eng._plan_bitonic([q10])
+    assert totals_dup[0] == 10 * single_total
+    assert wt[0, 0] == 10.0
+
+
+def _dedup_args(lists):
+    from probing_rag_tpu.retrieval.bm25 import _dedup_term_ids
+
+    u, w, _ = _dedup_term_ids(lists)
+    return u, w

@@ -36,6 +36,32 @@ def test_pallas_matches_bruteforce(metric):
         )
 
 
+@pytest.mark.parametrize("metric", ["ip", "l2"])
+def test_prepared_store_path_matches_direct(metric):
+    """The hot-path contract (pre-padded store + cached norms + n_total)
+    must rank identically to the convenience path that pads internally."""
+    from probing_rag_tpu.ops.pallas_dense import prepare_dense_store
+
+    rng = np.random.default_rng(2)
+    emb = rng.normal(size=(700, 64)).astype(np.float32)  # pad 700 -> 768
+    q = rng.normal(size=(9, 64)).astype(np.float32)
+    v1, i1 = dense_topk_pallas(
+        jnp.asarray(q), jnp.asarray(emb), k=5, metric=metric,
+        tile_n=256, tile_q=8, interpret=INTERPRET,
+    )
+    store, sqn, n = prepare_dense_store(
+        jnp.asarray(emb), tile_n=256, metric=metric
+    )
+    assert store.shape[0] == 768 and n == 700
+    assert (sqn is None) == (metric == "ip")
+    v2, i2 = dense_topk_pallas(
+        jnp.asarray(q), store, k=5, metric=metric, sq_norms=sqn, n_total=n,
+        tile_n=256, tile_q=8, interpret=INTERPRET,
+    )
+    np.testing.assert_allclose(np.asarray(v1), np.asarray(v2), rtol=1e-5)
+    np.testing.assert_array_equal(np.asarray(i1), np.asarray(i2))
+
+
 def test_pallas_matches_xla_op():
     rng = np.random.default_rng(1)
     emb = rng.normal(size=(512, 32)).astype(np.float32)
