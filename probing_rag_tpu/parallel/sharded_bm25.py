@@ -441,11 +441,10 @@ class ShardedBM25Engine:
         if self.mode != "bitonic":
             raise NotImplementedError("search_term_ids: bitonic mode only")
         weights = None
-        any_dup = False
         if self.dedup:
             from probing_rag_tpu.retrieval.bm25 import _dedup_term_ids
 
-            term_id_lists, weights, any_dup = _dedup_term_ids(term_id_lists)
+            term_id_lists, weights, _ = _dedup_term_ids(term_id_lists)
         src, srcr, slot, rlen, big, totals, wt = self._plan_bitonic_shards(
             term_id_lists, weights
         )
@@ -478,7 +477,12 @@ class ShardedBM25Engine:
                     for a in (src, srcr, slot, rlen, big)
                 )
                 wtblk = None
-                if any_dup:
+                # ALWAYS-weighted when dedup is on (identity weights for
+                # dup-free rows), matching BM25Engine: a data-gated variant
+                # made the compiled program set depend on which chunk a
+                # duplicated query landed in, so shuffled streams compiled
+                # mid-pass
+                if self.dedup:
                     from probing_rag_tpu.retrieval.bm25 import _weight_blocks
 
                     S = self.n_shards
@@ -539,7 +543,10 @@ class ShardedBM25Engine:
                 self.last_stats["n_trimmed"] += 1
             kept.append(ids)
             kept_w.append(w)
-        any_wt = any((w != 1.0).any() for w in kept_w)
+        # static program choice (matches BM25Engine._search_fallback): dedup
+        # mode always runs the weighted programs with identity weights for
+        # dup-free rows, so the variant set never depends on query contents
+        any_wt = self.dedup
 
         S = self.n_shards
         r_count = len(kept)
