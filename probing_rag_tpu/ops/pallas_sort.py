@@ -99,6 +99,177 @@ def _bitonic_kernel(key_ref, val_ref, out_key_ref, out_val_ref, *, unroll, k_sta
         )
 
 
+def _stage2d(x, v, lane, brow, k, j, w):
+    """One pass of the width-``B*w`` network on the [B, w] row view.
+
+    Element (b, l) holds global index ``i = b*w + l``. Passes with distance
+    ``j < w`` pair elements within a sub-row (lane rolls, as in ``_stage``);
+    passes with ``j >= w`` pair whole sub-rows ``b`` and ``b ^ (j//w)``
+    (sublane rolls — elementwise vector ops, no lane movement at all). The
+    ascending-block mask reads the ``k`` bit of the global index: the lane
+    bits when ``k < w``, the sub-row bits otherwise."""
+    b = x.shape[0]
+    if j < w:
+        up_x = pltpu.roll(x, w - j, axis=1)
+        dn_x = pltpu.roll(x, j, axis=1)
+        up_v = pltpu.roll(v, w - j, axis=1)
+        dn_v = pltpu.roll(v, j, axis=1)
+        is_low = (lane & j) == 0
+    else:
+        jb = j // w
+        up_x = pltpu.roll(x, b - jb, axis=0)
+        dn_x = pltpu.roll(x, jb, axis=0)
+        up_v = pltpu.roll(v, b - jb, axis=0)
+        dn_v = pltpu.roll(v, jb, axis=0)
+        is_low = (brow & jb) == 0
+    px = jnp.where(is_low, up_x, dn_x)
+    pv = jnp.where(is_low, up_v, dn_v)
+    asc = ((lane & k) == 0) if k < w else ((brow & (k // w)) == 0)
+    want_min = asc == is_low
+    take = (want_min & (px < x)) | (~want_min & (px > x))
+    return jnp.where(take, px, x), jnp.where(take, pv, v)
+
+
+def _stage2d_dynj(x, v, lane, brow, k, j, w):
+    """In-row pass (``j < w``) with a TRACED distance ``j`` — the compact-
+    compile variant's loop body (``k`` stays static; dynamic ``pltpu.roll``
+    amounts are fine below the ~16k-lane regression, and ``lane_width``
+    is chosen under it)."""
+    up_x = pltpu.roll(x, w - j, axis=1)
+    dn_x = pltpu.roll(x, j, axis=1)
+    up_v = pltpu.roll(v, w - j, axis=1)
+    dn_v = pltpu.roll(v, j, axis=1)
+    is_low = (lane & j) == 0
+    px = jnp.where(is_low, up_x, dn_x)
+    pv = jnp.where(is_low, up_v, dn_v)
+    asc = ((lane & k) == 0) if k < w else ((brow & (k // w)) == 0)
+    want_min = asc == is_low
+    take = (want_min & (px < x)) | (~want_min & (px > x))
+    return jnp.where(take, px, x), jnp.where(take, pv, v)
+
+
+def _bitonic_wide_kernel(
+    key_ref, val_ref, out_key_ref, out_val_ref, *, k_start, total, unroll
+):
+    b, w = key_ref.shape
+    shape = key_ref.shape
+    lane = jax.lax.broadcasted_iota(jnp.int32, shape, 1)
+    brow = jax.lax.broadcasted_iota(jnp.int32, shape, 0)
+    # ref barrier per pass, as in _bitonic_kernel (stack stays one pass deep)
+    out_key_ref[:] = key_ref[:]
+    out_val_ref[:] = val_ref[:]
+    k = k_start
+    while k <= total:
+        j = k // 2
+        # cross-row passes (j >= w): always static — there are only
+        # O(log^2 B) of them and their sublane rolls are cheap to emit
+        while j >= w:
+            nx, nv = _stage2d(
+                out_key_ref[:], out_val_ref[:], lane, brow, k, j, w
+            )
+            out_key_ref[:] = nx
+            out_val_ref[:] = nv
+            j //= 2
+        if unroll:
+            while j >= 1:
+                nx, nv = _stage2d(
+                    out_key_ref[:], out_val_ref[:], lane, brow, k, j, w
+                )
+                out_key_ref[:] = nx
+                out_val_ref[:] = nv
+                j //= 2
+        elif j >= 1:
+            # in-row passes as ONE while_loop body per stage k: the
+            # unrolled form at fallback widths (150+ passes) compiles for
+            # tens of minutes; this emits ~log2(total) compact bodies
+            k_static = k
+
+            def one_pass(jc):
+                nx, nv = _stage2d_dynj(
+                    out_key_ref[:], out_val_ref[:], lane, brow,
+                    k_static, jc, w,
+                )
+                out_key_ref[:] = nx
+                out_val_ref[:] = nv
+                return jc // 2
+
+            jax.lax.while_loop(
+                lambda jc: jc >= 1, one_pass, jnp.int32(j)
+            )
+        k *= 2
+
+
+@functools.partial(
+    jax.jit, static_argnames=("lane_width", "interpret", "k_start", "unroll")
+)
+def sort_pairs_pallas_wide(
+    keys: jnp.ndarray,  # [Q, P] int32, P a power of two > lane_width
+    vals: jnp.ndarray,  # [Q, P] f32
+    *,
+    lane_width: int = 8192,
+    interpret: bool = False,
+    k_start: int = 2,
+    unroll: bool = False,
+):
+    """Row-wise ascending (key, value) sort for rows wider than one VMEM
+    sort tile, still entirely in VMEM: each [P] row is viewed as a
+    [B, lane_width] block and the bitonic network's long-distance passes
+    become sublane rolls (see ``_stage2d``).
+
+    This replaces ``jax.lax.sort_key_val`` in the over-cap BM25 fallback
+    (retrieval/bm25.py::_hybrid_gather_sort), where XLA's variadic sort at
+    [64, 512K] costs ~25 ns/element; the network runs at VPU throughput
+    like ``sort_pairs_pallas``. One query per grid step (a 512K row is
+    4 MB of key+val; VMEM holds in+out copies comfortably, many rows would
+    not fit). ``k_start`` as in ``sort_pairs_pallas``."""
+    q, p = keys.shape
+    if p & (p - 1):
+        raise ValueError(f"row width must be a power of two, got {p}")
+    if lane_width & (lane_width - 1):
+        raise ValueError(f"lane_width must be a power of two, got {lane_width}")
+    if p <= lane_width:
+        return sort_pairs_pallas(
+            keys, vals, tile_q=min(8, q), interpret=interpret, k_start=k_start
+        )
+    if k_start & (k_start - 1) or k_start < 2:
+        raise ValueError(f"k_start must be a power of two >= 2, got {k_start}")
+    b = p // lane_width
+    kr = keys.reshape(q * b, lane_width)
+    vr = vals.reshape(q * b, lane_width)
+    grid = (q,)
+    out_k, out_v = pl.pallas_call(
+        functools.partial(
+            _bitonic_wide_kernel, k_start=k_start, total=p, unroll=unroll
+        ),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec(
+                (b, lane_width), lambda i: (i, 0), memory_space=pltpu.VMEM
+            ),
+            pl.BlockSpec(
+                (b, lane_width), lambda i: (i, 0), memory_space=pltpu.VMEM
+            ),
+        ],
+        out_specs=[
+            pl.BlockSpec(
+                (b, lane_width), lambda i: (i, 0), memory_space=pltpu.VMEM
+            ),
+            pl.BlockSpec(
+                (b, lane_width), lambda i: (i, 0), memory_space=pltpu.VMEM
+            ),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((q * b, lane_width), keys.dtype),
+            jax.ShapeDtypeStruct((q * b, lane_width), vals.dtype),
+        ],
+        interpret=interpret,
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024
+        ),
+    )(kr, vr)
+    return out_k.reshape(q, p), out_v.reshape(q, p)
+
+
 @functools.partial(
     jax.jit, static_argnames=("tile_q", "interpret", "unroll", "k_start")
 )

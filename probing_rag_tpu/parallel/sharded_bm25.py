@@ -405,11 +405,16 @@ class ShardedBM25Engine:
                     ib = ib * jnp.broadcast_to(
                         bw[:, :, None], (qn, pad_big // block, block)
                     ).reshape(qn, pad_big)
-                doc = jnp.concatenate([db, ds], axis=1)
-                imp = jnp.concatenate([ib, is_], axis=1)
+                from probing_rag_tpu.retrieval.bm25 import _fold_short_tail
+
+                doc, imp = _fold_short_tail(
+                    db, ib, ds, is_, pad_big=pad_big, pad_short=pad_short
+                )
             else:
                 doc, imp = ds, is_
-            doc, imp = jax.lax.sort_key_val(doc, imp, dimension=-1)
+            from probing_rag_tpu.retrieval.bm25 import _sort_postings_rows
+
+            doc, imp = _sort_postings_rows(doc, imp, interpret=interpret)
             scores, idx = segment_topk_pallas(
                 doc, imp, k=k, sentinel=sentinel, interpret=interpret,
             )
@@ -578,13 +583,18 @@ class ShardedBM25Engine:
         short_total = int(
             np.where(short, lens, 0).sum(axis=2).max()
         ) if r_count else 0
+        pad_short = _next_pow2(max(short_total, 1), 512)
         if big_total:
+            # DMA capacity + a pad_short-wide tail for the short-part fold
+            # (bm25._fold_short_tail: sorted width stays the pow2 pad_big)
             pad_big = _next_pow2(big_total, 1024)
-            while gather_capacity(pad_big) < big_total:
+            while (
+                gather_capacity(pad_big) < big_total
+                or pad_big - pad_short < big_total
+            ):
                 pad_big *= 2
         else:
             pad_big = 0
-        pad_short = _next_pow2(max(short_total, 1), 512)
 
         sharding = NamedSharding(self.mesh, P(self._axes))
         args = tuple(

@@ -550,9 +550,12 @@ class BM25Engine:
         the short tail rides the XLA gather over the compact copy. The DMA
         path moves postings at ~4 ns/element vs ~60-95 for XLA's gather,
         and big terms are ~95% of an over-cap query's posting mass.
-        Then one XLA sort + the Pallas run-reduction (the XLA scan segment
-        stage is pathological at these widths — 1,201 s to build at
-        [8, 524288], measured). Pad cap ``fallback_max_pad``; only queries
+        The short tail is folded into the big row's reserved tail slack
+        (``_fold_short_tail``) so the row stays pow2-wide, then one in-VMEM
+        wide bitonic sort (``_sort_postings_rows``; XLA's variadic sort
+        measures ~25 ns/element at these widths) + the Pallas run-reduction
+        (the XLA scan segment stage is pathological here — 1,201 s to build
+        at [8, 524288], measured). Pad cap ``fallback_max_pad``; only queries
         beyond THAT (1M+ matched postings) keep their most selective terms,
         counted in ``last_stats['n_trimmed']``."""
         from probing_rag_tpu.ops.pallas_sparse import gather_capacity, segment_topk_pallas
@@ -589,17 +592,21 @@ class BM25Engine:
                 w[isbig], w[~isbig],
             ))
 
-        def pad_for_big(total: int) -> int:
+        def pad_for_big(total: int, ps: int) -> int:
+            # the big row must hold the postings within the DMA capacity
+            # AND leave a ``ps``-wide tail for the short-part fold
+            # (_fold_short_tail keeps the sorted width pow2)
             if total == 0:
                 return 0
             pad = _next_pow2(total, 1024)
-            while gather_capacity(pad) < total:
+            while gather_capacity(pad) < total or pad - ps < total:
                 pad *= 2
             return pad
 
         buckets: dict = {}
         for i, (_, _, bt, stot, _, _) in enumerate(entries):
-            key = (pad_for_big(bt), _next_pow2(max(stot, 1), self.min_pad))
+            ps = _next_pow2(max(stot, 1), self.min_pad)
+            key = (pad_for_big(bt, ps), ps)
             buckets.setdefault(key, []).append(i)
 
         n = len(term_id_lists)
@@ -658,6 +665,7 @@ class BM25Engine:
                         jnp.asarray(qt), jnp.asarray(qm),
                         jnp.asarray(sw) if any_wt else None,
                         pad=pad_short, sentinel_doc=sentinel,
+                        interpret=self.interpret,
                     )
                 scores, docs = segment_topk_pallas(
                     doc, imp, k=k, sentinel=sentinel, interpret=self.interpret,
@@ -898,10 +906,42 @@ class BM25Engine:
 import functools
 
 
-@functools.partial(jax.jit, static_argnames=("pad", "sentinel_doc"))
+# fallback rows at least this wide sort on the in-VMEM wide bitonic network
+# (ops/pallas_sort.py::sort_pairs_pallas_wide); below it, XLA's variadic sort
+# is cheap enough not to be worth a fresh Mosaic compile per pad bucket
+_WIDE_SORT_MIN = 1 << 15
+
+
+def _sort_postings_rows(doc, imp, *, interpret):
+    """Sort stage of the over-cap fallback. At fallback widths XLA's
+    variadic sort measures ~25 ns/element — the dominant fallback cost —
+    while the wide bitonic network runs whole rows in VMEM at VPU
+    throughput. Interpret mode keeps the XLA sort: the unrolled network's
+    O(P log^2 P) passes are pathological to emulate."""
+    if doc.shape[1] >= _WIDE_SORT_MIN and not interpret:
+        from probing_rag_tpu.ops.pallas_sort import sort_pairs_pallas_wide
+
+        return sort_pairs_pallas_wide(doc, imp, lane_width=8192)
+    return jax.lax.sort_key_val(doc, imp, dimension=-1)
+
+
+def _fold_short_tail(db, ib, ds, is_, *, pad_big, pad_short):
+    """Splice the XLA-gathered short tail over the LAST ``pad_short``
+    columns of the DMA-gathered big row. The fallback planner reserves that
+    slack (each row's big postings end before ``pad_big - pad_short``, and
+    the gather sentinel-fills everything past them), so the sorted row
+    stays at the pow2 width ``pad_big`` instead of the non-pow2
+    ``pad_big + pad_short`` a plain concatenation would produce — the wide
+    bitonic sort needs a power of two."""
+    doc = jnp.concatenate([db[:, : pad_big - pad_short], ds], axis=1)
+    imp = jnp.concatenate([ib[:, : pad_big - pad_short], is_], axis=1)
+    return doc, imp
+
+
+@functools.partial(jax.jit, static_argnames=("pad", "sentinel_doc", "interpret"))
 def _fallback_gather_sort(
     term_offsets, doc_c, imp_c, qterms, qmask, qweights=None,
-    *, pad, sentinel_doc,
+    *, pad, sentinel_doc, interpret=True,
 ):
     """Gather+sort over the bitonic store's (1, N) compact copies (reshape is
     free inside jit). Kept as its own program: composing the TPU sort with
@@ -913,7 +953,7 @@ def _fallback_gather_sort(
         term_offsets, doc_c.reshape(-1), imp_c.reshape(-1), qterms, qmask,
         pad, sentinel_doc, qweights=qweights,
     )
-    return jax.lax.sort_key_val(doc, impact, dimension=-1)
+    return _sort_postings_rows(doc, impact, interpret=interpret)
 
 
 @functools.partial(
@@ -930,7 +970,9 @@ def _hybrid_gather_sort(
     sort that follows, so the E copy's asc/desc alternation and its inline
     sentinel padding are both inert — concatenated with the XLA-gathered
     short tail, then one sort. Kept as a single program (gathers + sort
-    compose fine; only sort+scan blows up — ops/sparse.py).
+    compose fine; only sort+scan blows up — ops/sparse.py). The short tail
+    is folded into the big row's reserved tail slack (``_fold_short_tail``)
+    so the sort width stays pow2 for the wide bitonic kernel.
 
     Dedup weights: ``big_wtblk`` [Q, pad_big // block] scales each aligned
     block's impacts (big-term slots are ``block``-aligned, and DMA chunk
@@ -954,9 +996,10 @@ def _hybrid_gather_sort(
         term_offsets, doc_c.reshape(-1), imp_c.reshape(-1),
         qt_short, qm_short, pad_short, sentinel_doc, qweights=qw_short,
     )
-    doc = jnp.concatenate([db, ds], axis=1)
-    imp = jnp.concatenate([ib, is_], axis=1)
-    return jax.lax.sort_key_val(doc, imp, dimension=-1)
+    doc, imp = _fold_short_tail(
+        db, ib, ds, is_, pad_big=pad_big, pad_short=pad_short
+    )
+    return _sort_postings_rows(doc, imp, interpret=interpret)
 
 
 @functools.partial(

@@ -8,7 +8,10 @@ import pytest
 import jax
 import jax.numpy as jnp
 
-from probing_rag_tpu.ops.pallas_sort import sort_pairs_pallas
+from probing_rag_tpu.ops.pallas_sort import (
+    sort_pairs_pallas,
+    sort_pairs_pallas_wide,
+)
 
 
 @pytest.mark.parametrize("q,p", [(4, 256), (8, 1024), (3, 512), (9, 128)])
@@ -39,6 +42,50 @@ def test_sort_pairs_with_sentinel_padding():
     # equal-key payloads may permute within the run; totals are what matter
     run_3 = np.asarray(ov)[0][1:3].sum()
     assert run_3 == pytest.approx(5.0)
+
+
+@pytest.mark.parametrize(
+    "q,p,w", [(3, 2048, 256), (2, 4096, 512), (5, 1024, 128)]
+)
+@pytest.mark.parametrize("unroll", [True, False])
+def test_sort_pairs_wide_matches_numpy(q, p, w, unroll):
+    rng = np.random.default_rng(q * 1000 + p + w)
+    k = rng.integers(0, 700, (q, p)).astype(np.int32)
+    v = rng.normal(size=(q, p)).astype(np.float32)
+    ok, ov = sort_pairs_pallas_wide(
+        jnp.asarray(k), jnp.asarray(v), lane_width=w, interpret=True,
+        unroll=unroll,
+    )
+    ok, ov = np.asarray(ok), np.asarray(ov)
+    assert np.array_equal(ok, np.sort(k, axis=1))
+    for r in range(q):
+        a = sorted(zip(k[r].tolist(), v[r].tolist()))
+        b = sorted(zip(ok[r].tolist(), ov[r].tolist()))
+        assert a == b
+
+
+def test_sort_pairs_wide_narrow_delegates():
+    # p <= lane_width routes to the single-tile kernel
+    rng = np.random.default_rng(7)
+    k = rng.integers(0, 99, (4, 256)).astype(np.int32)
+    v = rng.normal(size=(4, 256)).astype(np.float32)
+    ok, _ = sort_pairs_pallas_wide(
+        jnp.asarray(k), jnp.asarray(v), lane_width=512, interpret=True
+    )
+    assert np.array_equal(np.asarray(ok), np.sort(k, axis=1))
+
+
+def test_sort_pairs_wide_sentinel_tail():
+    # over-cap fallback layout: postings then a sentinel-padded tail
+    sentinel = 1_000_000
+    rng = np.random.default_rng(3)
+    k = rng.integers(0, 50, (2, 1024)).astype(np.int32)
+    k[:, 700:] = sentinel
+    v = rng.normal(size=(2, 1024)).astype(np.float32)
+    ok, _ = sort_pairs_pallas_wide(
+        jnp.asarray(k), jnp.asarray(v), lane_width=128, interpret=True
+    )
+    assert np.array_equal(np.asarray(ok), np.sort(k, axis=1))
 
 
 def test_sort_pairs_rejects_non_pow2():
