@@ -25,6 +25,7 @@ behavior being replaced: rank_bm25's per-query python scoring loop
 from __future__ import annotations
 
 import functools
+from typing import Optional
 
 import jax
 import jax.numpy as jnp
@@ -51,10 +52,13 @@ def _stage(x, v, lane, k, j, p):
     return nx, nv
 
 
-def _bitonic_kernel(key_ref, val_ref, out_key_ref, out_val_ref, *, unroll, k_start):
+def _bitonic_kernel(
+    key_ref, val_ref, out_key_ref, out_val_ref, *, unroll, k_start, k_stop
+):
     p = key_ref.shape[1]
     shape = key_ref.shape
     lane = jax.lax.broadcasted_iota(jnp.int32, shape, 1)
+    k_last = min(p, k_stop)
 
     if unroll:
         # Static roll distances (cheap vreg permutations / intra-vreg
@@ -65,7 +69,7 @@ def _bitonic_kernel(key_ref, val_ref, out_key_ref, out_val_ref, *, unroll, k_sta
         out_key_ref[:] = key_ref[:]
         out_val_ref[:] = val_ref[:]
         k = k_start
-        while k <= p:
+        while k <= k_last:
             j = k // 2
             while j >= 1:
                 nx, nv = _stage(out_key_ref[:], out_val_ref[:], lane, k, j, p)
@@ -92,7 +96,7 @@ def _bitonic_kernel(key_ref, val_ref, out_key_ref, out_val_ref, *, unroll, k_sta
 
         def cond(carry):
             k, _ = carry
-            return k <= p
+            return k <= k_last
 
         jax.lax.while_loop(
             cond, stage, (jnp.int32(k_start), jnp.int32(k_start // 2))
@@ -271,7 +275,8 @@ def sort_pairs_pallas_wide(
 
 
 @functools.partial(
-    jax.jit, static_argnames=("tile_q", "interpret", "unroll", "k_start")
+    jax.jit,
+    static_argnames=("tile_q", "interpret", "unroll", "k_start", "k_stop"),
 )
 def sort_pairs_pallas(
     keys: jnp.ndarray,  # [Q, P] int32, P a power of two
@@ -281,6 +286,7 @@ def sort_pairs_pallas(
     interpret: bool = False,
     unroll: bool = True,
     k_start: int = 2,
+    k_stop: Optional[int] = None,
 ):
     """Row-wise ascending sort of (key, value) pairs, whole row in VMEM.
 
@@ -290,14 +296,24 @@ def sort_pairs_pallas(
     state after pass ``B`` of the standard network). The BM25 gather kernel
     produces this layout directly from the block-alternated postings store
     (bm25_index.bitonic_csr), cutting the stage count roughly in half at
-    production widths."""
+    production widths.
+
+    ``k_stop`` truncates the network AFTER stage ``k_stop``: the result is
+    not sorted but every aligned ``k_stop``-wide block is (alternating, as
+    above) — i.e. it ESTABLISHES the ``k_start = 2*k_stop`` precondition
+    for a later, wider sort. The over-cap fallback preconditions its
+    XLA-gathered short tail this way before the wide-row network."""
     q, p = keys.shape
     if p & (p - 1):
         raise ValueError(f"row width must be a power of two, got {p}")
     if k_start & (k_start - 1) or k_start < 2:
         raise ValueError(f"k_start must be a power of two >= 2, got {k_start}")
-    if k_start > p:
-        return keys, vals  # rows are a single pre-sorted block
+    if k_stop is None:
+        k_stop = p
+    elif k_stop & (k_stop - 1) or k_stop < 2:
+        raise ValueError(f"k_stop must be a power of two >= 2, got {k_stop}")
+    if k_start > min(p, k_stop):
+        return keys, vals  # nothing to do at this network span
     qp = -(-q // tile_q) * tile_q
     if qp != q:
         # padding rows sort trivially (constant keys)
@@ -305,7 +321,9 @@ def sort_pairs_pallas(
         vals = jnp.pad(vals, ((0, qp - q), (0, 0)))
     grid = (qp // tile_q,)
     out_k, out_v = pl.pallas_call(
-        functools.partial(_bitonic_kernel, unroll=unroll, k_start=k_start),
+        functools.partial(
+            _bitonic_kernel, unroll=unroll, k_start=k_start, k_stop=k_stop
+        ),
         grid=grid,
         in_specs=[
             pl.BlockSpec((tile_q, p), lambda i: (i, 0), memory_space=pltpu.VMEM),

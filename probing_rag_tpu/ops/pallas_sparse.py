@@ -216,8 +216,8 @@ def segment_topk_pallas(
 # --------------------------------------------------- postings gather (DMA)
 
 
-def _gather_kernel(starts_ref, lens_ref, cum_ref, doc_hbm, imp_hbm,
-                   out_doc, out_imp, sems, *, chunk, tq, limit):
+def _gather_kernel(starts_ref, lens_ref, cum_ref, *refs, chunk, tq, limit,
+                   alternated):
     """One grid step gathers one query row as flat 1-D DMA copies: per term,
     ``chunk``-sized contiguous copies, each waited before the next starts.
 
@@ -234,43 +234,75 @@ def _gather_kernel(starts_ref, lens_ref, cum_ref, doc_hbm, imp_hbm,
     total at least one chunk below ``pad`` so no real posting lands there.
     1-D refs + multiple_of hints satisfy Mosaic's aligned-dynamic-slice
     requirement in both memory spaces. Tail masking of slots past the row
-    total happens outside the kernel."""
+    total happens outside the kernel.
+
+    ``alternated`` (0 = off, else the store's block width) makes the kernel
+    take BOTH block-alternated copies of the bitonic store (E: each term's
+    blocks sorted asc at even term-local index, O: asc at odd —
+    bm25_index.bitonic_csr) and pick per term the copy whose alternation
+    lands asc on even ROW-local blocks, so every block of the produced row
+    is sorted alternating — the ``k_start = 2 * block`` precondition of
+    the sort kernels. Copying at ``chunk`` (a block multiple) granularity
+    preserves per-block alternation in lockstep."""
+    if alternated:
+        doc_e, imp_e, doc_o, imp_o, out_doc, out_imp, sems = refs
+    else:
+        doc_e, imp_e, out_doc, out_imp, sems = refs
+        doc_o = imp_o = None
     qi = pl.program_id(0)
 
     def copy_term(t, carry):
         n_chunks = pl.cdiv(lens_ref[qi, t], chunk)
 
-        def copy_chunk(c, carry):
-            off = c * chunk
-            d_raw = cum_ref[qi, t] + off
+        def run(doc_hbm, imp_hbm):
+            def copy_chunk(c, carry):
+                off = c * chunk
+                d_raw = cum_ref[qi, t] + off
 
-            @pl.when(d_raw + chunk <= limit)
+                @pl.when(d_raw + chunk <= limit)
+                def _():
+                    s_off = pl.multiple_of(starts_ref[qi, t] + off, _ALIGN)
+                    d_off = pl.multiple_of(d_raw, _ALIGN)
+                    d1 = pltpu.make_async_copy(
+                        doc_hbm.at[pl.ds(s_off, chunk)],
+                        out_doc.at[pl.ds(d_off, chunk)],
+                        sems.at[0],
+                    )
+                    d2 = pltpu.make_async_copy(
+                        imp_hbm.at[pl.ds(s_off, chunk)],
+                        out_imp.at[pl.ds(d_off, chunk)],
+                        sems.at[1],
+                    )
+                    d1.start()
+                    d2.start()
+                    d1.wait()
+                    d2.wait()
+
+                return carry
+
+            jax.lax.fori_loop(0, n_chunks, copy_chunk, 0)
+
+        if alternated:
+            parity = (cum_ref[qi, t] // alternated) & 1
+
+            @pl.when(parity == 0)
             def _():
-                s_off = pl.multiple_of(starts_ref[qi, t] + off, _ALIGN)
-                d_off = pl.multiple_of(d_raw, _ALIGN)
-                d1 = pltpu.make_async_copy(
-                    doc_hbm.at[pl.ds(s_off, chunk)],
-                    out_doc.at[pl.ds(d_off, chunk)],
-                    sems.at[0],
-                )
-                d2 = pltpu.make_async_copy(
-                    imp_hbm.at[pl.ds(s_off, chunk)],
-                    out_imp.at[pl.ds(d_off, chunk)],
-                    sems.at[1],
-                )
-                d1.start()
-                d2.start()
-                d1.wait()
-                d2.wait()
+                run(doc_e, imp_e)
 
-            return carry
-
-        return jax.lax.fori_loop(0, n_chunks, copy_chunk, carry)
+            @pl.when(parity == 1)
+            def _():
+                run(doc_o, imp_o)
+        else:
+            run(doc_e, imp_e)
+        return carry
 
     jax.lax.fori_loop(0, tq, copy_term, 0)
 
 
-@functools.partial(jax.jit, static_argnames=("pad", "sentinel", "chunk", "interpret"))
+@functools.partial(
+    jax.jit,
+    static_argnames=("pad", "sentinel", "chunk", "interpret", "block"),
+)
 def postings_gather_pallas(
     postings_doc: jnp.ndarray,  # [NNZ_aligned + guard] int32 (aligned_csr)
     postings_impact: jnp.ndarray,  # same length f32
@@ -281,13 +313,19 @@ def postings_gather_pallas(
     sentinel: int,
     chunk: int = 4 * _ALIGN,
     interpret: bool = False,
+    postings_doc_o: Optional[jnp.ndarray] = None,  # O copy (bitonic store)
+    postings_impact_o: Optional[jnp.ndarray] = None,
+    block: int = _ALIGN,  # store block width (parity unit when alternated)
 ):
     """Segmented posting gather as contiguous DMA copies. Returns
     (doc [Q, pad], impact [Q, pad]) — the same contract as
     ops.sparse.postings_gather. Requires the aligned CSR layout (offsets and
     lengths in 1024-multiples, >= ``chunk`` guard tail) on the compiled TPU
     path; the sequential wait-each copy stream makes term-boundary chunk
-    overshoot benign (see _gather_kernel).
+    overshoot benign (see _gather_kernel). Passing the O copy
+    (``postings_doc_o``/``postings_impact_o``) turns on per-term E/O parity
+    selection: every ``block`` of the produced rows comes out sorted
+    alternating (see _gather_kernel), enabling the sort-network pass skip.
 
     COMPILED-PATH CAPACITY CONTRACT: each row's posting total must be at
     most ``pad - chunk``. The row blocks are exactly ``pad`` wide — a guard
@@ -308,23 +346,33 @@ def postings_gather_pallas(
     # term is cut (still an _ALIGN multiple: pad and cum are)
     lens = jnp.clip(jnp.minimum(lens, pad - cum), 0)
 
+    alternated = postings_doc_o is not None
+    if alternated and (chunk % block or not (pad % block == 0)):
+        raise ValueError(
+            f"alternated gather needs block-multiple chunk/pad "
+            f"(block={block}, chunk={chunk}, pad={pad})"
+        )
     # interpret mode keeps a guard column instead of the capacity contract
     # (tiny-pad tests fill the full tile; block layout cost is irrelevant)
     padg = pad + chunk if interpret else pad
+    n_in = 4 if alternated else 2
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=3,
         grid=(q,),
-        in_specs=[
-            pl.BlockSpec(memory_space=pltpu.HBM),
-            pl.BlockSpec(memory_space=pltpu.HBM),
-        ],
+        in_specs=[pl.BlockSpec(memory_space=pltpu.HBM)] * n_in,
         out_specs=[
             pl.BlockSpec((padg,), lambda qi, *_: (qi,), memory_space=pltpu.VMEM),
             pl.BlockSpec((padg,), lambda qi, *_: (qi,), memory_space=pltpu.VMEM),
         ],
         scratch_shapes=[pltpu.SemaphoreType.DMA((2,))],
     )
-    kernel = functools.partial(_gather_kernel, chunk=chunk, tq=tq, limit=padg)
+    kernel = functools.partial(
+        _gather_kernel, chunk=chunk, tq=tq, limit=padg,
+        alternated=block if alternated else 0,
+    )
+    hbm_in = (postings_doc, postings_impact)
+    if alternated:
+        hbm_in = hbm_in + (postings_doc_o, postings_impact_o)
     out_doc, out_imp = pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
@@ -334,7 +382,7 @@ def postings_gather_pallas(
         ],
         interpret=interpret,
         compiler_params=pltpu.CompilerParams(has_side_effects=True),
-    )(starts, lens, cum, postings_doc, postings_impact)
+    )(starts, lens, cum, *hbm_in)
 
     # tail fix in XLA: everything past each row's total (slots never
     # written by any DMA) becomes sentinel / 0

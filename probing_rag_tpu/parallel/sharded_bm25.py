@@ -365,10 +365,11 @@ class ShardedBM25Engine:
     ):
         """Exact per-shard scoring for over-cap queries, hybrid-gathered
         like the single-chip path (retrieval/bm25.py::_search_fallback):
-        each shard DMA-copies its big terms from its aligned E store and
-        XLA-gathers its short tail from the compact copy, one sort, Pallas
-        run-reduction (the XLA scan segment stage is pathological at these
-        widths), then the k-per-shard all_gather merge. The big/short split
+        each shard runs the same ``_hybrid_gather_sort`` program over its
+        own E/O/compact stores (parity-selected DMA big terms + folded,
+        preconditioned short tail + pass-skipping wide sort), then the
+        Pallas run-reduction and the k-per-shard all_gather merge. The
+        big/short split
         is PER SHARD (a term's df differs per shard); zero-width descriptor
         slots are skipped by both gathers, so no compaction is needed.
         Every shard scores the SAME term set (the planner trims globally,
@@ -376,45 +377,34 @@ class ShardedBM25Engine:
         sentinel = self.index.n_docs
         axes = self._axes
         doc_e, imp_e = self._dev_store[0], self._dev_store[1]
+        doc_o, imp_o = self._dev_store[2], self._dev_store[3]
         doc_c, imp_c = self._dev_store[4], self._dev_store[5]
         interpret = self.interpret
 
         block = self.block
 
-        def shard_fn(de, ie, offs, docs, imps, bs, bl, qt, qm, *wts):
-            from probing_rag_tpu.ops.pallas_sparse import (
-                gather_chunk, postings_gather_pallas, segment_topk_pallas,
+        def shard_fn(de, ie, do, io, offs, docs, imps, bs, bl, qt, qm, *wts):
+            from probing_rag_tpu.ops.pallas_sparse import segment_topk_pallas
+            from probing_rag_tpu.retrieval.bm25 import (
+                _fallback_gather_sort, _hybrid_gather_sort,
             )
 
             # optional dedup weights ride at the tail: (big_wtblk?, qw_short?)
             wts = list(wts)
             bw = wts.pop(0)[0] if big_wtblk is not None else None
             qw = wts.pop(0)[0] if qw_short is not None else None
-            ds, is_ = postings_gather(
-                offs[0], docs[0].reshape(-1), imps[0].reshape(-1),
-                qt[0], qm[0], pad_short, sentinel, qweights=qw,
-            )
             if pad_big:
-                db, ib = postings_gather_pallas(
-                    de[0].reshape(-1), ie[0].reshape(-1), bs[0], bl[0],
-                    pad=pad_big, sentinel=sentinel,
-                    chunk=gather_chunk(pad_big), interpret=interpret,
-                )
-                if bw is not None:
-                    qn = ib.shape[0]
-                    ib = ib * jnp.broadcast_to(
-                        bw[:, :, None], (qn, pad_big // block, block)
-                    ).reshape(qn, pad_big)
-                from probing_rag_tpu.retrieval.bm25 import _fold_short_tail
-
-                doc, imp = _fold_short_tail(
-                    db, ib, ds, is_, pad_big=pad_big, pad_short=pad_short
+                doc, imp = _hybrid_gather_sort(
+                    de[0], ie[0], do[0], io[0], bs[0], bl[0],
+                    offs[0], docs[0], imps[0], qt[0], qm[0], bw, qw,
+                    pad_big=pad_big, pad_short=pad_short,
+                    sentinel_doc=sentinel, block=block, interpret=interpret,
                 )
             else:
-                doc, imp = ds, is_
-            from probing_rag_tpu.retrieval.bm25 import _sort_postings_rows
-
-            doc, imp = _sort_postings_rows(doc, imp, interpret=interpret)
+                doc, imp = _fallback_gather_sort(
+                    offs[0], docs[0], imps[0], qt[0], qm[0], qw,
+                    pad=pad_short, sentinel_doc=sentinel, interpret=interpret,
+                )
             scores, idx = segment_topk_pallas(
                 doc, imp, k=k, sentinel=sentinel, interpret=interpret,
             )
@@ -434,10 +424,10 @@ class ShardedBM25Engine:
         return jax.shard_map(
             shard_fn,
             mesh=self.mesh,
-            in_specs=(ax,) * 5 + (ax,) * (4 + len(extra)),
+            in_specs=(ax,) * 7 + (ax,) * (4 + len(extra)),
             out_specs=(P(), P()),
             check_vma=False,  # outputs are replicated post-all_gather
-        )(doc_e, imp_e, self._dev_sh_offsets, doc_c, imp_c,
+        )(doc_e, imp_e, doc_o, imp_o, self._dev_sh_offsets, doc_c, imp_c,
           bstarts, blens, qterms, qmask, *extra)
 
     def search_term_ids(
@@ -583,7 +573,11 @@ class ShardedBM25Engine:
         short_total = int(
             np.where(short, lens, 0).sum(axis=2).max()
         ) if r_count else 0
-        pad_short = _next_pow2(max(short_total, 1), 512)
+        # 2*block floor when big terms exist: keeps the fold seam on an even
+        # block boundary so the sort-network pass skip stays valid
+        pad_short = _next_pow2(
+            max(short_total, 1), 2 * self.block if big_total else 512
+        )
         if big_total:
             # DMA capacity + a pad_short-wide tail for the short-part fold
             # (bm25._fold_short_tail: sorted width stays the pow2 pad_big)

@@ -604,8 +604,14 @@ class BM25Engine:
             return pad
 
         buckets: dict = {}
+        st_block = st.block
         for i, (_, _, bt, stot, _, _) in enumerate(entries):
-            ps = _next_pow2(max(stot, 1), self.min_pad)
+            # 2*block floor when big terms exist: keeps the fold seam on an
+            # even block boundary so the sort-network pass skip stays valid
+            # (_hybrid_gather_sort); costs at most one extra block of pad
+            ps = _next_pow2(
+                max(stot, 1), max(self.min_pad, 2 * st_block) if bt else self.min_pad
+            )
             key = (pad_for_big(bt, ps), ps)
             buckets.setdefault(key, []).append(i)
 
@@ -615,6 +621,7 @@ class BM25Engine:
         parts = []
         sentinel = self.index.n_docs
         doc_e, imp_e = self._dev_store[0], self._dev_store[1]
+        doc_o, imp_o = self._dev_store[2], self._dev_store[3]
         doc_c, imp_c = self._dev_store[4], self._dev_store[5]
         for (pad_big, pad_short), rows in sorted(buckets.items()):
             tqb = _next_pow2(
@@ -650,7 +657,7 @@ class BM25Engine:
                         )
                         qw_short = jnp.asarray(sw)
                     doc, imp = _hybrid_gather_sort(
-                        doc_e, imp_e,
+                        doc_e, imp_e, doc_o, imp_o,
                         jnp.asarray(bstarts), jnp.asarray(blens),
                         self._dev_offsets, doc_c, imp_c,
                         jnp.asarray(qt), jnp.asarray(qm),
@@ -910,18 +917,27 @@ import functools
 # (ops/pallas_sort.py::sort_pairs_pallas_wide); below it, XLA's variadic sort
 # is cheap enough not to be worth a fresh Mosaic compile per pad bucket
 _WIDE_SORT_MIN = 1 << 15
+# ... and at most this wide: compiling the network at 1M width (128
+# sub-rows) crashed the remote compile service where 512K built in 69 s;
+# the raw-1M-pad row is also the rare extreme (dedup keeps full-prompt
+# queries near 512K), so XLA sort covers the tail
+_WIDE_SORT_MAX = 1 << 19
 
 
-def _sort_postings_rows(doc, imp, *, interpret):
+def _sort_postings_rows(doc, imp, *, interpret, k_start=2):
     """Sort stage of the over-cap fallback. At fallback widths XLA's
-    variadic sort measures ~25 ns/element — the dominant fallback cost —
-    while the wide bitonic network runs whole rows in VMEM at VPU
-    throughput. Interpret mode keeps the XLA sort: the unrolled network's
-    O(P log^2 P) passes are pathological to emulate."""
-    if doc.shape[1] >= _WIDE_SORT_MIN and not interpret:
+    variadic sort costs ~175 ms per [64, 512K] batch while the wide bitonic
+    network runs whole rows in VMEM at 4.0 ns/element (134 ms; 2.7 with the
+    ``k_start`` pass skip — all measured). Interpret mode keeps the XLA
+    sort: the network's O(P log^2 P) passes are pathological to emulate,
+    and a full sort makes the ``k_start`` precondition irrelevant."""
+    if (
+        _WIDE_SORT_MIN <= doc.shape[1] <= _WIDE_SORT_MAX
+        and not interpret
+    ):
         from probing_rag_tpu.ops.pallas_sort import sort_pairs_pallas_wide
 
-        return sort_pairs_pallas_wide(doc, imp, lane_width=8192)
+        return sort_pairs_pallas_wide(doc, imp, lane_width=8192, k_start=k_start)
     return jax.lax.sort_key_val(doc, imp, dimension=-1)
 
 
@@ -961,31 +977,48 @@ def _fallback_gather_sort(
     static_argnames=("pad_big", "pad_short", "sentinel_doc", "block", "interpret"),
 )
 def _hybrid_gather_sort(
-    doc_e, imp_e, big_starts, big_lens, term_offsets, doc_c, imp_c,
-    qt_short, qm_short, big_wtblk=None, qw_short=None,
+    doc_e, imp_e, doc_o, imp_o, big_starts, big_lens, term_offsets,
+    doc_c, imp_c, qt_short, qm_short, big_wtblk=None, qw_short=None,
     *, pad_big, pad_short, sentinel_doc, block=1024, interpret,
 ):
     """Over-cap gather: big terms as chunked DMA copies from the (guarded)
-    aligned E store — the within-row block order is destroyed anyway by the
-    sort that follows, so the E copy's asc/desc alternation and its inline
-    sentinel padding are both inert — concatenated with the XLA-gathered
-    short tail, then one sort. Kept as a single program (gathers + sort
-    compose fine; only sort+scan blows up — ops/sparse.py). The short tail
-    is folded into the big row's reserved tail slack (``_fold_short_tail``)
-    so the sort width stays pow2 for the wide bitonic kernel.
+    block-alternated E/O stores — the copy is chosen per term so every
+    produced ``block`` is sorted alternating (ops/pallas_sparse.py::
+    _gather_kernel) — while the short tail rides the XLA gather over the
+    compact copy and is PRECONDITIONED to the same block-alternated state
+    by a truncated sort network (``k_stop=block``). The tail is folded into
+    the big row's reserved slack (``_fold_short_tail``), so the whole
+    pow2-wide row satisfies the ``k_start = 2*block`` precondition and the
+    wide bitonic sort skips its first log2(block) stages (2.7 vs 4.0
+    ns/element, measured at [64, 512K]). Kept as a single program (gathers
+    + sort compose fine; only sort+scan blows up — ops/sparse.py).
 
     Dedup weights: ``big_wtblk`` [Q, pad_big // block] scales each aligned
     block's impacts (big-term slots are ``block``-aligned, and DMA chunk
     overshoot into a later term's slice is overwritten before this multiply
-    runs, so block ownership is exact); ``qw_short`` [Q, TQs] rides the XLA
-    gather's per-term rank decomposition."""
+    runs, so block ownership is exact; positive weights keep blocks sorted
+    by doc); ``qw_short`` [Q, TQs] rides the XLA gather's per-term rank
+    decomposition."""
+    from probing_rag_tpu.ops.pallas_sort import sort_pairs_pallas
     from probing_rag_tpu.ops.pallas_sparse import gather_chunk, postings_gather_pallas
     from probing_rag_tpu.ops.sparse import postings_gather
 
+    # the pass skip needs block-aligned parity at the fold seam: pad_short
+    # and pad_big - pad_short must both be even multiples of block (pow2s
+    # >= 2*block are), and the wide network must actually be in play
+    skip = (
+        _WIDE_SORT_MIN <= pad_big <= _WIDE_SORT_MAX
+        and pad_short >= 2 * block
+        and pad_big >= 4 * block
+        and not interpret
+    )
     db, ib = postings_gather_pallas(
         doc_e.reshape(-1), imp_e.reshape(-1), big_starts, big_lens,
         pad=pad_big, sentinel=sentinel_doc, chunk=gather_chunk(pad_big),
         interpret=interpret,
+        postings_doc_o=doc_o.reshape(-1) if skip else None,
+        postings_impact_o=imp_o.reshape(-1) if skip else None,
+        block=block,
     )
     if big_wtblk is not None:
         qn = ib.shape[0]
@@ -996,10 +1029,14 @@ def _hybrid_gather_sort(
         term_offsets, doc_c.reshape(-1), imp_c.reshape(-1),
         qt_short, qm_short, pad_short, sentinel_doc, qweights=qw_short,
     )
+    if skip:
+        ds, is_ = sort_pairs_pallas(ds, is_, k_stop=block)
     doc, imp = _fold_short_tail(
         db, ib, ds, is_, pad_big=pad_big, pad_short=pad_short
     )
-    return _sort_postings_rows(doc, imp, interpret=interpret)
+    return _sort_postings_rows(
+        doc, imp, interpret=interpret, k_start=2 * block if skip else 2
+    )
 
 
 @functools.partial(

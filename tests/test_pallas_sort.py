@@ -88,6 +88,61 @@ def test_sort_pairs_wide_sentinel_tail():
     assert np.array_equal(np.asarray(ok), np.sort(k, axis=1))
 
 
+def test_sort_pairs_k_stop_establishes_block_alternation():
+    """k_stop=B leaves every aligned B-block sorted — ascending at even
+    block index, descending at odd (the k_start=2B precondition)."""
+    B = 64
+    rng = np.random.default_rng(11)
+    k = rng.integers(0, 10_000, (4, 1024)).astype(np.int32)
+    v = rng.normal(size=(4, 1024)).astype(np.float32)
+    ok, ov = sort_pairs_pallas(
+        jnp.asarray(k), jnp.asarray(v), interpret=True, k_stop=B
+    )
+    ok, ov = np.asarray(ok), np.asarray(ov)
+    blocks = ok.reshape(4, -1, B)
+    asc = np.all(np.diff(blocks[:, 0::2], axis=-1) >= 0)
+    desc = np.all(np.diff(blocks[:, 1::2], axis=-1) <= 0)
+    assert asc and desc
+    for r in range(4):  # multiset of pairs preserved
+        assert sorted(zip(k[r].tolist(), v[r].tolist())) == sorted(
+            zip(ok[r].tolist(), ov[r].tolist())
+        )
+
+
+@pytest.mark.parametrize("wide", [False, True])
+def test_sort_kernels_k_start_resumes_partial_network(wide):
+    """Rows preconditioned to the post-stage-B state (every B-block sorted,
+    alternating) sort fully with k_start=2B — in both the single-tile and
+    the wide-row kernel."""
+    B = 32
+    q, p = 3, 1024
+    rng = np.random.default_rng(13)
+    k = rng.integers(0, 50_000, (q, p)).astype(np.int32)
+    v = rng.normal(size=(q, p)).astype(np.float32)
+    # numpy reference preconditioner: sort each B-block, reverse odd blocks
+    kb = np.sort(k.reshape(q, -1, B), axis=-1)
+    order = np.argsort(k.reshape(q, -1, B), kind="stable", axis=-1)
+    vb = np.take_along_axis(v.reshape(q, -1, B), order, axis=-1)
+    kb[:, 1::2] = kb[:, 1::2, ::-1]
+    vb[:, 1::2] = vb[:, 1::2, ::-1]
+    kp, vp = kb.reshape(q, p), vb.reshape(q, p)
+    if wide:
+        ok, ov = sort_pairs_pallas_wide(
+            jnp.asarray(kp), jnp.asarray(vp), lane_width=128,
+            interpret=True, k_start=2 * B,
+        )
+    else:
+        ok, ov = sort_pairs_pallas(
+            jnp.asarray(kp), jnp.asarray(vp), interpret=True, k_start=2 * B
+        )
+    ok, ov = np.asarray(ok), np.asarray(ov)
+    assert np.array_equal(ok, np.sort(k, axis=1))
+    for r in range(q):
+        assert sorted(zip(k[r].tolist(), v[r].tolist())) == sorted(
+            zip(ok[r].tolist(), ov[r].tolist())
+        )
+
+
 def test_sort_pairs_rejects_non_pow2():
     with pytest.raises(ValueError):
         sort_pairs_pallas(

@@ -98,3 +98,60 @@ def test_fused_search_matches_split():
         jnp.asarray(qterms), jnp.asarray(qmask), interpret=INTERPRET, **kw,
     )
     np.testing.assert_allclose(np.asarray(a[0]), np.asarray(b[0]), rtol=1e-4, atol=1e-5)
+
+
+def test_postings_gather_pallas_alternated_blocks():
+    """E/O parity-selected DMA gather (the over-cap fallback's pass-skip
+    enabler): every store-block of the produced rows must come out sorted —
+    ascending at even row-local block index, descending at odd — with the
+    same content as the terms' aligned regions."""
+    from probing_rag_tpu.ops.pallas_sparse import postings_gather_pallas
+    from probing_rag_tpu.retrieval.bm25_index import BM25Config, BM25Index
+
+    block = 128
+    rng = np.random.default_rng(21)
+    docs = [
+        [f"t{t}" for t in rng.zipf(1.2, rng.integers(3, 30)) % 300]
+        for _ in range(3000)
+    ]
+    idx = BM25Index.build_tokenized(
+        docs, BM25Config(stem=False, remove_stopwords=False)
+    )
+    st = idx.bitonic_csr(min_len=64, block=block)
+    big = np.nonzero(st.aligned_len > 0)[0]
+    assert len(big) >= 4
+    q_terms = [big[:3], big[1:4]]
+    tq = 4
+    starts = np.zeros((2, tq), np.int32)
+    lens = np.zeros((2, tq), np.int32)
+    for r, ids in enumerate(q_terms):
+        starts[r, : len(ids)] = st.aligned_start[ids]
+        lens[r, : len(ids)] = st.aligned_len[ids]
+    totals = lens.sum(axis=1)
+    pad = max(int(2 ** np.ceil(np.log2(totals.max()))), 4 * block)
+    doc, imp = postings_gather_pallas(
+        jnp.asarray(st.doc_e), jnp.asarray(st.imp_e),
+        jnp.asarray(starts), jnp.asarray(lens),
+        pad=pad, sentinel=idx.n_docs, chunk=block, interpret=True,
+        postings_doc_o=jnp.asarray(st.doc_o),
+        postings_impact_o=jnp.asarray(st.imp_o),
+        block=block,
+    )
+    doc = np.asarray(doc)
+    for r in range(2):
+        blocks = doc[r][: totals[r]].reshape(-1, block).astype(np.int64)
+        for b in range(len(blocks)):
+            d = np.diff(blocks[b])
+            assert (d >= 0).all() if b % 2 == 0 else (d <= 0).all(), (r, b)
+        want = np.sort(
+            np.concatenate(
+                [
+                    st.doc_e[
+                        st.aligned_start[t] : st.aligned_start[t]
+                        + st.aligned_len[t]
+                    ]
+                    for t in q_terms[r]
+                ]
+            )
+        )
+        assert np.array_equal(np.sort(doc[r][: totals[r]]), want)
