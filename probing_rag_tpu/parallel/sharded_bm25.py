@@ -360,7 +360,8 @@ class ShardedBM25Engine:
         jax.jit, static_argnames=("self", "pad_big", "pad_short", "k")
     )
     def _search_fallback_sharded(
-        self, bstarts, blens, qterms, qmask, big_wtblk=None, qw_short=None,
+        self, bstarts, blens, qterms, qmask, s_src, s_rlen,
+        big_wtblk=None, qw_short=None,
         *, pad_big: int, pad_short: int, k: int
     ):
         """Exact per-shard scoring for over-cap queries, hybrid-gathered
@@ -383,7 +384,8 @@ class ShardedBM25Engine:
 
         block = self.block
 
-        def shard_fn(de, ie, do, io, offs, docs, imps, bs, bl, qt, qm, *wts):
+        def shard_fn(de, ie, do, io, offs, docs, imps, bs, bl, qt, qm,
+                     ss, sr, *wts):
             from probing_rag_tpu.ops.pallas_sparse import segment_topk_pallas
             from probing_rag_tpu.retrieval.bm25 import (
                 _fallback_gather_sort, _hybrid_gather_sort,
@@ -397,12 +399,14 @@ class ShardedBM25Engine:
                 doc, imp = _hybrid_gather_sort(
                     de[0], ie[0], do[0], io[0], bs[0], bl[0],
                     offs[0], docs[0], imps[0], qt[0], qm[0], bw, qw,
+                    ss[0], sr[0],
                     pad_big=pad_big, pad_short=pad_short,
                     sentinel_doc=sentinel, block=block, interpret=interpret,
                 )
             else:
                 doc, imp = _fallback_gather_sort(
                     offs[0], docs[0], imps[0], qt[0], qm[0], qw,
+                    ss[0], sr[0],
                     pad=pad_short, sentinel_doc=sentinel, interpret=interpret,
                 )
             scores, idx = segment_topk_pallas(
@@ -424,11 +428,11 @@ class ShardedBM25Engine:
         return jax.shard_map(
             shard_fn,
             mesh=self.mesh,
-            in_specs=(ax,) * 7 + (ax,) * (4 + len(extra)),
+            in_specs=(ax,) * 7 + (ax,) * (6 + len(extra)),
             out_specs=(P(), P()),
             check_vma=False,  # outputs are replicated post-all_gather
         )(doc_e, imp_e, doc_o, imp_o, self._dev_sh_offsets, doc_c, imp_c,
-          bstarts, blens, qterms, qmask, *extra)
+          bstarts, blens, qterms, qmask, s_src, s_rlen, *extra)
 
     def search_term_ids(
         self, term_id_lists: Sequence[np.ndarray], k: int = 5
@@ -564,10 +568,15 @@ class ShardedBM25Engine:
         blens = np.zeros((S, qb, tq), np.int32)
         qt = np.zeros((S, qb, tq), np.int32)
         qm = np.zeros((S, qb, tq), bool)
+        # per-shard compact descriptors for the VMEM assembly short gather
+        s_src = np.zeros((S, qb, tq), np.int32)
+        s_rlen = np.zeros((S, qb, tq), np.int32)
         bstarts[:, :r_count] = np.where(isbig, self._a_start[:, ids_pad], 0)
         blens[:, :r_count] = np.where(isbig, self._a_len[:, ids_pad], 0)
         qt[:, :r_count] = np.where(short, ids_pad[None], 0)
         qm[:, :r_count] = short
+        s_src[:, :r_count] = np.where(short, self._sh_offs[:, ids_pad], 0)
+        s_rlen[:, :r_count] = np.where(short, lens, 0)
 
         big_total = int(blens.sum(axis=2).max()) if r_count else 0
         short_total = int(
@@ -592,7 +601,8 @@ class ShardedBM25Engine:
 
         sharding = NamedSharding(self.mesh, P(self._axes))
         args = tuple(
-            jax.device_put(a, sharding) for a in (bstarts, blens, qt, qm)
+            jax.device_put(a, sharding)
+            for a in (bstarts, blens, qt, qm, s_src, s_rlen)
         )
         big_wtblk = qw_short = None
         if any_wt:

@@ -638,6 +638,11 @@ class BM25Engine:
                 blens = np.zeros((qb, tqb), np.int32)
                 qt = np.zeros((qb, tqs), np.int32)
                 qm = np.zeros((qb, tqs), bool)
+                # compact start/length descriptors for the VMEM assembly
+                # gather (short terms are < min_len=256 < 1024 postings by
+                # construction — the kernel's per-term bound)
+                ssrc = np.zeros((qb, tqs), np.int32)
+                srlen = np.zeros((qb, tqs), np.int32)
                 bw = np.ones((qb, tqb), np.float32)
                 sw = np.ones((qb, tqs), np.float32)
                 for row, i in enumerate(chunk_rows):
@@ -646,9 +651,14 @@ class BM25Engine:
                     blens[row, : len(big_ids)] = a_len[big_ids]
                     qt[row, : len(short_ids)] = short_ids
                     qm[row, : len(short_ids)] = True
+                    ssrc[row, : len(short_ids)] = self._compact_offsets[
+                        short_ids
+                    ]
+                    srlen[row, : len(short_ids)] = self._term_lens[short_ids]
                     if any_wt:
                         bw[row, : len(big_ids)] = entries[i][4]
                         sw[row, : len(short_ids)] = entries[i][5]
+                short_args = (jnp.asarray(ssrc), jnp.asarray(srlen))
                 if pad_big:
                     big_wtblk = qw_short = None
                     if any_wt:
@@ -661,16 +671,17 @@ class BM25Engine:
                         jnp.asarray(bstarts), jnp.asarray(blens),
                         self._dev_offsets, doc_c, imp_c,
                         jnp.asarray(qt), jnp.asarray(qm),
-                        big_wtblk, qw_short,
+                        big_wtblk, qw_short, *short_args,
                         pad_big=pad_big, pad_short=pad_short,
                         sentinel_doc=sentinel, block=st.block,
                         interpret=self.interpret,
                     )
-                else:  # no big terms in this bucket: pure XLA gather
+                else:  # no big terms in this bucket
                     doc, imp = _fallback_gather_sort(
                         self._dev_offsets, doc_c, imp_c,
                         jnp.asarray(qt), jnp.asarray(qm),
                         jnp.asarray(sw) if any_wt else None,
+                        *short_args,
                         pad=pad_short, sentinel_doc=sentinel,
                         interpret=self.interpret,
                     )
@@ -954,20 +965,50 @@ def _fold_short_tail(db, ib, ds, is_, *, pad_big, pad_short):
     return doc, imp
 
 
+def _short_tail_gather(
+    term_offsets, doc_c, imp_c, qterms, qmask, qweights,
+    short_src, short_rlen,
+    *, pad, sentinel_doc, interpret,
+):
+    """Short-term gather for the fallback paths: the compact VMEM-assembly
+    kernel (~3 DMAs + ~100 vector ops per term) when descriptors are
+    provided and the pad is block-aligned; the XLA per-element gather
+    (~70 ns/element, measured — the dominant fallback gather cost)
+    otherwise. Dedup weights are bitcast to int32 for the kernel's SMEM
+    prefetch (32-bit integer scalars only)."""
+    if short_src is not None and pad % 1024 == 0:
+        from probing_rag_tpu.ops.pallas_sparse import postings_assemble_pallas
+
+        wt_bits = (
+            None if qweights is None
+            else jax.lax.bitcast_convert_type(qweights, jnp.int32)
+        )
+        return postings_assemble_pallas(
+            doc_c, imp_c, short_src, short_rlen, wt_bits,
+            pad=pad, sentinel=sentinel_doc, interpret=interpret,
+        )
+    from probing_rag_tpu.ops.sparse import postings_gather
+
+    return postings_gather(
+        term_offsets, doc_c.reshape(-1), imp_c.reshape(-1), qterms, qmask,
+        pad, sentinel_doc, qweights=qweights,
+    )
+
+
 @functools.partial(jax.jit, static_argnames=("pad", "sentinel_doc", "interpret"))
 def _fallback_gather_sort(
     term_offsets, doc_c, imp_c, qterms, qmask, qweights=None,
+    short_src=None, short_rlen=None,
     *, pad, sentinel_doc, interpret=True,
 ):
     """Gather+sort over the bitonic store's (1, N) compact copies (reshape is
     free inside jit). Kept as its own program: composing the TPU sort with
     the downstream segment scans is a known multi-hour-compile trigger
     (ops/sparse.py::bm25_search_padded)."""
-    from probing_rag_tpu.ops.sparse import postings_gather
-
-    doc, impact = postings_gather(
-        term_offsets, doc_c.reshape(-1), imp_c.reshape(-1), qterms, qmask,
-        pad, sentinel_doc, qweights=qweights,
+    doc, impact = _short_tail_gather(
+        term_offsets, doc_c, imp_c, qterms, qmask, qweights,
+        short_src, short_rlen,
+        pad=pad, sentinel_doc=sentinel_doc, interpret=interpret,
     )
     return _sort_postings_rows(doc, impact, interpret=interpret)
 
@@ -979,14 +1020,16 @@ def _fallback_gather_sort(
 def _hybrid_gather_sort(
     doc_e, imp_e, doc_o, imp_o, big_starts, big_lens, term_offsets,
     doc_c, imp_c, qt_short, qm_short, big_wtblk=None, qw_short=None,
+    short_src=None, short_rlen=None,
     *, pad_big, pad_short, sentinel_doc, block=1024, interpret,
 ):
     """Over-cap gather: big terms as chunked DMA copies from the (guarded)
     block-alternated E/O stores — the copy is chosen per term so every
     produced ``block`` is sorted alternating (ops/pallas_sparse.py::
-    _gather_kernel) — while the short tail rides the XLA gather over the
-    compact copy and is PRECONDITIONED to the same block-alternated state
-    by a truncated sort network (``k_stop=block``). The tail is folded into
+    _gather_kernel) — while the short tail is gathered from the compact
+    copy (``_short_tail_gather``: VMEM assembly kernel, or XLA gather when
+    descriptors are absent) and PRECONDITIONED to the same block-alternated
+    state by a truncated sort network (``k_stop=block``). The tail is folded into
     the big row's reserved slack (``_fold_short_tail``), so the whole
     pow2-wide row satisfies the ``k_start = 2*block`` precondition and the
     wide bitonic sort skips its first log2(block) stages (2.7 vs 4.0
@@ -997,11 +1040,10 @@ def _hybrid_gather_sort(
     block's impacts (big-term slots are ``block``-aligned, and DMA chunk
     overshoot into a later term's slice is overwritten before this multiply
     runs, so block ownership is exact; positive weights keep blocks sorted
-    by doc); ``qw_short`` [Q, TQs] rides the XLA gather's per-term rank
-    decomposition."""
+    by doc); ``qw_short`` [Q, TQs] rides both short paths (bitcast to int32
+    bit patterns for the assembly kernel's SMEM prefetch)."""
     from probing_rag_tpu.ops.pallas_sort import sort_pairs_pallas
     from probing_rag_tpu.ops.pallas_sparse import gather_chunk, postings_gather_pallas
-    from probing_rag_tpu.ops.sparse import postings_gather
 
     # the pass skip needs block-aligned parity at the fold seam: pad_short
     # and pad_big - pad_short must both be even multiples of block (pow2s
@@ -1025,9 +1067,10 @@ def _hybrid_gather_sort(
         ib = ib * jnp.broadcast_to(
             big_wtblk[:, :, None], (qn, pad_big // block, block)
         ).reshape(qn, pad_big)
-    ds, is_ = postings_gather(
-        term_offsets, doc_c.reshape(-1), imp_c.reshape(-1),
-        qt_short, qm_short, pad_short, sentinel_doc, qweights=qw_short,
+    ds, is_ = _short_tail_gather(
+        term_offsets, doc_c, imp_c, qt_short, qm_short, qw_short,
+        short_src, short_rlen,
+        pad=pad_short, sentinel_doc=sentinel_doc, interpret=interpret,
     )
     if skip:
         ds, is_ = sort_pairs_pallas(ds, is_, k_stop=block)

@@ -262,3 +262,29 @@ def _dedup_args(lists):
 
     u, w, _ = _dedup_term_ids(lists)
     return u, w
+
+
+def test_overcap_many_short_terms_assembly_path(zipf_index):
+    """Over-cap queries whose short tail is big enough for the VMEM
+    assembly gather (pad_short >= 1024): exact vs the oracle, with and
+    without big terms in the row, including duplicated terms (weighted
+    slots ride the assembly kernel as bitcast SMEM scalars)."""
+    idx, rng = zipf_index
+    lens = idx.term_offsets[1:] - idx.term_offsets[:-1]
+    order = np.argsort(lens)
+    heavy = order[-2:].astype(np.int32)
+    # many mid-df short terms: enough raw mass to push pad_short over 1024
+    shorts = order[len(order) // 2 : len(order) // 2 + 60].astype(np.int32)
+    assert lens[shorts].sum() >= 1024
+    eng = BM25Engine(idx, mode="bitonic", interpret=True, max_pad=2048)
+    q_mixed = np.concatenate([heavy, shorts, shorts[:5]])  # dups -> weights
+    q_short_only = np.concatenate([shorts, shorts[:7]])
+    res = eng.search_term_ids([q_mixed, q_short_only], k=5)
+    assert eng.last_stats["n_fallback"] >= 1
+    for i, q in enumerate([q_mixed, q_short_only]):
+        oracle = idx.score_all(q)
+        exp = np.sort(oracle)[::-1][:5]
+        got = np.sort(res.scores[i])[::-1]
+        assert np.allclose(got, exp, rtol=1e-4, atol=1e-3), i
+        for d, s in zip(res.doc_indices[i], res.scores[i]):
+            assert d >= 0 and oracle[d] == pytest.approx(s, rel=1e-4, abs=1e-3)

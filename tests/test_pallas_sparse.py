@@ -155,3 +155,56 @@ def test_postings_gather_pallas_alternated_blocks():
             )
         )
         assert np.array_equal(np.sort(doc[r][: totals[r]]), want)
+
+
+@pytest.mark.parametrize("weighted", [False, True])
+def test_postings_assemble_matches_xla_gather(weighted):
+    """Compact VMEM-assembly short-term gather vs ops.sparse.postings_gather
+    (same slot order, same sentinel tail, weights pre-applied)."""
+    from probing_rag_tpu.ops.pallas_sparse import postings_assemble_pallas
+    from probing_rag_tpu.ops.sparse import postings_gather
+
+    rng = np.random.default_rng(31)
+    t, n_docs = 60, 5000
+    lens = rng.integers(1, 200, t)  # all short (< 1024)
+    offs = np.zeros(t + 1, np.int64)
+    np.cumsum(lens, out=offs[1:])
+    nnz = int(offs[-1])
+    docs = np.concatenate(
+        [np.sort(rng.integers(0, n_docs, l)) for l in lens]
+    ).astype(np.int32)
+    imps = rng.random(nnz, dtype=np.float32) + 0.01
+    # guarded compact copies, (1, N) layout as in the bitonic store
+    guard_d = np.full(2048, n_docs, np.int32)
+    doc_c = np.concatenate([docs, guard_d])[None, :]
+    imp_c = np.concatenate([imps, np.zeros(2048, np.float32)])[None, :]
+
+    q, tq = 5, 8
+    qt = rng.integers(0, t, (q, tq)).astype(np.int32)
+    qm = rng.random((q, tq)) < 0.8
+    qm[3] = False  # an empty row
+    src = np.where(qm, offs[qt], 0).astype(np.int32)
+    rlen = np.where(qm, lens[qt], 0).astype(np.int32)
+    pad = 2048
+    assert rlen.sum(axis=1).max() <= pad
+
+    wt = None
+    wt_bits = None
+    if weighted:
+        wt = (rng.integers(1, 4, (q, tq))).astype(np.float32)
+        wt_bits = jnp.asarray(wt.view(np.int32))
+
+    d_ref, i_ref = postings_gather(
+        jnp.asarray(offs.astype(np.int32)), jnp.asarray(docs),
+        jnp.asarray(imps), jnp.asarray(qt), jnp.asarray(qm),
+        pad, n_docs, qweights=jnp.asarray(wt) if weighted else None,
+    )
+    d_out, i_out = postings_assemble_pallas(
+        jnp.asarray(doc_c), jnp.asarray(imp_c),
+        jnp.asarray(src), jnp.asarray(rlen), wt_bits,
+        pad=pad, sentinel=n_docs, interpret=True,
+    )
+    assert np.array_equal(np.asarray(d_out), np.asarray(d_ref))
+    np.testing.assert_allclose(
+        np.asarray(i_out), np.asarray(i_ref), rtol=1e-6, atol=1e-7
+    )
