@@ -102,7 +102,8 @@ def topk_merge_tile(scores, idx_source, run_vals, run_idx, k, thresh_k=None):
     return run_vals, run_idx
 
 
-def _kernel(q_ref, emb_ref, sqn_ref, out_v_ref, out_i_ref, vals, idxs, *, k, metric, n_total, tile_n):
+def _kernel(q_ref, emb_ref, sqn_ref, out_v_ref, out_i_ref, vals, idxs, *, k,
+            metric, n_total, tile_n, group_rows):
     ni = pl.program_id(1)
     n_tiles = pl.num_programs(1)
 
@@ -128,17 +129,37 @@ def _kernel(q_ref, emb_ref, sqn_ref, out_v_ref, out_i_ref, vals, idxs, *, k, met
     # data once the running top-k is warm).
     row_max = jnp.max(scores, axis=-1)  # [QB]
 
-    @pl.when(jnp.any(row_max > vals[:, k - 1]))
-    def _():
-        base = ni * tile_n
-        col = base + jax.lax.broadcasted_iota(jnp.int32, scores.shape, 1)
-        # pad columns exist only in the final (partial) tile; a pad lane may
-        # spuriously trip the row-max gate there — masked before the merge,
-        # so it inserts nothing
-        s = jnp.where(col < n_total, scores, -jnp.inf)
-        new_vals, new_idx = topk_merge_tile(s, col, vals[:], idxs[:], k)
-        vals[:] = new_vals
-        idxs[:] = new_idx
+    qb = scores.shape[0]
+    gq = min(group_rows, qb) if group_rows else qb
+    if qb % gq:  # groups must tile the block exactly (static shapes)
+        gq = qb
+    base = ni * tile_n
+    col = base + jax.lax.broadcasted_iota(jnp.int32, (gq, tile_n), 1)
+
+    # Merge per ``gq``-row group, each behind its own gate: the serial
+    # insert rounds of ``topk_merge_tile`` run max-candidates-per-row-in-
+    # the-group times (vs per-whole-block), and every round's TN-wide ops
+    # shrink by QB/gq. At [256 x 4096] tiles of a 500k sweep virtually
+    # every 256-row block qualifies (~50 expected inserts spread over the
+    # rows), so the whole-block gate never skips — the group split is what
+    # actually cuts the merge cost.
+    for g in range(0, qb, gq):
+        g_max = row_max[g : g + gq]
+        g_kth = vals[g : g + gq, k - 1]
+
+        @pl.when(jnp.any(g_max > g_kth))
+        def _(g=g):
+            # pad columns exist only in the final (partial) tile; a pad
+            # lane may spuriously trip the row-max gate there — masked
+            # before the merge, so it inserts nothing
+            s = jnp.where(
+                col < n_total, scores[g : g + gq, :], -jnp.inf
+            )
+            new_vals, new_idx = topk_merge_tile(
+                s, col, vals[g : g + gq, :], idxs[g : g + gq, :], k
+            )
+            vals[g : g + gq, :] = new_vals
+            idxs[g : g + gq, :] = new_idx
 
     @pl.when(ni == n_tiles - 1)
     def _():
@@ -178,7 +199,10 @@ def prepare_dense_store(
 
 @functools.partial(
     jax.jit,
-    static_argnames=("k", "metric", "tile_n", "tile_q", "interpret", "n_total"),
+    static_argnames=(
+        "k", "metric", "tile_n", "tile_q", "interpret", "n_total",
+        "group_rows",
+    ),
 )
 def dense_topk_pallas(
     queries: jnp.ndarray,  # [Q, D]
@@ -191,6 +215,7 @@ def dense_topk_pallas(
     tile_q: int = 0,
     sq_norms: jnp.ndarray | None = None,  # [8, N_pad] from prepare_dense_store
     n_total: int = 0,  # true doc count when embeddings are pre-padded
+    group_rows: int = 64,  # merge-gate granularity (0 = whole query block)
     interpret: bool = False,
 ):
     """Returns (scores [Q, k], indices [Q, k]); same contract as
@@ -243,6 +268,7 @@ def dense_topk_pallas(
     grid = (qp // tile_q, np_ // tile_n)
     kernel = functools.partial(
         _kernel, k=k, metric=metric, n_total=n, tile_n=tile_n,
+        group_rows=group_rows,
     )
     out_v, out_i = pl.pallas_call(
         kernel,

@@ -413,7 +413,10 @@ def _assemble_kernel(src_ref, rlen_ref, wt_ref, doc_hbm, imp_hbm,
     (prefetched as int32 bit patterns — SMEM scalars are 32-bit; bitcast
     back to f32 in-kernel)."""
     qi = pl.program_id(0)
-    W = 4 * _ALIGN  # staging width: 2-block window + roll headroom
+    # staging width: one 2-block window is enough roll headroom — fill
+    # and per-term L are both < _ALIGN, so fill+L <= 2*_ALIGN-2 and the
+    # rotate never wraps (and one fewer roll pass than a 4-block stage)
+    W = 2 * _ALIGN
     lane = jax.lax.broadcasted_iota(jnp.int32, (1, W), 1)
 
     stage_doc[:] = jnp.full((1, W), sentinel, jnp.int32)
@@ -519,8 +522,177 @@ def _assemble_kernel(src_ref, rlen_ref, wt_ref, doc_hbm, imp_hbm,
         c2.wait()
 
 
+def _assemble_rows_kernel(src_ref, rlen_ref, wt_ref, doc_hbm, imp_hbm,
+                          out_doc, out_imp, win_doc, win_imp,
+                          stage_doc, stage_imp, sems,
+                          *, tq, sentinel, weighted, rows):
+    """Sublane-packed variant of ``_assemble_kernel``: one grid step
+    assembles ``rows`` query rows at once. Per-row scalar state (fill lane,
+    flushed-block count) rides the fori_loop carry as ``2*rows`` scalars;
+    the wide roll/select work runs on (rows, W) arrays so the VPU's 8
+    sublanes are occupied instead of 1, and the per-term window DMAs of all
+    rows are started before any is waited on (latency overlapped). The
+    (rows, 1) per-row gate vectors for the bit-decomposed rolls are built
+    from the scalar carries with ``rows`` tiny selects — Mosaic has no cheap
+    vector-lane extract, so scalars stay scalars and vectors are built, not
+    read back."""
+    qi = pl.program_id(0)
+    W = 2 * _ALIGN  # see _assemble_kernel: 2 blocks suffice, never wraps
+    lane = jax.lax.broadcasted_iota(jnp.int32, (rows, W), 1)
+    row_iota = jax.lax.broadcasted_iota(jnp.int32, (rows, 1), 0)
+
+    stage_doc[:] = jnp.full((rows, W), sentinel, jnp.int32)
+    stage_imp[:] = jnp.zeros((rows, W), jnp.float32)
+
+    def _vec(scalars, dtype=jnp.int32):
+        # (rows, 1) vector from per-row scalars via select-accumulate
+        v = jnp.zeros((rows, 1), dtype)
+        for r, s in enumerate(scalars):
+            v = jnp.where(row_iota == r, s.astype(dtype), v)
+        return v
+
+    def term(t, carry):
+        fills, nblks = carry[:rows], carry[rows:]
+        Ls, offs, shs, wbits, copies = [], [], [], [], []
+        for r in range(rows):
+            qcol = qi * rows + r
+            L = rlen_ref[t, qcol]
+            start = src_ref[t, qcol]
+            win = (start // _ALIGN) * _ALIGN
+            off = start - win
+            Ls.append(L)
+            offs.append(off)
+            shs.append((fills[r] - off) % W)
+            wbits.append(wt_ref[t, qcol])
+            wo = pl.multiple_of(win, _ALIGN)
+            c1 = pltpu.make_async_copy(
+                doc_hbm.at[pl.ds(0, 1), pl.ds(wo, 2 * _ALIGN)],
+                win_doc.at[pl.ds(r, 1), pl.ds(0, 2 * _ALIGN)],
+                sems.at[0],
+            )
+            c2 = pltpu.make_async_copy(
+                imp_hbm.at[pl.ds(0, 1), pl.ds(wo, 2 * _ALIGN)],
+                win_imp.at[pl.ds(r, 1), pl.ds(0, 2 * _ALIGN)],
+                sems.at[1],
+            )
+
+            @pl.when(L > 0)
+            def _(c1=c1, c2=c2):
+                c1.start()
+                c2.start()
+
+            copies.append((L, c1, c2))
+        for L, c1, c2 in copies:
+
+            @pl.when(L > 0)
+            def _(c1=c1, c2=c2):
+                c1.wait()
+                c2.wait()
+
+        fill_v = _vec(fills)
+        L_v = _vec(Ls)
+        sh_v = _vec(shs)
+        xd = win_doc[:]
+        xi = win_imp[:]
+        bits = (W - 1).bit_length()
+        for b in range(bits):
+            bit = ((sh_v >> b) & 1) == 1
+            amt = 1 << b
+            xd = jnp.where(bit, pltpu.roll(xd, amt, axis=1), xd)
+            xi = jnp.where(bit, pltpu.roll(xi, amt, axis=1), xi)
+        mask = (lane >= fill_v) & (lane < fill_v + L_v)
+        if weighted:
+            w_v = jax.lax.bitcast_convert_type(_vec(wbits), jnp.float32)
+            xi = xi * w_v
+        stage_doc[:] = jnp.where(mask, xd, stage_doc[:])
+        stage_imp[:] = jnp.where(mask, xi, stage_imp[:])
+
+        # flush every row whose partial block filled up: start all row
+        # copies, wait, then do ONE vectorized stage shift gated per row
+        fill2s = [fills[r] + Ls[r] for r in range(rows)]
+        flushes = []
+        for r in range(rows):
+            flushed = fill2s[r] >= _ALIGN
+            dd = pl.multiple_of(nblks[r] * _ALIGN, _ALIGN)
+            c1 = pltpu.make_async_copy(
+                stage_doc.at[pl.ds(r, 1), pl.ds(0, _ALIGN)],
+                out_doc.at[pl.ds(r, 1), pl.ds(dd, _ALIGN)],
+                sems.at[0],
+            )
+            c2 = pltpu.make_async_copy(
+                stage_imp.at[pl.ds(r, 1), pl.ds(0, _ALIGN)],
+                out_imp.at[pl.ds(r, 1), pl.ds(dd, _ALIGN)],
+                sems.at[1],
+            )
+
+            @pl.when(flushed)
+            def _(c1=c1, c2=c2):
+                c1.start()
+                c2.start()
+
+            flushes.append((flushed, c1, c2))
+        for flushed, c1, c2 in flushes:
+
+            @pl.when(flushed)
+            def _(c1=c1, c2=c2):
+                c1.wait()
+                c2.wait()
+
+        flush_v = _vec([f.astype(jnp.int32) for f, _, _ in flushes]) == 1
+        sd = pltpu.roll(stage_doc[:], W - _ALIGN, axis=1)
+        si = pltpu.roll(stage_imp[:], W - _ALIGN, axis=1)
+        tail = lane >= W - _ALIGN
+        stage_doc[:] = jnp.where(
+            flush_v, jnp.where(tail, sentinel, sd), stage_doc[:]
+        )
+        stage_imp[:] = jnp.where(
+            flush_v, jnp.where(tail, 0.0, si), stage_imp[:]
+        )
+
+        new_fills = [
+            jnp.where(f, v - _ALIGN, v)
+            for v, (f, _, _) in zip(fill2s, flushes)
+        ]
+        new_nblks = [
+            n + f.astype(jnp.int32)
+            for n, (f, _, _) in zip(nblks, flushes)
+        ]
+        return tuple(new_fills) + tuple(new_nblks)
+
+    carry = jax.lax.fori_loop(
+        0, tq, term, (jnp.int32(0),) * rows + (jnp.int32(0),) * rows
+    )
+    fills, nblks = carry[:rows], carry[rows:]
+    finals = []
+    for r in range(rows):
+        dd = pl.multiple_of(nblks[r] * _ALIGN, _ALIGN)
+        c1 = pltpu.make_async_copy(
+            stage_doc.at[pl.ds(r, 1), pl.ds(0, _ALIGN)],
+            out_doc.at[pl.ds(r, 1), pl.ds(dd, _ALIGN)],
+            sems.at[0],
+        )
+        c2 = pltpu.make_async_copy(
+            stage_imp.at[pl.ds(r, 1), pl.ds(0, _ALIGN)],
+            out_imp.at[pl.ds(r, 1), pl.ds(dd, _ALIGN)],
+            sems.at[1],
+        )
+
+        @pl.when(fills[r] > 0)
+        def _(c1=c1, c2=c2):
+            c1.start()
+            c2.start()
+
+        finals.append((fills[r], c1, c2))
+    for fill, c1, c2 in finals:
+
+        @pl.when(fill > 0)
+        def _(c1=c1, c2=c2):
+            c1.wait()
+            c2.wait()
+
+
 @functools.partial(
-    jax.jit, static_argnames=("pad", "sentinel", "interpret")
+    jax.jit, static_argnames=("pad", "sentinel", "row_tile", "interpret")
 )
 def postings_assemble_pallas(
     doc_c: jnp.ndarray,  # (1, NNZ + >=2-block guard) int32 compact copy
@@ -531,40 +703,53 @@ def postings_assemble_pallas(
     *,
     pad: int,
     sentinel: int,
+    row_tile: int = 1,
     interpret: bool = False,
 ):
     """Compactly packed short-term gather (same [Q, pad] contract as
     ops.sparse.postings_gather, weights pre-applied) as DMA windows + VMEM
     rolls — see _assemble_kernel. ``pad`` must be a 1024-multiple >= the
-    largest row total (the flush writes whole blocks)."""
+    largest row total (the flush writes whole blocks). ``row_tile`` > 1
+    assembles that many query rows per grid step (Q must divide evenly) —
+    the sublane-packed kernel keeps all 8 VPU sublanes busy and overlaps
+    the rows' window DMAs (see _assemble_rows_kernel)."""
     if pad % _ALIGN:
         raise ValueError(f"assemble pad must be a {_ALIGN}-multiple, got {pad}")
     q, tq = src.shape
+    if q % row_tile:
+        raise ValueError(f"Q={q} not divisible by row_tile={row_tile}")
     weighted = wt_bits is not None
     # prefetch operands as [TQ, Q]: SMEM lane padding (see bm25_search_bitonic)
     pre = [src.T, rlen.T]
     pre.append(wt_bits.T if weighted else jnp.zeros((tq, q), jnp.int32))
+    rt = row_tile
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=3,
-        grid=(q,),
+        grid=(q // rt,),
         in_specs=[pl.BlockSpec(memory_space=pltpu.HBM)] * 2,
         out_specs=[
-            pl.BlockSpec((1, pad), lambda qi, *_: (qi, 0),
+            pl.BlockSpec((rt, pad), lambda qi, *_: (qi, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, pad), lambda qi, *_: (qi, 0),
+            pl.BlockSpec((rt, pad), lambda qi, *_: (qi, 0),
                          memory_space=pltpu.VMEM),
         ],
         scratch_shapes=[
-            pltpu.VMEM((1, 4 * _ALIGN), jnp.int32),
-            pltpu.VMEM((1, 4 * _ALIGN), jnp.float32),
-            pltpu.VMEM((1, 4 * _ALIGN), jnp.int32),
-            pltpu.VMEM((1, 4 * _ALIGN), jnp.float32),
+            pltpu.VMEM((rt, 2 * _ALIGN), jnp.int32),
+            pltpu.VMEM((rt, 2 * _ALIGN), jnp.float32),
+            pltpu.VMEM((rt, 2 * _ALIGN), jnp.int32),
+            pltpu.VMEM((rt, 2 * _ALIGN), jnp.float32),
             pltpu.SemaphoreType.DMA((2,)),
         ],
     )
-    kernel = functools.partial(
-        _assemble_kernel, tq=tq, sentinel=sentinel, weighted=weighted,
-    )
+    if rt == 1:
+        kernel = functools.partial(
+            _assemble_kernel, tq=tq, sentinel=sentinel, weighted=weighted,
+        )
+    else:
+        kernel = functools.partial(
+            _assemble_rows_kernel, tq=tq, sentinel=sentinel,
+            weighted=weighted, rows=rt,
+        )
     out_doc, out_imp = pl.pallas_call(
         kernel,
         grid_spec=grid_spec,

@@ -983,9 +983,14 @@ def _short_tail_gather(
             None if qweights is None
             else jax.lax.bitcast_convert_type(qweights, jnp.int32)
         )
+        # sublane-pack 8 query rows per grid step when the batch divides
+        # evenly (engine batches are pow2 >= 8): 8x VPU occupancy and the
+        # rows' window DMAs overlap
+        q = short_src.shape[0]
+        rt = 8 if q % 8 == 0 else 1
         return postings_assemble_pallas(
             doc_c, imp_c, short_src, short_rlen, wt_bits,
-            pad=pad, sentinel=sentinel_doc, interpret=interpret,
+            pad=pad, sentinel=sentinel_doc, row_tile=rt, interpret=interpret,
         )
     from probing_rag_tpu.ops.sparse import postings_gather
 

@@ -73,3 +73,22 @@ def test_pallas_matches_xla_op():
     )
     np.testing.assert_allclose(np.asarray(v1), np.asarray(v2), rtol=1e-5)
     np.testing.assert_array_equal(np.asarray(i1), np.asarray(i2))
+
+
+@pytest.mark.parametrize("group_rows", [16, 32, 0])
+def test_group_split_merge_matches_xla_op(group_rows):
+    """The per-group gated merge (group_rows < query block) must rank
+    identically to the whole-block merge and the XLA oracle — covers
+    multiple groups per tile, partial final tiles, and ties."""
+    rng = np.random.default_rng(5)
+    emb = rng.normal(size=(900, 32)).astype(np.float32)
+    q = rng.normal(size=(96, 32)).astype(np.float32)
+    v1, i1 = matmul_topk(
+        jnp.asarray(q), jnp.asarray(emb), k=5, metric="ip", tile_n=256
+    )
+    v2, i2 = dense_topk_pallas(
+        jnp.asarray(q), jnp.asarray(emb), k=5, metric="ip",
+        tile_n=256, tile_q=96, group_rows=group_rows, interpret=INTERPRET,
+    )
+    np.testing.assert_allclose(np.asarray(v1), np.asarray(v2), rtol=1e-5)
+    np.testing.assert_array_equal(np.asarray(i1), np.asarray(i2))

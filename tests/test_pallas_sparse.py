@@ -157,10 +157,12 @@ def test_postings_gather_pallas_alternated_blocks():
         assert np.array_equal(np.sort(doc[r][: totals[r]]), want)
 
 
+@pytest.mark.parametrize("row_tile", [1, 4, 8])
 @pytest.mark.parametrize("weighted", [False, True])
-def test_postings_assemble_matches_xla_gather(weighted):
+def test_postings_assemble_matches_xla_gather(weighted, row_tile):
     """Compact VMEM-assembly short-term gather vs ops.sparse.postings_gather
-    (same slot order, same sentinel tail, weights pre-applied)."""
+    (same slot order, same sentinel tail, weights pre-applied), single-row
+    and sublane-packed kernels."""
     from probing_rag_tpu.ops.pallas_sparse import postings_assemble_pallas
     from probing_rag_tpu.ops.sparse import postings_gather
 
@@ -179,7 +181,7 @@ def test_postings_assemble_matches_xla_gather(weighted):
     doc_c = np.concatenate([docs, guard_d])[None, :]
     imp_c = np.concatenate([imps, np.zeros(2048, np.float32)])[None, :]
 
-    q, tq = 5, 8
+    q, tq = 8, 8
     qt = rng.integers(0, t, (q, tq)).astype(np.int32)
     qm = rng.random((q, tq)) < 0.8
     qm[3] = False  # an empty row
@@ -202,7 +204,70 @@ def test_postings_assemble_matches_xla_gather(weighted):
     d_out, i_out = postings_assemble_pallas(
         jnp.asarray(doc_c), jnp.asarray(imp_c),
         jnp.asarray(src), jnp.asarray(rlen), wt_bits,
-        pad=pad, sentinel=n_docs, interpret=True,
+        pad=pad, sentinel=n_docs, row_tile=row_tile, interpret=True,
+    )
+    assert np.array_equal(np.asarray(d_out), np.asarray(d_ref))
+    np.testing.assert_allclose(
+        np.asarray(i_out), np.asarray(i_ref), rtol=1e-6, atol=1e-7
+    )
+
+
+@pytest.mark.parametrize("row_tile", [1, 3, 6])
+def test_postings_assemble_block_boundary_lens(row_tile):
+    """Kernel contract edges: term lengths at/near the 1024 per-term bound
+    and fills landing exactly on block boundaries (flush-path corners the
+    random-length test can't reliably hit)."""
+    from probing_rag_tpu.ops.pallas_sparse import postings_assemble_pallas
+    from probing_rag_tpu.ops.sparse import postings_gather
+
+    n_docs = 100_000
+    # rows exercising: exact-block fill (1024 = 1+1023), max-len chains,
+    # single max-len term, alternating tiny/huge, all-empty row
+    rows = [
+        [1, 1023, 512, 512, 1023],
+        [1023, 1023, 1023, 1023],
+        [1023],
+        [1, 1023, 1, 1023, 1, 1023, 1],
+        [],
+        [1024 - 1, 1, 1024],  # a 1024 run is NOT allowed per-term; use 512+512
+    ]
+    rows[5] = [511, 513, 1024 // 2, 512]  # keep all < 1024
+    lens_all = sorted({l for r in rows for l in r})
+    lens = np.asarray(lens_all, np.int64)
+    offs = np.zeros(len(lens) + 1, np.int64)
+    np.cumsum(lens, out=offs[1:])
+    nnz = int(offs[-1])
+    rng = np.random.default_rng(7)
+    docs = np.concatenate(
+        [np.sort(rng.integers(0, n_docs, l)) for l in lens]
+    ).astype(np.int32)
+    imps = rng.random(nnz, dtype=np.float32) + 0.01
+    doc_c = np.concatenate([docs, np.full(2048, n_docs, np.int32)])[None, :]
+    imp_c = np.concatenate([imps, np.zeros(2048, np.float32)])[None, :]
+
+    len_to_tid = {int(l): i for i, l in enumerate(lens)}
+    tq = max(len(r) for r in rows)
+    q = len(rows)
+    qt = np.zeros((q, tq), np.int32)
+    qm = np.zeros((q, tq), bool)
+    for r_, terms in enumerate(rows):
+        for c, l in enumerate(terms):
+            qt[r_, c] = len_to_tid[l]
+            qm[r_, c] = True
+    src = np.where(qm, offs[qt], 0).astype(np.int32)
+    rlen = np.where(qm, lens[qt], 0).astype(np.int32)
+    pad = 8192
+    assert rlen.sum(axis=1).max() <= pad
+
+    d_ref, i_ref = postings_gather(
+        jnp.asarray(offs.astype(np.int32)), jnp.asarray(docs),
+        jnp.asarray(imps), jnp.asarray(qt), jnp.asarray(qm),
+        pad, n_docs,
+    )
+    d_out, i_out = postings_assemble_pallas(
+        jnp.asarray(doc_c), jnp.asarray(imp_c),
+        jnp.asarray(src), jnp.asarray(rlen), None,
+        pad=pad, sentinel=n_docs, row_tile=row_tile, interpret=True,
     )
     assert np.array_equal(np.asarray(d_out), np.asarray(d_ref))
     np.testing.assert_allclose(
