@@ -36,19 +36,7 @@ K = 5
 TARGET_QPS = 10_000.0
 
 
-def _zipf_tokens(rng, n, a=1.3, lo=180):
-    """Exactly n Zipf draws >= lo. (A fixed 3x oversample only survives the
-    filter ~18% of the time — round-2's corpus silently came out at ~53%
-    of the stated doc count, with the tail docs empty.)"""
-    import numpy as np
-    out = []
-    need = n
-    while need > 0:
-        z = rng.zipf(a, size=int(need / 0.17) + 1024)
-        z = z[z >= lo]
-        out.append(z[:need])
-        need -= len(out[-1])
-    return np.concatenate(out)
+from bench_util import zipf_tokens as _zipf_tokens  # noqa: E402
 
 
 def main():

@@ -31,19 +31,7 @@ N_SEARCH = int(os.environ.get("WIKI_SEARCH", 64))
 N_SHARDS = 8
 
 
-def _zipf_tokens(rng, n, a=1.3, lo=180):
-    """Exactly n Zipf draws >= lo. (A fixed 3x oversample only survives the
-    filter ~18% of the time — round-2's corpus silently came out at ~53%
-    of the stated doc count, with the tail docs empty.)"""
-    import numpy as np
-    out = []
-    need = n
-    while need > 0:
-        z = rng.zipf(a, size=int(need / 0.17) + 1024)
-        z = z[z >= lo]
-        out.append(z[:need])
-        need -= len(out[-1])
-    return np.concatenate(out)
+from bench_util import zipf_tokens as _zipf_tokens  # noqa: E402
 
 
 def main():
@@ -82,7 +70,7 @@ def main():
     qz = _zipf_tokens(rng, N_QUERIES * 4).reshape(N_QUERIES, 4)
     qids = [(row % VOCAB).astype(np.int32) for row in qz]
     t0 = time.time()
-    src, srcr, slot, rlen, big, totals = engine._plan_bitonic_shards(qids)
+    src, srcr, slot, rlen, big, totals, _wt = engine._plan_bitonic_shards(qids)
     plan_s = time.time() - t0
 
     # sharded search at scale on the virtual mesh ("xla" per-shard path;

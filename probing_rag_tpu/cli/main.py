@@ -155,9 +155,31 @@ def _build_pipeline(args, retr_method: str):
             saved_sites = [tuple(s) for s in meta.get("sites", [])]
             want = [list(s) for s in tc.sites]
             if saved_sites and [list(s) for s in saved_sites] != want:
-                rows = [saved_sites.index((l, p)) for l, p in tc.sites]
+                try:
+                    rows = [saved_sites.index((l, p)) for l, p in tc.sites]
+                except ValueError:
+                    raise SystemExit(
+                        f"--probers checkpoint sites {saved_sites} do not "
+                        f"cover the gate's sites {tc.sites}"
+                    )
                 idx = np.asarray(rows)
                 probers = jax.tree.map(lambda a: a[idx], probers)
+            # validate against the gate's expected structure AFTER the site
+            # selection (the raw checkpoint may legitimately carry 2x sites,
+            # so load_pytree(like=...) can't check it directly): a d_model /
+            # hidden-size mismatch must fail here with named shapes, not as
+            # an opaque shape error inside the jitted gate
+            t_leaves = jax.tree.leaves(template)
+            p_leaves = jax.tree.leaves(probers)
+            if len(t_leaves) != len(p_leaves) or any(
+                t.shape != p.shape for t, p in zip(t_leaves, p_leaves)
+            ):
+                raise SystemExit(
+                    "--probers checkpoint does not match the gate's prober "
+                    f"stack: got {[tuple(p.shape) for p in p_leaves]}, "
+                    f"expected {[tuple(t.shape) for t in t_leaves]} "
+                    f"(d_model={cfg.d_model}, sites={tc.sites})"
+                )
         else:
             print("[probing-rag-tpu] no --probers: random gate (smoke only)", file=sys.stderr)
             probers = template

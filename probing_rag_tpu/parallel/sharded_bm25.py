@@ -90,11 +90,13 @@ class ShardedBM25Engine:
 
     def __init__(self, index: BM25Index, mesh: Mesh, max_pad: int = 1 << 20,
                  use_pallas: Optional[bool] = None, mode: Optional[str] = None,
-                 interpret: Optional[bool] = None, dedup: bool = True):
+                 interpret: Optional[bool] = None, dedup: bool = True,
+                 q_tile: int = 256):
         self.index = index
         self.mesh = mesh
         self.analyzer = index.config.analyzer()
         self.max_pad = max_pad
+        self.q_tile = q_tile
         if mode is None and use_pallas is not None:
             mode = "dma" if use_pallas else "xla"
         if mode is None:
@@ -549,11 +551,10 @@ class ShardedBM25Engine:
 
         S = self.n_shards
         r_count = len(kept)
-        qb = _next_pow2(r_count, 8)
-        tq = _next_pow2(max((len(i) for i in kept), default=1) or 1, 8)
-        ids_pad = np.zeros((r_count, tq), np.int64)
-        mask = np.zeros((r_count, tq), bool)
-        wtab = np.ones((r_count, tq), np.float32)
+        tq_all = _next_pow2(max((len(i) for i in kept), default=1) or 1, 8)
+        ids_pad = np.zeros((r_count, tq_all), np.int64)
+        mask = np.zeros((r_count, tq_all), bool)
+        wtab = np.ones((r_count, tq_all), np.float32)
         for r, ids in enumerate(kept):
             ids_pad[r, : len(ids)] = ids
             mask[r, : len(ids)] = True
@@ -563,67 +564,91 @@ class ShardedBM25Engine:
         present = mask[None] & (lens > 0)
         isbig = present & (self._a_len[:, ids_pad] > 0)
         short = present & ~isbig
+        # per-QUERY pad requirements (worst shard): light over-cap queries
+        # must not pay the heaviest query's gather+sort width, and one
+        # unbucketed dispatch at the batch max (qb x pad_big x 8B of gather
+        # output alone) OOMs on wide streams — mirror the single-chip
+        # engine's (pad_big, pad_short) buckets + q_tile chunks
+        bt_q = np.where(isbig, self._a_len[:, ids_pad], 0).sum(2).max(0)
+        st_q = np.where(short, lens, 0).sum(2).max(0)
 
-        bstarts = np.zeros((S, qb, tq), np.int32)
-        blens = np.zeros((S, qb, tq), np.int32)
-        qt = np.zeros((S, qb, tq), np.int32)
-        qm = np.zeros((S, qb, tq), bool)
-        # per-shard compact descriptors for the VMEM assembly short gather
-        s_src = np.zeros((S, qb, tq), np.int32)
-        s_rlen = np.zeros((S, qb, tq), np.int32)
-        bstarts[:, :r_count] = np.where(isbig, self._a_start[:, ids_pad], 0)
-        blens[:, :r_count] = np.where(isbig, self._a_len[:, ids_pad], 0)
-        qt[:, :r_count] = np.where(short, ids_pad[None], 0)
-        qm[:, :r_count] = short
-        s_src[:, :r_count] = np.where(short, self._sh_offs[:, ids_pad], 0)
-        s_rlen[:, :r_count] = np.where(short, lens, 0)
+        def pads_for(btot: int, stot: int):
+            # 2*block short floor when big terms exist: keeps the fold seam
+            # on an even block boundary so the sort-network pass skip stays
+            # valid; pad_big additionally reserves DMA chunk capacity and a
+            # pad_short-wide tail for the short-part fold
+            ps = _next_pow2(
+                max(stot, 1), 2 * self.block if btot else 512
+            )
+            if not btot:
+                return 0, ps
+            pb = _next_pow2(btot, 1024)
+            while gather_capacity(pb) < btot or pb - ps < btot:
+                pb *= 2
+            return pb, ps
 
-        big_total = int(blens.sum(axis=2).max()) if r_count else 0
-        short_total = int(
-            np.where(short, lens, 0).sum(axis=2).max()
-        ) if r_count else 0
-        # 2*block floor when big terms exist: keeps the fold seam on an even
-        # block boundary so the sort-network pass skip stays valid
-        pad_short = _next_pow2(
-            max(short_total, 1), 2 * self.block if big_total else 512
-        )
-        if big_total:
-            # DMA capacity + a pad_short-wide tail for the short-part fold
-            # (bm25._fold_short_tail: sorted width stays the pow2 pad_big)
-            pad_big = _next_pow2(big_total, 1024)
-            while (
-                gather_capacity(pad_big) < big_total
-                or pad_big - pad_short < big_total
-            ):
-                pad_big *= 2
-        else:
-            pad_big = 0
+        buckets: dict = {}
+        for r in range(r_count):
+            buckets.setdefault(
+                pads_for(int(bt_q[r]), int(st_q[r])), []
+            ).append(r)
 
         sharding = NamedSharding(self.mesh, P(self._axes))
-        args = tuple(
-            jax.device_put(a, sharding)
-            for a in (bstarts, blens, qt, qm, s_src, s_rlen)
-        )
-        big_wtblk = qw_short = None
-        if any_wt:
-            from probing_rag_tpu.retrieval.bm25 import _weight_blocks
+        over_arr = np.asarray(over)
+        for (pad_big, pad_short), rows in sorted(buckets.items()):
+            tq = _next_pow2(
+                max((len(kept[r]) for r in rows), default=1) or 1, 8
+            )
+            for start in range(0, len(rows), self.q_tile):
+                chunk = rows[start : start + self.q_tile]
+                qb = _next_pow2(len(chunk), 8)
+                csel = np.asarray(chunk)
+                c_big = isbig[:, csel, :tq]
+                c_short = short[:, csel, :tq]
+                c_ids = ids_pad[csel, :tq]
+                c_lens = lens[:, csel, :tq]
 
-            qw = np.ones((S, qb, tq), np.float32)
-            qw[:, :r_count] = np.where(short, wtab[None], 1.0)
-            qw_short = jax.device_put(qw, sharding)
-            if pad_big:
-                bw = np.ones((S, qb, tq), np.float32)
-                bw[:, :r_count] = np.where(isbig, wtab[None], 1.0)
-                big_wtblk = jax.device_put(
-                    _weight_blocks(
-                        blens.reshape(S * qb, tq), bw.reshape(S * qb, tq),
-                        pad_big, self.block,
-                    ).reshape(S, qb, pad_big // self.block),
-                    sharding,
+                bstarts = np.zeros((S, qb, tq), np.int32)
+                blens = np.zeros((S, qb, tq), np.int32)
+                qt = np.zeros((S, qb, tq), np.int32)
+                qm = np.zeros((S, qb, tq), bool)
+                # per-shard compact descriptors for the VMEM assembly gather
+                s_src = np.zeros((S, qb, tq), np.int32)
+                s_rlen = np.zeros((S, qb, tq), np.int32)
+                nc = len(chunk)
+                bstarts[:, :nc] = np.where(c_big, self._a_start[:, c_ids], 0)
+                blens[:, :nc] = np.where(c_big, self._a_len[:, c_ids], 0)
+                qt[:, :nc] = np.where(c_short, c_ids[None], 0)
+                qm[:, :nc] = c_short
+                s_src[:, :nc] = np.where(c_short, self._sh_offs[:, c_ids], 0)
+                s_rlen[:, :nc] = np.where(c_short, c_lens, 0)
+
+                args = tuple(
+                    jax.device_put(a, sharding)
+                    for a in (bstarts, blens, qt, qm, s_src, s_rlen)
                 )
-        scores, idx = self._search_fallback_sharded(
-            *args, big_wtblk, qw_short,
-            pad_big=pad_big, pad_short=pad_short, k=k
-        )
-        out_docs[np.asarray(over)] = np.asarray(idx)[:r_count]
-        out_scores[np.asarray(over)] = np.asarray(scores)[:r_count]
+                big_wtblk = qw_short = None
+                if any_wt:
+                    from probing_rag_tpu.retrieval.bm25 import _weight_blocks
+
+                    c_wt = wtab[csel, :tq]
+                    qw = np.ones((S, qb, tq), np.float32)
+                    qw[:, :nc] = np.where(c_short, c_wt[None], 1.0)
+                    qw_short = jax.device_put(qw, sharding)
+                    if pad_big:
+                        bw = np.ones((S, qb, tq), np.float32)
+                        bw[:, :nc] = np.where(c_big, c_wt[None], 1.0)
+                        big_wtblk = jax.device_put(
+                            _weight_blocks(
+                                blens.reshape(S * qb, tq),
+                                bw.reshape(S * qb, tq),
+                                pad_big, self.block,
+                            ).reshape(S, qb, pad_big // self.block),
+                            sharding,
+                        )
+                scores, idx = self._search_fallback_sharded(
+                    *args, big_wtblk, qw_short,
+                    pad_big=pad_big, pad_short=pad_short, k=k
+                )
+                out_docs[over_arr[csel]] = np.asarray(idx)[:nc]
+                out_scores[over_arr[csel]] = np.asarray(scores)[:nc]

@@ -172,6 +172,28 @@ class BM25Index:
         n_docs = len(doc_lens)
         assert doc_lens.sum() == token_ids.size
         n_terms = int(token_ids.max()) + 1 if token_ids.size else 0
+        # the id space must be DENSE (term id == token id, and the vocab /
+        # doc_freqs / offsets tables are all sized n_terms): raw 32/64-bit
+        # hashes would allocate tens of GB of tables and can overflow the
+        # pair key below (term * n_docs + doc > 2^63 silently wraps and
+        # np.unique then merges unrelated (term, doc) pairs). Callers with
+        # hashed tokens must compact them first (np.unique(...,
+        # return_inverse=True)).
+        if token_ids.size:
+            if int(token_ids.min()) < 0:
+                raise ValueError("token ids must be non-negative")
+            if n_terms > max(8 * token_ids.size, 1 << 22):
+                raise ValueError(
+                    f"token id space is sparse (max id {n_terms - 1:,} vs "
+                    f"{token_ids.size:,} tokens) — compact ids first "
+                    "(np.unique(ids, return_inverse=True)); term tables are "
+                    "allocated densely at n_terms entries"
+                )
+            if n_terms > (2**63 - 1) // max(n_docs, 1):
+                raise ValueError(
+                    "n_terms * n_docs overflows the int64 (term, doc) sort "
+                    "key — compact token ids or shard the corpus"
+                )
         doc_of_token = np.repeat(np.arange(n_docs, dtype=np.int64), doc_lens)
         # (term, doc) pair counts in one sort: key = term * n_docs + doc
         key = token_ids * n_docs + doc_of_token

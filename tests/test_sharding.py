@@ -289,3 +289,26 @@ def test_sharded_bm25_dedup_duplicates_match_single_and_oracle(
                 np.sort(oracle)[::-1][: len(got)],
                 rtol=1e-4, atol=1e-3,
             ), (cap, i)
+
+
+def test_sharded_overcap_buckets_split_by_width(eight_devices, corpus):
+    """Over-cap queries of very different sizes must land in different
+    (pad_big, pad_short) buckets (light queries don't pay the heaviest
+    query's gather+sort width) and still score exactly like the
+    single-device engine."""
+    index = BM25Index.build(corpus, PLAIN)
+    mesh = make_mesh(None, jax.devices()[:8])
+    sharded = ShardedBM25Engine(index, mesh, mode="bitonic", interpret=True,
+                                max_pad=8)
+    single = BM25Engine(index, mode="bitonic", interpret=True, max_pad=8)
+    lens = index.term_offsets[1:] - index.term_offsets[:-1]
+    order = np.argsort(lens)
+    heavy = [f"w{i}" for i in order[-6:]]
+    light = [f"w{i}" for i in order[: len(order) // 2][-2:]]
+    queries = [" ".join(heavy), " ".join(light), "w1 w2"]
+    rs = sharded.search(queries, k=5)
+    assert sharded.last_stats["n_fallback"] == len(queries)
+    r1 = single.search(queries, k=5)
+    for i in range(len(queries)):
+        assert np.allclose(np.sort(rs.scores[i]), np.sort(r1.scores[i]),
+                           rtol=1e-4, atol=1e-3), i
