@@ -22,6 +22,10 @@ CAPTURE = os.environ.get("BENCH_DECODE_CAPTURE", "1") == "1"
 
 
 def main():
+    from bench_util import require_live_device
+
+    require_live_device()
+
     import jax
     import jax.numpy as jnp
 

@@ -33,6 +33,10 @@ HBM_GBPS = 820.0
 
 
 def main():
+    from bench_util import require_live_device
+
+    require_live_device()
+
     import jax
     import jax.numpy as jnp
 

@@ -72,6 +72,10 @@ from bench_util import zipf_tokens as _zipf_tokens  # noqa: E402
 
 
 def main():
+    from bench_util import require_live_device
+
+    require_live_device()
+
     import jax
     import jax.numpy as jnp
 

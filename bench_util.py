@@ -3,6 +3,42 @@
 import numpy as np
 
 
+def require_live_device(timeout_s: float = 240.0) -> None:
+    """Fail FAST if the device backend is unreachable.
+
+    The TPU here rides an RPC tunnel whose relay can die outright (it has,
+    twice): every device op then hangs forever, and a driver-invoked bench
+    would hang with it. Run one trivial jit + device->host fetch (the only
+    true sync on this tunnel) under a watchdog; on timeout, print a clear
+    diagnostic and hard-exit nonzero so the caller records a failure
+    instead of a stall. The generous default covers a cold first compile
+    (~30-60 s over the tunnel).
+    """
+    import concurrent.futures
+    import os
+    import sys
+
+    def _probe() -> float:
+        import jax
+        import jax.numpy as jnp
+
+        return float(np.asarray(jax.jit(jnp.sum)(jnp.ones((8, 128)))))
+
+    ex = concurrent.futures.ThreadPoolExecutor(max_workers=1)
+    try:
+        ex.submit(_probe).result(timeout=timeout_s)
+    except concurrent.futures.TimeoutError:
+        print(
+            f"[bench] device probe did not complete in {timeout_s:.0f}s — "
+            "TPU tunnel is down (relay dead?); aborting instead of hanging",
+            file=sys.stderr,
+            flush=True,
+        )
+        os._exit(2)  # the probe thread is stuck in an unkillable RPC wait
+    finally:
+        ex.shutdown(wait=False)
+
+
 def zipf_tokens(rng, n, a=1.3, lo=180):
     """Exactly ``n`` Zipf(a) draws >= ``lo``.
 
