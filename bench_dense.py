@@ -48,10 +48,14 @@ def main():
 
     rng = np.random.default_rng(0)
     emb32 = rng.normal(size=(N, D)).astype(np.float32)
-    store, sqn, n = prepare_dense_store(
-        jnp.asarray(emb32, jnp.bfloat16), tile_n=TILE_N, metric="ip"
+    int8 = os.environ.get("BENCH_DENSE_INT8", "") == "1"
+    store, sqn, scl, n = prepare_dense_store(
+        jnp.asarray(emb32, np.float32 if int8 else jnp.bfloat16),
+        tile_n=TILE_N, metric="ip",
+        store_dtype=jnp.int8 if int8 else None,
     )
     store = jax.block_until_ready(store)
+    store_bytes = 1 if int8 else 2
     # distinct query batches: identical dispatches can be memoized remotely
     qs = [jnp.asarray(rng.normal(size=(Q, D)).astype(np.float32)) for _ in range(10)]
 
@@ -60,7 +64,7 @@ def main():
 
     t0 = time.time()
     v, i = dense_topk_pallas(
-        qs[0], store, k=K, sq_norms=sqn, n_total=n, tile_n=TILE_N
+        qs[0], store, k=K, sq_norms=sqn, scales=scl, n_total=n, tile_n=TILE_N
     )
     fetch(jnp.sum(v))
     warmup_s = time.time() - t0
@@ -71,7 +75,7 @@ def main():
     acc = jnp.zeros((), jnp.float32)
     for j in range(N_PASSES):
         v, _ = dense_topk_pallas(
-            qs[j % len(qs)], store, k=K, sq_norms=sqn, n_total=n, tile_n=TILE_N
+            qs[j % len(qs)], store, k=K, sq_norms=sqn, scales=scl, n_total=n, tile_n=TILE_N
         )
         acc = acc + jnp.sum(v)
     t0 = time.time()
@@ -85,7 +89,7 @@ def main():
     acc = jnp.zeros((), jnp.float32)
     for j in range(N_PASSES):
         v, i = dense_topk_pallas(
-            qs[j % len(qs)], store, k=K, sq_norms=sqn, n_total=n, tile_n=TILE_N
+            qs[j % len(qs)], store, k=K, sq_norms=sqn, scales=scl, n_total=n, tile_n=TILE_N
         )
         acc = acc + jnp.sum(v)
     fetch(acc)
@@ -99,16 +103,23 @@ def main():
 
     per_batch = elapsed / N_PASSES
     qps = Q / per_batch
-    read_gbps = N * D * 2 / per_batch / 1e9  # bf16 store
-    bound_s = N * D * 2 / (HBM_GBPS * 1e9)
+    read_gbps = N * D * store_bytes / per_batch / 1e9
+    bound_s = N * D * store_bytes / (HBM_GBPS * 1e9)
 
     # correctness spot check on the last batch (untimed)
     scores = np.asarray(qs[(N_PASSES - 1) % len(qs)][:8]) @ emb32.T
     idx = np.asarray(i[:8])
     got = np.take_along_axis(scores, idx, axis=-1)
     exact = np.sort(scores, axis=-1)[:, ::-1][:, :K]
-    # bf16 store: accept ranking within bf16 rounding of the f32 oracle
-    rank_ok = bool(np.all(got >= exact[:, K - 1 : K] - 0.35))
+    # bf16 store: accept ranking within bf16 rounding of the f32 oracle;
+    # int8 (SQ8) rounds harder — widen the band and ALSO report recall@K
+    # vs the f32 oracle so the quantization cost is a number, not a vibe
+    band = 1.4 if int8 else 0.35
+    rank_ok = bool(np.all(got >= exact[:, K - 1 : K] - band))
+    oracle_topk = np.argsort(scores, axis=-1)[:, ::-1][:, :K]
+    recall = float(np.mean([
+        len(set(idx[r]) & set(oracle_topk[r])) / K for r in range(len(idx))
+    ]))
 
     print(
         json.dumps(
@@ -123,11 +134,12 @@ def main():
                     "q_batch": Q,
                     "k": K,
                     "tile_n": TILE_N,
-                    "store_dtype": "bfloat16",
+                    "store_dtype": "int8" if int8 else "bfloat16",
                     "per_batch_ms": round(per_batch * 1e3, 2),
                     "emb_read_gbps": round(read_gbps, 1),
                     "pct_of_hbm_bound": round(100 * bound_s / per_batch, 1),
-                    "topk_within_bf16_rounding_of_oracle": rank_ok,
+                    "topk_within_rounding_of_oracle": rank_ok,
+                    "recall_at_k_vs_f32_oracle": round(recall, 3),
                     "warmup_compile_s": round(warmup_s, 1),
                     "settle_pass_s": round(settle_s, 2),
                     "fetch_before_s": round(fetch_before, 2),

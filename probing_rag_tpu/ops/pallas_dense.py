@@ -19,6 +19,7 @@ result; ``interpret=True`` is used on CPU (tests) via
 from __future__ import annotations
 
 import functools
+from typing import NamedTuple, Optional
 
 import jax
 import jax.numpy as jnp
@@ -27,6 +28,19 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 K_PAD = 16  # scratch top-k width (>= requested k), aligned-ish
+
+
+class PreparedDenseStore(NamedTuple):
+    """Device-resident store from :func:`prepare_dense_store` (a pytree).
+
+    ``scales`` is None for f32/bf16 stores; for int8 stores it is the
+    per-vector dequantization scale broadcast to ``[8, N_pad]`` (TPU block
+    shapes need the second-to-last dim divisible by 8)."""
+
+    embeddings: jnp.ndarray  # [N_pad, D], store dtype
+    sq_norms: Optional[jnp.ndarray]  # [8, N_pad] f32 (l2 only)
+    scales: Optional[jnp.ndarray]  # [8, N_pad] f32 (int8 only)
+    n_docs: int
 
 
 def topk_merge_tile(scores, idx_source, run_vals, run_idx, k, thresh_k=None):
@@ -102,8 +116,8 @@ def topk_merge_tile(scores, idx_source, run_vals, run_idx, k, thresh_k=None):
     return run_vals, run_idx
 
 
-def _kernel(q_ref, emb_ref, sqn_ref, out_v_ref, out_i_ref, vals, idxs, *, k,
-            metric, n_total, tile_n, group_rows):
+def _kernel(q_ref, emb_ref, sqn_ref, scl_ref, out_v_ref, out_i_ref, vals,
+            idxs, *, k, metric, n_total, tile_n, group_rows, int8_store):
     ni = pl.program_id(1)
     n_tiles = pl.num_programs(1)
 
@@ -112,9 +126,18 @@ def _kernel(q_ref, emb_ref, sqn_ref, out_v_ref, out_i_ref, vals, idxs, *, k,
         vals[:] = jnp.full_like(vals, -jnp.inf)
         idxs[:] = jnp.full_like(idxs, -1)
 
+    emb = emb_ref[:]
+    if int8_store:
+        # the sweep is HBM-read bound: the tile rides the bus as int8
+        # (half the bf16 bytes) and is dequantized HERE, in VMEM, to bf16
+        # for the MXU; the per-vector scale multiplies the f32 scores once
+        # (int8 -> bf16 is exact for |v| <= 127)
+        emb = emb.astype(jnp.bfloat16)
     scores = jnp.dot(
-        q_ref[:], emb_ref[:].T, preferred_element_type=jnp.float32
+        q_ref[:], emb.T, preferred_element_type=jnp.float32
     )  # [QB, TN]
+    if int8_store:
+        scores = scores * scl_ref[0:1, :]
     if metric == "l2":
         # rank by -(||d||^2 - 2 q.d); caller re-adds ||q||^2
         scores = 2.0 * scores - sqn_ref[0:1, :]
@@ -172,29 +195,51 @@ def prepare_dense_store(
     *,
     tile_n: int = 4096,
     metric: str = "ip",
-):
+    store_dtype: jnp.dtype | str | None = None,
+) -> PreparedDenseStore:
     """One-time store preparation: pad the embedding matrix to a ``tile_n``
     multiple and (for ``l2``) materialize the squared-norm row block.
 
     Doing this per search call costs a full read+write copy of the matrix
     (the pad) plus a second full read (the norms) — measured at 3x the
     kernel's own HBM traffic at [500k x 768]. Callers that search the same
-    store repeatedly (DenseEngine) should prepare once and pass
-    ``(emb_padded, sq_norms, n_docs)`` through to :func:`dense_topk_pallas`.
+    store repeatedly (DenseEngine) should prepare once and pass the
+    :class:`PreparedDenseStore` fields through to :func:`dense_topk_pallas`.
+
+    ``store_dtype="int8"`` quantizes per vector (symmetric, scale =
+    max|v|/127 — the faiss SQ8 layout): the flat sweep is HBM-bandwidth
+    bound, so halving the store bytes vs bf16 roughly halves the sweep
+    time. The kernel dequantizes each tile to bf16 in VMEM right before
+    the matmul (the win is the HBM read, not the MXU dtype), and for
+    ``l2`` the squared norms are taken from the DEQUANTIZED vectors so the
+    ranking is exactly the quantized-store oracle's.
     """
     n = embeddings.shape[0]
     np_ = -(-n // tile_n) * tile_n
     if np_ != n:
         embeddings = jnp.pad(embeddings, ((0, np_ - n), (0, 0)))
+    scales = None
+    if store_dtype is not None and jnp.dtype(store_dtype) == jnp.int8:
+        absmax = jnp.max(jnp.abs(embeddings.astype(jnp.float32)), axis=-1)
+        s = jnp.where(absmax > 0, absmax / 127.0, 1.0)  # [N_pad]
+        q = jnp.round(embeddings.astype(jnp.float32) / s[:, None])
+        embeddings = jnp.clip(q, -127, 127).astype(jnp.int8)
+        scales = jnp.asarray(
+            jnp.broadcast_to(s[None, :], (8, np_)), jnp.float32
+        )
+    elif store_dtype is not None:
+        embeddings = embeddings.astype(jnp.dtype(store_dtype))
     sq_norms = None
     if metric == "l2":
+        if scales is not None:
+            deq = embeddings.astype(jnp.float32) * scales[0][:, None]
+            sq = jnp.sum(deq * deq, axis=-1)
+        else:
+            sq = jnp.sum(embeddings.astype(jnp.float32) ** 2, axis=-1)
         # [8, N] with replicated sublanes: TPU block shapes need the second-
         # to-last dim divisible by 8 (a [1, tile_n] block is not lowerable)
-        sq_norms = jnp.asarray(jnp.broadcast_to(
-            jnp.sum(embeddings.astype(jnp.float32) ** 2, axis=-1)[None, :],
-            (8, np_),
-        ))
-    return embeddings, sq_norms, n
+        sq_norms = jnp.asarray(jnp.broadcast_to(sq[None, :], (8, np_)))
+    return PreparedDenseStore(embeddings, sq_norms, scales, n)
 
 
 @functools.partial(
@@ -214,6 +259,7 @@ def dense_topk_pallas(
     # spill), 16384 exceeds the 64 MB scoped-vmem cap; 4096 is the optimum
     tile_q: int = 0,
     sq_norms: jnp.ndarray | None = None,  # [8, N_pad] from prepare_dense_store
+    scales: jnp.ndarray | None = None,  # [8, N_pad] f32 for int8 stores
     n_total: int = 0,  # true doc count when embeddings are pre-padded
     group_rows: int = 64,  # merge-gate granularity (0 = whole query block)
     interpret: bool = False,
@@ -227,12 +273,20 @@ def dense_topk_pallas(
     d=768) halves-or-better the HBM traffic whenever Q exceeds a block.
 
     Hot-path contract: pass pre-padded ``embeddings`` + ``sq_norms`` +
-    ``n_total`` from :func:`prepare_dense_store`; otherwise the pad and the
-    norm pass re-run inside the jitted program on EVERY call."""
+    ``n_total`` (and ``scales`` for int8 stores) from
+    :func:`prepare_dense_store`; otherwise the pad and the norm pass re-run
+    inside the jitted program on EVERY call."""
     assert k <= K_PAD
-    if embeddings.dtype == jnp.bfloat16:
+    int8_store = embeddings.dtype == jnp.int8
+    if int8_store and scales is None:
+        raise ValueError(
+            "int8 embeddings need the per-vector scales from "
+            "prepare_dense_store(store_dtype='int8')"
+        )
+    if embeddings.dtype == jnp.bfloat16 or int8_store:
         # pure-bf16 MXU matmul (f32 accumulate): a mixed f32 x bf16 dot
-        # falls on the multi-pass f32 MXU path (~4x slower, measured)
+        # falls on the multi-pass f32 MXU path (~4x slower, measured); the
+        # int8 store dequantizes tiles to bf16 in-kernel
         queries = queries.astype(jnp.bfloat16)
     q, d = queries.shape
     n = n_total or embeddings.shape[0]
@@ -245,13 +299,20 @@ def dense_topk_pallas(
     if qp != q:
         queries = jnp.pad(queries, ((0, qp - q), (0, 0)))
     if np_ != embeddings.shape[0]:
+        if int8_store:
+            scales = jnp.pad(
+                scales, ((0, 0), (0, np_ - embeddings.shape[0])),
+                constant_values=1.0,
+            )
         embeddings = jnp.pad(
             embeddings, ((0, np_ - embeddings.shape[0]), (0, 0))
         )
     if metric == "l2" and sq_norms is None:
+        deq = embeddings.astype(jnp.float32)
+        if int8_store:
+            deq = deq * scales[0][:, None]
         sq_norms = jnp.broadcast_to(
-            jnp.sum(embeddings.astype(jnp.float32) ** 2, axis=-1)[None, :],
-            (8, np_),
+            jnp.sum(deq * deq, axis=-1)[None, :], (8, np_)
         )
     if metric == "l2":
         sqn_spec = pl.BlockSpec(
@@ -265,10 +326,22 @@ def dense_topk_pallas(
             (8, tile_n), lambda qi, ni: (0, 0), memory_space=pltpu.VMEM
         )
 
+    if int8_store:
+        scl_spec = pl.BlockSpec(
+            (8, tile_n), lambda qi, ni: (0, ni), memory_space=pltpu.VMEM
+        )
+    else:
+        # bf16/f32 stores never read the scales: constant dummy block so no
+        # [8, N] stream rides along with the embedding DMA
+        scales = jnp.ones((8, tile_n), jnp.float32)
+        scl_spec = pl.BlockSpec(
+            (8, tile_n), lambda qi, ni: (0, 0), memory_space=pltpu.VMEM
+        )
+
     grid = (qp // tile_q, np_ // tile_n)
     kernel = functools.partial(
         _kernel, k=k, metric=metric, n_total=n, tile_n=tile_n,
-        group_rows=group_rows,
+        group_rows=group_rows, int8_store=int8_store,
     )
     out_v, out_i = pl.pallas_call(
         kernel,
@@ -277,6 +350,7 @@ def dense_topk_pallas(
             pl.BlockSpec((tile_q, d), lambda qi, ni: (qi, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((tile_n, d), lambda qi, ni: (ni, 0), memory_space=pltpu.VMEM),
             sqn_spec,
+            scl_spec,
         ],
         out_specs=[
             pl.BlockSpec((tile_q, K_PAD), lambda qi, ni: (qi, 0), memory_space=pltpu.VMEM),
@@ -295,7 +369,7 @@ def dense_topk_pallas(
         # scoped-vmem budget; the double-buffered working set still fits
         # comfortably below this raised cap
         compiler_params=pltpu.CompilerParams(vmem_limit_bytes=64 * 1024 * 1024),
-    )(queries, embeddings, sq_norms)
+    )(queries, embeddings, sq_norms, scales)
 
     vals = out_v[:q, :k]
     idx = out_i[:q, :k]

@@ -60,41 +60,10 @@ def gather_capacity(pad: int) -> int:
     return pad - c if c > _ALIGN else pad
 
 
-def _shift_right(x: jnp.ndarray, fill) -> jnp.ndarray:
-    """[Q, T] -> same with lane 0 = fill, lane i = x[i-1]."""
-    rolled = pltpu.roll(x, 1, axis=1)
-    lane = jax.lax.broadcasted_iota(jnp.int32, x.shape, 1)
-    return jnp.where(lane == 0, fill, rolled)
-
-
 def _shift_left(x: jnp.ndarray, fill) -> jnp.ndarray:
     rolled = pltpu.roll(x, x.shape[1] - 1, axis=1)  # == roll(-1); shift >= 0 required
     lane = jax.lax.broadcasted_iota(jnp.int32, x.shape, 1)
     return jnp.where(lane == x.shape[1] - 1, fill, rolled)
-
-
-def _lane_cumsum(x: jnp.ndarray) -> jnp.ndarray:
-    """Inclusive cumsum along lanes (Hillis-Steele, log2 T roll steps)."""
-    t = x.shape[1]
-    lane = jax.lax.broadcasted_iota(jnp.int32, x.shape, 1)
-    s = 1
-    while s < t:
-        rolled = pltpu.roll(x, s, axis=1)
-        x = x + jnp.where(lane >= s, rolled, 0.0)
-        s *= 2
-    return x
-
-
-def _lane_maxscan(x: jnp.ndarray) -> jnp.ndarray:
-    """Inclusive running max along lanes."""
-    t = x.shape[1]
-    lane = jax.lax.broadcasted_iota(jnp.int32, x.shape, 1)
-    s = 1
-    while s < t:
-        rolled = pltpu.roll(x, s, axis=1)
-        x = jnp.maximum(x, jnp.where(lane >= s, rolled, -jnp.inf))
-        s *= 2
-    return x
 
 
 # --------------------------------------------------- segment-sum + top-k
@@ -115,18 +84,28 @@ def _segment_kernel(doc_ref, imp_ref, out_v_ref, out_i_ref,
     d = doc_ref[:]  # [QT, TP] int32, sorted ascending per row
     v = imp_ref[:]  # [QT, TP] f32
 
-    prev_d = _shift_right(d, carry_doc[:])
-    head = d != prev_d  # run starts (incl. continuation break at lane 0)
-
-    cs = _lane_cumsum(v)
-    cs_before = cs - v
-    base_scan = _lane_maxscan(jnp.where(head, cs_before, -jnp.inf))
-    # positions before any in-tile head continue the carried run: their
-    # base is -carry_sum so that cs - base = carry_sum + cs
-    base = jnp.where(jnp.isfinite(base_scan), base_scan, -carry_sum[:])
+    lane = jax.lax.broadcasted_iota(jnp.int32, d.shape, 1)
+    # fold the carried partial sum into lane 0 when the run continues, then
+    # let the segmented scan propagate it down the run
+    v = jnp.where(
+        (lane == 0) & (d[:, :1] == carry_doc[:]), v + carry_sum[:], v
+    )
+    # segmented inclusive run-sum by shift-doubling: rows are sorted, so
+    # doc equality at distance s implies every element between is the same
+    # doc — no head-flag carry. Same roll count as the previous
+    # cumsum+maxscan pair, but run totals are sums of <= run-length
+    # POSITIVE values instead of differences of a tile-wide prefix sum
+    # (whose f32 ulp exceeded real score gaps at production widths — see
+    # ops.sparse.sorted_segment_topk).
+    t = v.shape[1]
+    s = 1
+    while s < t:
+        rolled_v = pltpu.roll(v, s, axis=1)
+        rolled_d = pltpu.roll(d, s, axis=1)
+        v = v + jnp.where((lane >= s) & (rolled_d == d), rolled_v, 0.0)
+        s *= 2
 
     # the carried run ends iff this tile starts with a different doc
-    lane = jax.lax.broadcasted_iota(jnp.int32, d.shape, 1)
     carry_ended = (d[:, :1] != carry_doc[:]) & (carry_doc[:] != _CARRY_INIT) \
         & (carry_doc[:] != sentinel)
     cand_vals = jnp.where((lane == 0) & carry_ended, carry_sum[:], -jnp.inf)
@@ -139,15 +118,13 @@ def _segment_kernel(doc_ref, imp_ref, out_v_ref, out_i_ref,
     # it's finalized via the carry in the next tile / at the flush)
     next_d = _shift_left(d, d[:, -1:])
     is_end = (next_d != d) & (d != sentinel)
-    totals = jnp.where(is_end, cs - base, -jnp.inf)
+    totals = jnp.where(is_end, v, -jnp.inf)
     nv, ni_ = topk_merge_tile(totals, d, nv, ni_, k)
     run_vals[:] = nv
     run_idx[:] = ni_
 
     carry_doc[:] = d[:, -1:]
-    carry_sum[:] = jnp.where(
-        d[:, -1:] == sentinel, 0.0, cs[:, -1:] - base[:, -1:]
-    )
+    carry_sum[:] = jnp.where(d[:, -1:] == sentinel, 0.0, v[:, -1:])
 
     @pl.when(pi == n_tiles - 1)
     def _():

@@ -85,6 +85,7 @@ def sorted_segment_topk(
     k: int,
     sentinel: int | None = None,
     presorted: bool = False,
+    max_run: int | None = None,
 ):
     """Per-query top-k of summed impacts over equal-doc runs.
 
@@ -94,28 +95,43 @@ def sorted_segment_topk(
     ``sentinel`` set, padding runs are excluded by doc id, so matched docs
     with an exactly-zero total (idf == 0 terms) still count as hits — the
     reference's BM25Retriever returns them too.
+
+    ``max_run`` is a static upper bound on a real run's length (a doc
+    appears at most once per query term, so callers pass TQ); it caps the
+    scan depth at ceil(log2(max_run)) shift-doubling steps.
+
+    Precision note: an earlier formulation took run totals as DIFFERENCES
+    of one [Q, P]-long f32 cumsum. The prefix sum reaches ~1e5-1e6 on
+    large corpora (P up to 1M, impacts ~1-5), where an f32 ulp is 0.01-
+    0.06 — per-doc totals came out wrong by more than score gaps and the
+    oracle spot checks failed at >=625k docs/device. The shift-doubling
+    segmented sum below only ever adds values WITHIN one run (<= max_run
+    positive f32s), so the error is ~max_run ulps of the run total itself.
     """
     q, p = doc.shape
     if not presorted:
         doc, impact = jax.lax.sort_key_val(doc, impact, dimension=-1)
         doc, impact = jax.lax.optimization_barrier((doc, impact))
 
-    cs = jnp.cumsum(impact, axis=-1)  # [Q, P] inclusive
-    head = jnp.concatenate(
-        [jnp.ones((q, 1), bool), doc[:, 1:] != doc[:, :-1]], axis=-1
-    )  # run starts
-    # Cumsum before the current run's head, broadcast along the run: cs is
-    # monotone (impacts >= 0), so a running max over head-masked cs_before
-    # equals cs_before at the most recent head — one scan, no gather.
-    cs_before = jnp.concatenate([jnp.zeros((q, 1), cs.dtype), cs[:, :-1]], axis=-1)
-    base = jax.lax.associative_scan(
-        jnp.maximum, jnp.where(head, cs_before, -jnp.inf), axis=-1
-    )  # [Q, P]
+    # segmented inclusive run-sum by shift-doubling: rows are sorted, so
+    # doc equality at distance s implies every element between is the same
+    # doc — no head-flag carry needed. After step d, v[i] holds the sum of
+    # the up-to-2^d same-doc elements ending at i; a run of length L is
+    # fully absorbed once 2^steps >= L.
+    v = impact
+    span = p if max_run is None else max(1, min(max_run, p))
+    s = 1
+    while s < span:
+        same = doc[:, s:] == doc[:, :-s]
+        v = jnp.concatenate(
+            [v[:, :s], v[:, s:] + jnp.where(same, v[:, :-s], 0.0)], axis=-1
+        )
+        s *= 2
 
     is_end = jnp.concatenate([doc[:, 1:] != doc[:, :-1], jnp.ones((q, 1), bool)], axis=-1)
     if sentinel is not None:
         is_end = is_end & (doc != sentinel)
-    run_total = jnp.where(is_end, cs - base, -jnp.inf)
+    run_total = jnp.where(is_end, v, -jnp.inf)
     run_total = jax.lax.optimization_barrier(run_total)
 
     top_vals, top_pos = jax.lax.top_k(run_total, k)
@@ -145,9 +161,12 @@ def gather_and_sort(
     return jax.lax.sort_key_val(doc, impact, dimension=-1)
 
 
-@functools.partial(jax.jit, static_argnames=("k", "sentinel"))
-def presorted_segment_topk(doc, impact, *, k: int, sentinel: int):
-    return sorted_segment_topk(doc, impact, k, sentinel=sentinel, presorted=True)
+@functools.partial(jax.jit, static_argnames=("k", "sentinel", "max_run"))
+def presorted_segment_topk(doc, impact, *, k: int, sentinel: int,
+                           max_run: int | None = None):
+    return sorted_segment_topk(
+        doc, impact, k, sentinel=sentinel, presorted=True, max_run=max_run
+    )
 
 
 def bm25_search_padded(
@@ -171,4 +190,7 @@ def bm25_search_padded(
         term_offsets, postings_doc, postings_impact, qterms, qmask,
         pad=pad, sentinel_doc=sentinel_doc,
     )
-    return presorted_segment_topk(doc, impact, k=k, sentinel=sentinel_doc)
+    return presorted_segment_topk(
+        doc, impact, k=k, sentinel=sentinel_doc,
+        max_run=int(qterms.shape[1]),
+    )

@@ -305,7 +305,10 @@ class ShardedBM25Engine:
                 doc, imp = postings_gather(
                     offs[0], docs[0], imps[0], qt, qm, pad, sentinel
                 )
-                scores, idx = sorted_segment_topk(doc, imp, k, sentinel=sentinel)  # local top-k
+                scores, idx = sorted_segment_topk(
+                    doc, imp, k, sentinel=sentinel,
+                    max_run=int(qt.shape[1]),  # a doc matches <= TQ terms
+                )  # local top-k
             # merge across shards: gather k-per-shard candidates (tiny)
             all_scores = jax.lax.all_gather(scores, axes, tiled=False)  # [S,Q,k]
             all_idx = jax.lax.all_gather(idx, axes, tiled=False)

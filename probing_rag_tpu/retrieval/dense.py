@@ -81,19 +81,30 @@ class DenseEngine:
         self.index = index
         self.encode_fn = encode_fn
         self.tile_n = tile_n
-        emb = jnp.asarray(index.embeddings, store_dtype)
-        self._emb = jax.device_put(emb, device) if device is not None else emb
+        self._int8 = jnp.dtype(store_dtype) == jnp.int8
         self.use_pallas = (
             use_pallas if use_pallas is not None else jax.default_backend() == "tpu"
         )
+        if self._int8 and not self.use_pallas:
+            raise ValueError(
+                "store_dtype=int8 is a pallas-kernel feature; the XLA "
+                "fallback path streams bf16/f32 stores only"
+            )
+        emb = jnp.asarray(
+            index.embeddings, jnp.float32 if self._int8 else store_dtype
+        )
+        self._emb = jax.device_put(emb, device) if device is not None else emb
+        self._scales = None
         if self.use_pallas:
-            # pad + norms once at construction: doing it per call re-reads
-            # and re-writes the full store (3x the kernel's HBM traffic)
+            # pad + norms (+ int8 quantization) once at construction: doing
+            # it per call re-reads and re-writes the full store (3x the
+            # kernel's HBM traffic)
             from probing_rag_tpu.ops.pallas_dense import prepare_dense_store
 
             self._pallas_tile_n = min(4096, max(128, index.n_docs))
-            self._emb, self._sqn, _ = prepare_dense_store(
-                self._emb, tile_n=self._pallas_tile_n, metric=index.metric
+            self._emb, self._sqn, self._scales, _ = prepare_dense_store(
+                self._emb, tile_n=self._pallas_tile_n, metric=index.metric,
+                store_dtype=jnp.int8 if self._int8 else None,
             )
 
     def search_embeddings(
@@ -106,7 +117,8 @@ class DenseEngine:
             vals, idx = dense_topk_pallas(
                 q, self._emb, k=k, metric=self.index.metric,
                 tile_n=self._pallas_tile_n,
-                sq_norms=self._sqn, n_total=self.index.n_docs,
+                sq_norms=self._sqn, scales=self._scales,
+                n_total=self.index.n_docs,
                 interpret=jax.default_backend() != "tpu",
             )
         else:

@@ -49,10 +49,10 @@ def test_prepared_store_path_matches_direct(metric):
         jnp.asarray(q), jnp.asarray(emb), k=5, metric=metric,
         tile_n=256, tile_q=8, interpret=INTERPRET,
     )
-    store, sqn, n = prepare_dense_store(
+    store, sqn, scl, n = prepare_dense_store(
         jnp.asarray(emb), tile_n=256, metric=metric
     )
-    assert store.shape[0] == 768 and n == 700
+    assert store.shape[0] == 768 and n == 700 and scl is None
     assert (sqn is None) == (metric == "ip")
     v2, i2 = dense_topk_pallas(
         jnp.asarray(q), store, k=5, metric=metric, sq_norms=sqn, n_total=n,
@@ -73,6 +73,80 @@ def test_pallas_matches_xla_op():
     )
     np.testing.assert_allclose(np.asarray(v1), np.asarray(v2), rtol=1e-5)
     np.testing.assert_array_equal(np.asarray(i1), np.asarray(i2))
+
+
+@pytest.mark.parametrize("metric", ["ip", "l2"])
+def test_int8_store_matches_quantized_oracle(metric):
+    """SQ8 store path: the kernel must rank EXACTLY like a host oracle that
+    scores with the same dequantized (scale * int8) vectors, and the scales
+    must round-trip the quantization (faiss SQ8 semantics, per-vector
+    symmetric)."""
+    from probing_rag_tpu.ops.pallas_dense import prepare_dense_store
+
+    rng = np.random.default_rng(7)
+    emb = rng.normal(size=(700, 64)).astype(np.float32)  # pad 700 -> 768
+    emb[3] = 0.0  # all-zero vector: scale must not divide by zero
+    q = rng.normal(size=(9, 64)).astype(np.float32)
+    store, sqn, scl, n = prepare_dense_store(
+        jnp.asarray(emb), tile_n=256, metric=metric, store_dtype=jnp.int8
+    )
+    assert store.dtype == jnp.int8 and scl.shape == (8, 768) and n == 700
+    v, idx = dense_topk_pallas(
+        jnp.asarray(q), store, k=5, metric=metric, sq_norms=sqn, scales=scl,
+        n_total=n, tile_n=256, tile_q=8, interpret=INTERPRET,
+    )
+    # host oracle on the dequantized store (bf16 query/matmul rounding is
+    # well inside the rtol at d=64)
+    deq = np.asarray(store[:700], np.float32) * np.asarray(scl)[0, :700, None]
+    qstep = np.abs(emb).max(-1, keepdims=True) / 127 + 1e-6
+    assert np.all(np.abs(deq - emb) <= 0.5 * qstep + 1e-6)
+    if metric == "ip":
+        scores = q @ deq.T
+        order = np.argsort(-scores, axis=-1)[:, :5]
+    else:
+        scores = ((q[:, None, :] - deq[None]) ** 2).sum(-1)
+        order = np.argsort(scores, axis=-1)[:, :5]
+    for i in range(9):
+        np.testing.assert_allclose(
+            scores[i][np.asarray(idx[i])], scores[i][order[i]],
+            rtol=5e-3, atol=5e-3,
+        )
+        np.testing.assert_allclose(
+            np.asarray(v[i]), scores[i][order[i]], rtol=5e-3, atol=5e-3
+        )
+
+
+def test_int8_store_requires_scales():
+    rng = np.random.default_rng(8)
+    store = jnp.asarray(rng.integers(-127, 127, size=(256, 64)), jnp.int8)
+    with pytest.raises(ValueError, match="scales"):
+        dense_topk_pallas(
+            jnp.asarray(rng.normal(size=(8, 64)).astype(np.float32)), store,
+            k=5, tile_n=256, tile_q=8, interpret=INTERPRET,
+        )
+
+
+def test_dense_engine_int8_store():
+    """DenseEngine(store_dtype=int8) end to end: top-1 must match the f32
+    engine on well-separated data, and the XLA fallback must refuse int8."""
+    from probing_rag_tpu.retrieval.dense import DenseEngine, DenseIndex
+
+    rng = np.random.default_rng(9)
+    emb = rng.normal(size=(300, 32)).astype(np.float32)
+    index = DenseIndex(emb, metric="ip")
+    e8 = DenseEngine(index, store_dtype=jnp.int8, use_pallas=True)
+    ef = DenseEngine(index, store_dtype=jnp.float32, use_pallas=True)
+    # queries near specific docs: top-1 is unambiguous under SQ8 rounding
+    qrows = [5, 77, 123, 200]
+    q = emb[qrows] * 3.0
+    r8 = e8.search_embeddings(q, k=3)
+    rf = ef.search_embeddings(q, k=3)
+    np.testing.assert_array_equal(
+        r8.doc_indices[:, 0], rf.doc_indices[:, 0]
+    )
+    np.testing.assert_array_equal(r8.doc_indices[:, 0], qrows)
+    with pytest.raises(ValueError, match="int8"):
+        DenseEngine(index, store_dtype=jnp.int8, use_pallas=False)
 
 
 @pytest.mark.parametrize("group_rows", [16, 32, 0])

@@ -54,6 +54,40 @@ def test_segment_topk_pallas_matches_xla(seed):
                 )
 
 
+def test_segment_sum_exact_at_large_prefix_sums():
+    """Run totals must NOT be computed as differences of a row-long f32
+    cumsum: at production widths the prefix sum reaches ~1e5 where an f32
+    ulp (~0.01) exceeds real score gaps — the 5M-doc wiki exercise failed
+    its oracle spot checks exactly this way. Every run total here is a sum
+    of <= 4 values, so both implementations must return it near-exactly
+    even though the row's total mass is ~65k."""
+    p, n_docs = 65536, 1 << 22
+    rng = np.random.default_rng(3)
+    # distinct ascending docs, runs of 4, all impacts ~1.0: prefix sum
+    # grows to ~65k while each true run total is ~4
+    docs = np.sort(rng.choice(n_docs, p // 4, replace=False)).astype(np.int32)
+    doc = np.repeat(docs, 4)[None, :]
+    imp = (1.0 + rng.random(p).astype(np.float32) * 1e-3)[None, :]
+    true = imp.reshape(-1, 4).sum(1, dtype=np.float64)
+    # plant a unique winner deep in the tail where cumsum error is maximal
+    imp[0, -3:] += 2.0
+    true[-1] += 6.0
+    order = np.argsort(true)[::-1][:5]
+    v_x, i_x = sorted_segment_topk(
+        jnp.asarray(doc), jnp.asarray(imp), 5, sentinel=n_docs,
+        presorted=True, max_run=4,
+    )
+    v_p, i_p = segment_topk_pallas(
+        jnp.asarray(doc), jnp.asarray(imp), k=5, sentinel=n_docs,
+        interpret=INTERPRET,
+    )
+    for v, i in ((v_x, i_x), (v_p, i_p)):
+        np.testing.assert_array_equal(np.asarray(i[0]), docs[order])
+        np.testing.assert_allclose(
+            np.asarray(v[0]), true[order], rtol=1e-6, atol=1e-5
+        )
+
+
 def test_segment_topk_runs_spanning_tiles():
     # one doc's run crosses several P tiles
     q, p, n_docs = 2, 1024, 10
