@@ -26,6 +26,7 @@ N = int(os.environ.get("BENCH_DENSE_N", 500_000))
 D = int(os.environ.get("BENCH_DENSE_D", 768))
 K = 10
 TILE_N = int(os.environ.get("BENCH_DENSE_TILE", 4096))
+MERGE_SEGS = int(os.environ.get("BENCH_DENSE_SEGS", 1))
 N_PASSES = 100  # ~3 ms/batch: a long timed region keeps fetch noise <5%
 # the BASELINE target is stated for BM25; for dense we report against the
 # HBM bandwidth bound (v5e ~820 GB/s): time >= N*D*2 bytes / BW per batch
@@ -64,7 +65,7 @@ def main():
 
     t0 = time.time()
     v, i = dense_topk_pallas(
-        qs[0], store, k=K, sq_norms=sqn, scales=scl, n_total=n, tile_n=TILE_N
+        qs[0], store, k=K, sq_norms=sqn, scales=scl, n_total=n, tile_n=TILE_N, merge_segs=MERGE_SEGS
     )
     fetch(jnp.sum(v))
     warmup_s = time.time() - t0
@@ -75,7 +76,7 @@ def main():
     acc = jnp.zeros((), jnp.float32)
     for j in range(N_PASSES):
         v, _ = dense_topk_pallas(
-            qs[j % len(qs)], store, k=K, sq_norms=sqn, scales=scl, n_total=n, tile_n=TILE_N
+            qs[j % len(qs)], store, k=K, sq_norms=sqn, scales=scl, n_total=n, tile_n=TILE_N, merge_segs=MERGE_SEGS
         )
         acc = acc + jnp.sum(v)
     t0 = time.time()
@@ -89,7 +90,7 @@ def main():
     acc = jnp.zeros((), jnp.float32)
     for j in range(N_PASSES):
         v, i = dense_topk_pallas(
-            qs[j % len(qs)], store, k=K, sq_norms=sqn, scales=scl, n_total=n, tile_n=TILE_N
+            qs[j % len(qs)], store, k=K, sq_norms=sqn, scales=scl, n_total=n, tile_n=TILE_N, merge_segs=MERGE_SEGS
         )
         acc = acc + jnp.sum(v)
     fetch(acc)
@@ -134,6 +135,7 @@ def main():
                     "q_batch": Q,
                     "k": K,
                     "tile_n": TILE_N,
+                    "merge_segs": MERGE_SEGS,
                     "store_dtype": "int8" if int8 else "bfloat16",
                     "per_batch_ms": round(per_batch * 1e3, 2),
                     "emb_read_gbps": round(read_gbps, 1),

@@ -117,7 +117,8 @@ def topk_merge_tile(scores, idx_source, run_vals, run_idx, k, thresh_k=None):
 
 
 def _kernel(q_ref, emb_ref, sqn_ref, scl_ref, out_v_ref, out_i_ref, vals,
-            idxs, *, k, metric, n_total, tile_n, group_rows, int8_store):
+            idxs, *, k, metric, n_total, tile_n, group_rows, merge_segs,
+            int8_store):
     ni = pl.program_id(1)
     n_tiles = pl.num_programs(1)
 
@@ -166,23 +167,45 @@ def _kernel(q_ref, emb_ref, sqn_ref, scl_ref, out_v_ref, out_i_ref, vals,
     # every 256-row block qualifies (~50 expected inserts spread over the
     # rows), so the whole-block gate never skips — the group split is what
     # actually cuts the merge cost.
+    sw = tile_n // merge_segs if merge_segs and tile_n % merge_segs == 0 \
+        else tile_n
     for g in range(0, qb, gq):
         g_max = row_max[g : g + gq]
         g_kth = vals[g : g + gq, k - 1]
 
         @pl.when(jnp.any(g_max > g_kth))
         def _(g=g):
-            # pad columns exist only in the final (partial) tile; a pad
-            # lane may spuriously trip the row-max gate there — masked
-            # before the merge, so it inserts nothing
-            s = jnp.where(
-                col < n_total, scores[g : g + gq, :], -jnp.inf
-            )
-            new_vals, new_idx = topk_merge_tile(
-                s, col, vals[g : g + gq, :], idxs[g : g + gq, :], k
-            )
-            vals[g : g + gq, :] = new_vals
-            idxs[g : g + gq, :] = new_idx
+            # Lane-segment split (merge_segs > 1): the serial insert rounds
+            # of topk_merge_tile cost rounds x [gq, width] VPU work, and
+            # rounds = max candidates per row IN THE MERGED SPAN. Splitting
+            # the tile into static lane segments makes each span ~1/segs as
+            # wide AND usually 1-round (candidates per (row, segment) are
+            # Poisson-thin), at the price of one gate + one [gq, sw] max
+            # per segment. Each segment's inserts also raise the running
+            # k-th threshold for the next segment's gate.
+            for s0 in range(0, tile_n, sw):
+                seg = scores[g : g + gq, s0 : s0 + sw]
+                seg_col = col[:, s0 : s0 + sw]
+
+                def merge(seg=seg, seg_col=seg_col, g=g):
+                    # pad columns exist only in the final (partial) tile; a
+                    # pad lane may spuriously trip the gates there — masked
+                    # before the merge, so it inserts nothing
+                    s = jnp.where(seg_col < n_total, seg, -jnp.inf)
+                    new_vals, new_idx = topk_merge_tile(
+                        s, seg_col, vals[g : g + gq, :], idxs[g : g + gq, :],
+                        k,
+                    )
+                    vals[g : g + gq, :] = new_vals
+                    idxs[g : g + gq, :] = new_idx
+
+                if sw == tile_n:
+                    merge()  # single span: the group gate above suffices
+                else:
+                    seg_gate = jnp.any(
+                        jnp.max(seg, axis=-1) > vals[g : g + gq, k - 1]
+                    )
+                    pl.when(seg_gate)(merge)
 
     @pl.when(ni == n_tiles - 1)
     def _():
@@ -246,7 +269,7 @@ def prepare_dense_store(
     jax.jit,
     static_argnames=(
         "k", "metric", "tile_n", "tile_q", "interpret", "n_total",
-        "group_rows",
+        "group_rows", "merge_segs",
     ),
 )
 def dense_topk_pallas(
@@ -262,6 +285,7 @@ def dense_topk_pallas(
     scales: jnp.ndarray | None = None,  # [8, N_pad] f32 for int8 stores
     n_total: int = 0,  # true doc count when embeddings are pre-padded
     group_rows: int = 64,  # merge-gate granularity (0 = whole query block)
+    merge_segs: int = 1,  # lane-segment split of the gated merge (1 = off)
     interpret: bool = False,
 ):
     """Returns (scores [Q, k], indices [Q, k]); same contract as
@@ -341,7 +365,7 @@ def dense_topk_pallas(
     grid = (qp // tile_q, np_ // tile_n)
     kernel = functools.partial(
         _kernel, k=k, metric=metric, n_total=n, tile_n=tile_n,
-        group_rows=group_rows, int8_store=int8_store,
+        group_rows=group_rows, merge_segs=merge_segs, int8_store=int8_store,
     )
     out_v, out_i = pl.pallas_call(
         kernel,

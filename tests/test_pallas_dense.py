@@ -166,3 +166,23 @@ def test_group_split_merge_matches_xla_op(group_rows):
     )
     np.testing.assert_allclose(np.asarray(v1), np.asarray(v2), rtol=1e-5)
     np.testing.assert_array_equal(np.asarray(i1), np.asarray(i2))
+
+
+@pytest.mark.parametrize("merge_segs", [2, 4])
+def test_lane_segment_merge_matches_xla_op(merge_segs):
+    """The lane-segment-split merge (merge_segs > 1) must rank identically
+    to the single-span merge: segments see a rising k-th threshold as
+    earlier segments insert, partial final tiles mask their pad lanes."""
+    rng = np.random.default_rng(6)
+    emb = rng.normal(size=(900, 32)).astype(np.float32)
+    q = rng.normal(size=(96, 32)).astype(np.float32)
+    v1, i1 = matmul_topk(
+        jnp.asarray(q), jnp.asarray(emb), k=5, metric="ip", tile_n=256
+    )
+    v2, i2 = dense_topk_pallas(
+        jnp.asarray(q), jnp.asarray(emb), k=5, metric="ip",
+        tile_n=256, tile_q=96, group_rows=32, merge_segs=merge_segs,
+        interpret=INTERPRET,
+    )
+    np.testing.assert_allclose(np.asarray(v1), np.asarray(v2), rtol=1e-5)
+    np.testing.assert_array_equal(np.asarray(i1), np.asarray(i2))
