@@ -76,6 +76,61 @@ def test_sharded_dense_equals_single_device(eight_devices):
         np.testing.assert_array_equal(np.asarray(i1), np.asarray(i2))
 
 
+def test_sharded_dense_pallas_route_and_int8(eight_devices):
+    """The per-shard Pallas route (the single-chip flagship kernel under
+    shard_map) must match the XLA route, and an int8 sharded store must
+    match the single-device int8 kernel."""
+    from probing_rag_tpu.ops.pallas_dense import (
+        dense_topk_pallas, prepare_dense_store,
+    )
+
+    mesh = make_mesh(None, eight_devices)
+    rng = np.random.default_rng(4)
+    emb = rng.normal(size=(333, 32)).astype(np.float32)
+    q = rng.normal(size=(6, 32)).astype(np.float32)
+    for metric in ("ip", "l2"):
+        v1, i1 = sharded_dense_topk(
+            jnp.asarray(q), jnp.asarray(emb), mesh=mesh, k=4, metric=metric
+        )
+        v2, i2 = sharded_dense_topk(
+            jnp.asarray(q), jnp.asarray(emb), mesh=mesh, k=4, metric=metric,
+            use_pallas=True, interpret=True,
+        )
+        np.testing.assert_allclose(np.asarray(v1), np.asarray(v2), rtol=1e-4, atol=1e-5)
+        np.testing.assert_array_equal(np.asarray(i1), np.asarray(i2))
+
+    store, _, scl, n = prepare_dense_store(
+        jnp.asarray(emb), tile_n=128, metric="ip", store_dtype=jnp.int8
+    )
+    vs, is_ = sharded_dense_topk(
+        jnp.asarray(q), store[:n], mesh=mesh, k=4, metric="ip",
+        use_pallas=True, scales=scl[:, :n], interpret=True,
+    )
+    vr, ir = dense_topk_pallas(
+        jnp.asarray(q), store, k=4, metric="ip", scales=scl, n_total=n,
+        tile_n=128, tile_q=8, interpret=True,
+    )
+    np.testing.assert_allclose(np.asarray(vs), np.asarray(vr), rtol=1e-4, atol=1e-5)
+    np.testing.assert_array_equal(np.asarray(is_), np.asarray(ir))
+
+
+def test_sharded_dense_negative_scores_uneven_split(eight_devices):
+    """Pad-row eviction regression: with every real score negative and an
+    uneven doc split, pad rows (ip score 0.0) must not displace real
+    candidates from any shard's local top-k."""
+    mesh = make_mesh(None, eight_devices)
+    rng = np.random.default_rng(11)
+    emb = rng.normal(size=(13, 16)).astype(np.float32)
+    q = -np.abs(rng.normal(size=(3, 16))).astype(np.float32)
+    emb = np.abs(emb)  # q . emb < 0 everywhere
+    v1, i1 = matmul_topk(jnp.asarray(q), jnp.asarray(emb), k=3, metric="ip", tile_n=256)
+    v2, i2 = sharded_dense_topk(
+        jnp.asarray(q), jnp.asarray(emb), mesh=mesh, k=3, metric="ip"
+    )
+    np.testing.assert_allclose(np.asarray(v1), np.asarray(v2), rtol=1e-5, atol=1e-6)
+    np.testing.assert_array_equal(np.asarray(i1), np.asarray(i2))
+
+
 def test_tp_sharded_lm_forward_matches_unsharded(eight_devices):
     mesh = make_mesh((2, 4), eight_devices)
     params = init_params(CFG, jax.random.PRNGKey(0))
