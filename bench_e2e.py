@@ -113,6 +113,11 @@ def main():
     else:
         cfg = GemmaConfig.gemma_2b()
         params = init_params(cfg, jax.random.PRNGKey(0), dtype=jnp.bfloat16)
+    int8 = os.environ.get("BENCH_E2E_INT8", "") == "1"
+    if int8:
+        from probing_rag_tpu.models.gemma import quantize_lm_params
+
+        params = quantize_lm_params(params)
     tok = HashWordTokenizer(cfg.vocab_size)
     tc = ProberTrainConfig(layers=cfg.probe_layers, positions=("resid_post",))
     probers = init_prober_stack(tc, cfg.d_model, jax.random.PRNGKey(1))
@@ -148,7 +153,8 @@ def main():
         return TimedPipeline(
             params, cfg, tok, engine, store, probers,
             RAGConfig(retr_method="probing", threshold=threshold,
-                      batch_size=BATCH, max_new_tokens=MAX_NEW),
+                      batch_size=BATCH, max_new_tokens=MAX_NEW,
+                      kv_int8=int8),
         )
 
     # warmup at 2 queries: _generate pads every chunk to BATCH, so this
@@ -199,7 +205,8 @@ def main():
                 "vs_baseline": None,
                 "detail": {
                     "model": ("tiny (smoke)" if os.environ.get("BENCH_E2E_TINY") == "1"
-                              else "gemma-2b (random bf16)"),
+                              else "gemma-2b (random "
+                              + ("int8 weights + int8 KV)" if int8 else "bf16)")),
                     "n_queries": N_QUERIES,
                     "batch": BATCH,
                     "max_new_tokens": MAX_NEW,

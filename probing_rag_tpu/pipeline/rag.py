@@ -47,6 +47,8 @@ class RAGConfig:
     max_extra_rounds: int = 3  # retr_count cap (exp_rag.py:462-465): 4 rounds total
     batch_size: int = 8
     position: str = "resid_post"
+    kv_int8: bool = False  # quantize the KV cache (serve with
+    # quantize_lm_params for the full int8 configuration)
 
 
 @dataclass
@@ -100,6 +102,7 @@ class AdaptiveRAGPipeline:
                 max_new_tokens=self.rag.max_new_tokens,
                 capture=capture,
                 stop_tables=self.stop_tables,
+                kv_int8=self.rag.kv_int8,
             )
             texts_out.extend(texts[: len(chunk)])
             if with_capture:

@@ -68,6 +68,16 @@ def test_probing_method_forced_stop(setup):
     assert all(s is not None for s in res.gate_scores)
 
 
+def test_probing_method_kv_int8(setup):
+    """RAGConfig(kv_int8=True) threads the int8 KV cache through the
+    pipeline's generate calls; the loop semantics must be unchanged."""
+    pipe = _pipeline(setup, retr_method="probing", threshold=-1e6,
+                     kv_int8=True)
+    res = pipe.run(["capital of france"])
+    assert res.retr_count_list == [0]
+    assert "capital of france" in res.pred_list[0]
+
+
 def test_probing_method_forced_retrieve(setup):
     # threshold -> +inf forces retrieval every round: hard cap applies
     pipe = _pipeline(setup, retr_method="probing", threshold=1e6)
