@@ -133,7 +133,12 @@ def _build_pipeline(args, retr_method: str):
     if args.dense:
         from probing_rag_tpu.retrieval.dense import DenseEngine, DenseIndex
 
-        engine = DenseEngine(DenseIndex.load(index_dir / "dense"), _dense_encoder(args))
+        import jax.numpy as jnp
+
+        engine = DenseEngine(
+            DenseIndex.load(index_dir / "dense"), _dense_encoder(args),
+            store_dtype=jnp.int8 if args.dense_int8 else jnp.bfloat16,
+        )
     else:
         engine = BM25Engine(BM25Index.load(index_dir / "bm25"))
 
@@ -539,6 +544,9 @@ def build_parser() -> argparse.ArgumentParser:
         sp.add_argument("--tokenizer", default=None, help="sentencepiece model path")
         sp.add_argument("--seed", type=int, default=42)
         sp.add_argument("--dense", action="store_true", help="dense retrieval")
+        sp.add_argument("--dense-int8", action="store_true",
+                        help="int8 (SQ8) dense store: half the HBM bytes "
+                        "on the bandwidth-bound sweep")
 
     sp = sub.add_parser("index-build")
     common(sp)
