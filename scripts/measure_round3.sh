@@ -1,0 +1,44 @@
+#!/usr/bin/env bash
+# Ordered TPU measurement session for round 3's pending numbers.
+# MUST run serially — two TPU processes over the axon tunnel corrupt each
+# other (see memory/axon-tunnel-quirks). Each bench self-guards with a
+# device watchdog and exits 2 fast if the tunnel is dead.
+#
+# Usage: bash scripts/measure_round3.sh [outfile]
+set -u
+cd "$(dirname "$0")/.."
+OUT="${1:-MEASURE_r3.jsonl}"
+
+run() {
+  local name="$1"; shift
+  echo "=== $name ($(date -u +%H:%M:%S)) ===" >&2
+  local line
+  line=$("$@" 2>/tmp/measure_err.log | tail -1)
+  local rc=$?
+  if [ $rc -ne 0 ] || [ -z "$line" ]; then
+    echo "FAILED rc=$rc — tail of stderr:" >&2
+    tail -5 /tmp/measure_err.log >&2
+    echo "{\"bench\": \"$name\", \"error\": $rc}" >> "$OUT"
+    return $rc
+  fi
+  echo "{\"bench\": \"$name\", \"result\": $line}" >> "$OUT"
+  echo "$line" >&2
+}
+
+# 1. headline BM25 (exercises the new assembly gather on over-cap queries)
+run bm25 timeout 3600 python bench.py
+
+# 2. dense merge design space: group-split baseline, lane-segment splits
+run dense_bf16_segs1 env BENCH_DENSE_SEGS=1 timeout 1800 python bench_dense.py
+run dense_bf16_segs4 env BENCH_DENSE_SEGS=4 timeout 1800 python bench_dense.py
+run dense_bf16_segs8 env BENCH_DENSE_SEGS=8 timeout 1800 python bench_dense.py
+
+# 3. int8 (SQ8) store, with and without the best segment split
+run dense_int8_segs1 env BENCH_DENSE_INT8=1 BENCH_DENSE_SEGS=1 timeout 1800 python bench_dense.py
+run dense_int8_segs4 env BENCH_DENSE_INT8=1 BENCH_DENSE_SEGS=4 timeout 1800 python bench_dense.py
+
+# 4. composed adaptive-RAG loop at Gemma-2B scale: bf16 and full-int8
+run e2e_bf16 timeout 3600 python bench_e2e.py
+run e2e_int8 env BENCH_E2E_INT8=1 timeout 3600 python bench_e2e.py
+
+echo "measurement session complete -> $OUT" >&2
