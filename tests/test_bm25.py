@@ -296,3 +296,40 @@ def test_int32_bounds_trip_at_scale_boundary():
         build_bitonic_store(
             idx.term_offsets, huge_doc, huge_imp, sentinel=4
         )
+
+
+@pytest.mark.slow
+def test_serving_scale_top_k_matches_oracle():
+    """Scale-regression net for precision bugs that only appear once a
+    device scores >=~600k docs (the segment stage's old cumsum-difference
+    formulation passed every small-scale exactness test but corrupted run
+    totals here — one f32 ulp of a ~1e5 prefix sum exceeds true score
+    gaps). Builds 400k synthetic Zipf docs and requires the xla engine's
+    top-10 score multiset to match the exact host oracle."""
+    rng = np.random.default_rng(0)
+    n_docs, doc_len, vocab = 400_000, 24, 50_000
+    need = n_docs * doc_len
+    parts = []
+    while need > 0:
+        z = rng.zipf(1.3, size=need + need // 2)
+        z = z[z >= 180][:need]
+        parts.append(z)
+        need -= len(z)
+    token_ids = (np.concatenate(parts) % vocab).astype(np.int64)
+    index = BM25Index.build_tokenized_ids(
+        token_ids, np.full(n_docs, doc_len, np.int64),
+        BM25Config(stem=False, remove_stopwords=False),
+    )
+    engine = BM25Engine(index, mode="xla")
+    queries = [
+        (rng.zipf(1.3, size=8)[:4] % vocab).astype(np.int32) + 180
+        for _ in range(4)
+    ]
+    res = engine.search_term_ids(queries, k=10)
+    for i, q in enumerate(queries):
+        oracle = index.score_all(q)
+        got = res.scores[i][res.doc_indices[i] >= 0]
+        exp = np.sort(oracle)[::-1][: len(got)]
+        np.testing.assert_allclose(
+            np.sort(got)[::-1], exp, rtol=1e-4, atol=1e-3
+        )
