@@ -5,7 +5,7 @@
 # device watchdog and exits 2 fast if the tunnel is dead.
 #
 # Usage: bash scripts/measure_round3.sh [outfile]
-set -u
+set -u -o pipefail  # pipefail: a failing bench must not hide behind tail
 cd "$(dirname "$0")/.."
 OUT="${1:-MEASURE_r3.jsonl}"
 
