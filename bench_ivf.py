@@ -1,0 +1,189 @@
+"""Benchmark: IVF dense retrieval — small-batch serving latency vs the flat
+kernel on the same corpus. Prints ONE JSON line.
+
+The flat Pallas sweep (bench_dense.py) amortizes the whole-store read over
+up to 512 queries; the adaptive-RAG loop retrieves in SMALL rounds (64
+queries at exp_rag.py batch sizes, 1 interactively), where flat pays the
+full store per tiny batch. IVF reads ~nprobe/nlist of the store per query
+tile regardless of batch (retrieval/ivf.py), which is the faiss-IVF scaling
+step at Wikipedia size (BASELINE config 5). This bench measures both
+engines at the SAME small batch on the SAME corpus and reports the speedup
+plus recall@10 vs the exact f32 oracle (IVF recall is approximate by
+design; the number makes the trade explicit).
+
+Corpus: mixture-of-Gaussians embeddings (real encoder embeddings cluster;
+IVF's premise is that structure), queries perturbed from corpus points.
+Protocol: bench.py's fetch-synchronized settle + multi-pass timing.
+
+Env knobs: BENCH_IVF_N (docs), BENCH_IVF_Q (batch), BENCH_IVF_NLIST,
+BENCH_IVF_NPROBE, BENCH_IVF_INT8=1 (SQ8 store).
+"""
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+import numpy as np
+
+N = int(os.environ.get("BENCH_IVF_N", 1_000_000))
+D = int(os.environ.get("BENCH_IVF_D", 768))
+Q = int(os.environ.get("BENCH_IVF_Q", 64))
+K = 10
+NLIST = int(os.environ.get("BENCH_IVF_NLIST", 4096))
+NPROBE = int(os.environ.get("BENCH_IVF_NPROBE", 32))
+N_CLUSTERS = 4096  # corpus structure (not told to the index)
+N_PASSES = int(os.environ.get("BENCH_IVF_PASSES", 50))
+HBM_GBPS = 820.0
+
+
+def make_corpus(rng):
+    centers = rng.normal(size=(N_CLUSTERS, D)).astype(np.float32)
+    assign = rng.integers(0, N_CLUSTERS, size=N)
+    emb = centers[assign] + 0.3 * rng.normal(size=(N, D)).astype(np.float32)
+    return emb.astype(np.float32)
+
+
+def main():
+    from bench_util import require_live_device
+
+    require_live_device()
+
+    import jax
+    import jax.numpy as jnp
+
+    cache_dir = os.path.join(os.path.dirname(os.path.abspath(__file__)), ".jax_cache")
+    jax.config.update("jax_compilation_cache_dir", cache_dir)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
+    from probing_rag_tpu.ops.pallas_dense import (
+        dense_topk_pallas,
+        prepare_dense_store,
+    )
+    from probing_rag_tpu.retrieval.ivf import IVFDenseIndex, IVFEngine
+
+    int8 = os.environ.get("BENCH_IVF_INT8", "") == "1"
+    rng = np.random.default_rng(0)
+    emb = make_corpus(rng)
+
+    t0 = time.time()
+    index = IVFDenseIndex.build(emb, nlist=NLIST, block=256, metric="ip",
+                                iters=10, seed=0)
+    build_s = time.time() - t0
+    t0 = time.time()
+    eng = IVFEngine(index, nprobe=NPROBE,
+                    store_dtype=jnp.int8 if int8 else jnp.bfloat16)
+    jax.block_until_ready(eng._emb)
+    prep_s = time.time() - t0
+
+    # query batches: perturbed corpus points (distinct per pass — identical
+    # dispatches can be memoized by the remote runtime)
+    qbatches = []
+    for _ in range(10):
+        picks = rng.choice(N, Q, replace=False)
+        qbatches.append(
+            (emb[picks] + 0.1 * rng.normal(size=(Q, D))).astype(np.float32)
+        )
+
+    def fetch(x) -> float:
+        return float(np.asarray(x))
+
+    def one(qb, k=K):
+        return eng.search_embeddings(qb, k=k, as_numpy=False)
+
+    # ---- IVF timing (plan on host per batch — that cost is IN the number)
+    t0 = time.time()
+    r = one(qbatches[0])
+    fetch(jnp.sum(r.scores))
+    warmup_s = time.time() - t0
+    for j in range(N_PASSES):  # settling pass (untimed; see bench.py)
+        r = one(qbatches[j % len(qbatches)])
+    fetch(jnp.sum(r.scores))
+
+    t0 = time.time()
+    fetch(jnp.sum(jnp.zeros((8, 128))))
+    fetch_before = time.time() - t0
+    t0 = time.time()
+    acc = 0.0
+    last = None
+    for j in range(N_PASSES):
+        last = one(qbatches[j % len(qbatches)])
+        acc = acc + jnp.sum(last.scores)
+    fetch(acc)
+    raw = time.time() - t0
+    t0 = time.time()
+    fetch(jnp.sum(jnp.ones((8, 128))))
+    fetch_after = time.time() - t0
+    ivf_s = max(raw - min(fetch_before, fetch_after), 0.05 * raw) / N_PASSES
+
+    # ---- flat kernel at the same batch, same store dtype
+    store, sqn, scl, n_tot = prepare_dense_store(
+        jnp.asarray(emb, np.float32 if int8 else jnp.bfloat16),
+        tile_n=4096, metric="ip", store_dtype=jnp.int8 if int8 else None,
+    )
+    store = jax.block_until_ready(store)
+
+    def flat(qb):
+        return dense_topk_pallas(
+            jnp.asarray(qb), store, k=K, sq_norms=sqn, scales=scl,
+            n_total=n_tot, tile_n=4096,
+            interpret=jax.default_backend() != "tpu",  # CPU smoke runs
+        )
+    v, _ = flat(qbatches[0])
+    fetch(jnp.sum(v))
+    for j in range(N_PASSES):
+        v, _ = flat(qbatches[j % len(qbatches)])
+    fetch(jnp.sum(v))
+    t0 = time.time()
+    acc = jnp.zeros((), jnp.float32)
+    for j in range(N_PASSES):
+        v, _ = flat(qbatches[j % len(qbatches)])
+        acc = acc + jnp.sum(v)
+    fetch(acc)
+    flat_s = (time.time() - t0 - min(fetch_before, fetch_after)) / N_PASSES
+
+    # ---- recall@10 vs the exact f32 oracle (sampled queries, untimed)
+    qb = qbatches[(N_PASSES - 1) % len(qbatches)]
+    idx = np.asarray(last.doc_indices)
+    n_sample = min(16, Q)
+    scores = qb[:n_sample] @ emb.T
+    oracle = np.argsort(scores, axis=-1)[:, ::-1][:, :K]
+    recall = float(np.mean([
+        len(set(idx[r]) & set(oracle[r])) / K for r in range(n_sample)
+    ]))
+
+    store_bytes = 1 if int8 else 2
+    # probed HBM bytes per batch: blocks actually planned for the last batch
+    desc = eng.plan(eng.probe_cells(qb))
+    n_blocks = int((desc != index.pad_block).sum())
+    probed_bytes = n_blocks * index.block * D * store_bytes
+    bound_s = probed_bytes / (HBM_GBPS * 1e9)
+
+    print(json.dumps({
+        "metric": "ivf_queries_per_sec_per_chip",
+        "value": round(Q / ivf_s, 1),
+        "unit": "queries/s",
+        "vs_baseline": round(flat_s / ivf_s, 2),  # speedup over flat kernel
+        "detail": {
+            "n_docs": N, "dim": D, "q_batch": Q, "k": K,
+            "nlist": NLIST, "nprobe": NPROBE,
+            "store_dtype": "int8" if int8 else "bfloat16",
+            "per_batch_ms": round(ivf_s * 1e3, 2),
+            "flat_per_batch_ms": round(flat_s * 1e3, 2),
+            "speedup_vs_flat": round(flat_s / ivf_s, 2),
+            "recall_at_10_vs_f32_oracle": round(recall, 3),
+            "probed_blocks_per_batch": n_blocks,
+            "probed_mb_per_batch": round(probed_bytes / 1e6, 1),
+            "pct_of_probed_hbm_bound": round(100 * bound_s / ivf_s, 1),
+            "build_s": round(build_s, 1),
+            "store_prep_s": round(prep_s, 1),
+            "warmup_compile_s": round(warmup_s, 1),
+            "device": str(jax.devices()[0]),
+        },
+    }))
+
+
+if __name__ == "__main__":
+    main()

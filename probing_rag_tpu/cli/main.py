@@ -83,7 +83,16 @@ def cmd_index_build(args):
         from probing_rag_tpu.retrieval.dense import DenseIndex
 
         encode = _dense_encoder(args)
-        DenseIndex.build(texts, encode).save(out / "dense")
+        dense = DenseIndex.build(texts, encode)
+        dense.save(out / "dense")
+        if getattr(args, "dense_ivf", False):
+            from probing_rag_tpu.retrieval.ivf import IVFDenseIndex
+
+            t0 = time.time()
+            IVFDenseIndex.build(
+                dense.embeddings, metric=dense.metric, seed=args.seed
+            ).save(out / "ivf")
+            print(f"built IVF quantizer+store in {time.time()-t0:.1f}s")
     else:
         t0 = time.time()
         BM25Index.build(texts, BM25Config()).save(out / "bm25")
@@ -131,14 +140,24 @@ def _build_pipeline(args, retr_method: str):
     index_dir = Path(args.index)
     store = DocStore.load(index_dir / "docstore.json")
     if args.dense:
-        from probing_rag_tpu.retrieval.dense import DenseEngine, DenseIndex
-
         import jax.numpy as jnp
 
-        engine = DenseEngine(
-            DenseIndex.load(index_dir / "dense"), _dense_encoder(args),
-            store_dtype=jnp.int8 if args.dense_int8 else jnp.bfloat16,
-        )
+        store_dtype = jnp.int8 if args.dense_int8 else jnp.bfloat16
+        if getattr(args, "dense_ivf", False):
+            from probing_rag_tpu.retrieval.ivf import IVFDenseIndex, IVFEngine
+
+            engine = IVFEngine(
+                IVFDenseIndex.load(index_dir / "ivf"),
+                nprobe=args.ivf_nprobe, encode_fn=_dense_encoder(args),
+                store_dtype=store_dtype,
+            )
+        else:
+            from probing_rag_tpu.retrieval.dense import DenseEngine, DenseIndex
+
+            engine = DenseEngine(
+                DenseIndex.load(index_dir / "dense"), _dense_encoder(args),
+                store_dtype=store_dtype,
+            )
     else:
         engine = BM25Engine(BM25Index.load(index_dir / "bm25"))
 
@@ -547,6 +566,13 @@ def build_parser() -> argparse.ArgumentParser:
         sp.add_argument("--dense-int8", action="store_true",
                         help="int8 (SQ8) dense store: half the HBM bytes "
                         "on the bandwidth-bound sweep")
+        sp.add_argument("--dense-ivf", action="store_true",
+                        help="IVF dense index (k-means cells, probed "
+                        "search): reads nprobe/nlist of the store per "
+                        "query instead of all of it — the small-batch / "
+                        "huge-corpus serving mode")
+        sp.add_argument("--ivf-nprobe", type=int, default=32,
+                        help="IVF cells probed per query (recall knob)")
 
     sp = sub.add_parser("index-build")
     common(sp)
