@@ -37,7 +37,13 @@ run dense_bf16_segs8 env BENCH_DENSE_SEGS=8 timeout 1800 python bench_dense.py
 run dense_int8_segs1 env BENCH_DENSE_INT8=1 BENCH_DENSE_SEGS=1 timeout 1800 python bench_dense.py
 run dense_int8_segs4 env BENCH_DENSE_INT8=1 BENCH_DENSE_SEGS=4 timeout 1800 python bench_dense.py
 
-# 4. composed adaptive-RAG loop at Gemma-2B scale: bf16 and full-int8
+# 4. IVF dense: small-batch serving latency vs flat, 1M docs (build includes
+#    on-device k-means; recall@10 vs exact oracle reported in the JSON)
+run ivf_q64 timeout 3600 python bench_ivf.py
+run ivf_q8 env BENCH_IVF_Q=8 timeout 1800 python bench_ivf.py
+run ivf_int8 env BENCH_IVF_INT8=1 timeout 1800 python bench_ivf.py
+
+# 5. composed adaptive-RAG loop at Gemma-2B scale: bf16 and full-int8
 run e2e_bf16 timeout 3600 python bench_e2e.py
 run e2e_int8 env BENCH_E2E_INT8=1 timeout 3600 python bench_e2e.py
 

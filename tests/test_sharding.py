@@ -367,3 +367,69 @@ def test_sharded_overcap_buckets_split_by_width(eight_devices, corpus):
     for i in range(len(queries)):
         assert np.allclose(np.sort(rs.scores[i]), np.sort(r1.scores[i]),
                            rtol=1e-4, atol=1e-3), i
+
+
+def test_sharded_ivf_layout_partitions_blocks(eight_devices):
+    from probing_rag_tpu.parallel.sharded_ivf import shard_ivf_layout
+    from probing_rag_tpu.retrieval.ivf import IVFDenseIndex
+
+    rng = np.random.default_rng(7)
+    emb = rng.normal(size=(400, 16)).astype(np.float32)
+    ix = IVFDenseIndex.build(emb, nlist=16, block=32, metric="ip", seed=0)
+    lay = shard_ivf_layout(ix, 4)
+    # every doc appears exactly once across shards, pad rows are -1/zeros
+    real = lay.ids[lay.ids >= 0]
+    assert sorted(real.tolist()) == list(range(400))
+    np.testing.assert_allclose(lay.emb[lay.ids >= 0].sum(), emb.sum(), rtol=1e-5)
+    assert (lay.emb[lay.ids < 0] == 0).all()
+    # greedy balance: worst shard <= 4/3 optimum + largest cell slack
+    loads = np.bincount(lay.owner, weights=ix.list_nblocks, minlength=4)
+    assert loads.max() <= lay.nb_max
+    assert lay.nb_max <= max(np.ceil(ix.list_nblocks.sum() / 4 * 4 / 3),
+                             ix.list_nblocks.max())
+
+
+@pytest.mark.parametrize("metric", ["ip", "l2"])
+def test_sharded_ivf_equals_single_device(eight_devices, metric):
+    """Cell-sharded IVF over the 8-device mesh must rank exactly like the
+    single-device IVFEngine: same probe plan, same candidate set, so the
+    all_gather merge is score-equal."""
+    from probing_rag_tpu.parallel.sharded_ivf import ShardedIVFEngine
+    from probing_rag_tpu.retrieval.ivf import IVFDenseIndex, IVFEngine
+
+    mesh = make_mesh((4, 2), eight_devices)
+    rng = np.random.default_rng(8)
+    centers = rng.normal(size=(16, 24)).astype(np.float32) * 3.0
+    emb = (centers[rng.integers(0, 16, size=500)]
+           + 0.1 * rng.normal(size=(500, 24))).astype(np.float32)
+    ix = IVFDenseIndex.build(emb, nlist=16, block=32, metric=metric, seed=0)
+    q = rng.normal(size=(11, 24)).astype(np.float32)  # non-multiple of 8
+    single = IVFEngine(ix, nprobe=5, store_dtype=jnp.float32)
+    sharded = ShardedIVFEngine(ix, mesh, nprobe=5, store_dtype=jnp.float32)
+    r1 = single.search_embeddings(q, k=4)
+    r2 = sharded.search_embeddings(q, k=4)
+    np.testing.assert_allclose(r2.scores, r1.scores, rtol=1e-4, atol=1e-4)
+    # same candidates (tie order may differ): scores of returned ids agree
+    for i in range(len(q)):
+        if metric == "l2":
+            s1 = ((q[i][None] - emb[r1.doc_indices[i]]) ** 2).sum(-1)
+            s2 = ((q[i][None] - emb[r2.doc_indices[i]]) ** 2).sum(-1)
+        else:
+            s1 = emb[r1.doc_indices[i]] @ q[i]
+            s2 = emb[r2.doc_indices[i]] @ q[i]
+        np.testing.assert_allclose(s2, s1, rtol=1e-4, atol=1e-4)
+
+
+def test_sharded_ivf_int8_matches_single_device_int8(eight_devices):
+    from probing_rag_tpu.parallel.sharded_ivf import ShardedIVFEngine
+    from probing_rag_tpu.retrieval.ivf import IVFDenseIndex, IVFEngine
+
+    mesh = make_mesh(None, eight_devices)
+    rng = np.random.default_rng(9)
+    emb = rng.normal(size=(300, 16)).astype(np.float32)
+    ix = IVFDenseIndex.build(emb, nlist=8, block=32, metric="ip", seed=0)
+    q = rng.normal(size=(8, 16)).astype(np.float32)
+    r1 = IVFEngine(ix, nprobe=8, store_dtype=jnp.int8).search_embeddings(q, k=5)
+    r2 = ShardedIVFEngine(ix, mesh, nprobe=8, store_dtype=jnp.int8).search_embeddings(q, k=5)
+    # both quantize per stored vector: identical vectors, identical scales
+    np.testing.assert_allclose(r2.scores, r1.scores, rtol=1e-2, atol=1e-2)
