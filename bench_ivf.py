@@ -142,7 +142,8 @@ def main():
         v, _ = flat(qbatches[j % len(qbatches)])
         acc = acc + jnp.sum(v)
     fetch(acc)
-    flat_s = (time.time() - t0 - min(fetch_before, fetch_after)) / N_PASSES
+    raw_flat = time.time() - t0
+    flat_s = max(raw_flat - min(fetch_before, fetch_after), 0.05 * raw_flat) / N_PASSES
 
     # ---- recall@10 vs the exact f32 oracle (sampled queries, untimed)
     qb = qbatches[(N_PASSES - 1) % len(qbatches)]
