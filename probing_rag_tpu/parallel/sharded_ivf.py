@@ -28,6 +28,7 @@ from typing import NamedTuple, Optional
 import numpy as np
 
 from probing_rag_tpu.retrieval.dense import DenseSearchResult
+from probing_rag_tpu.retrieval import ivf as ivf_mod
 from probing_rag_tpu.retrieval.ivf import IVFDenseIndex, _next_pow2
 
 
@@ -109,52 +110,34 @@ class ShardedIVFEngine:
         self._int8 = jnp.dtype(store_dtype) == jnp.int8
 
         npad = lay.emb.shape[0]
-        self._scales = None
-        if self._int8:
-            absmax = np.abs(lay.emb).max(axis=-1)
-            s = np.where(absmax > 0, absmax / 127.0, 1.0).astype(np.float32)
-            q = np.clip(np.round(lay.emb / s[:, None]), -127, 127).astype(np.int8)
-            emb_host, deq = q, q.astype(np.float32) * s[:, None]
-            scl = np.broadcast_to(s[None, :], (8, npad)).copy()
-        else:
-            emb_host = lay.emb
-            deq = lay.emb
-            scl = np.ones((1, 1), np.float32)  # placeholder, replaced below
-        self._sqn_host = None
-        if index.metric == "l2":
-            sq = np.sum(deq * deq, axis=-1).astype(np.float32)
-            self._sqn_host = np.broadcast_to(sq[None, :], (8, npad)).copy()
-
+        # same host-side SQ8/norm scheme as the single-device engine (the
+        # shared helper keeps flat/IVF/sharded-IVF rankings consistent)
+        emb_host, scl8, sqn8 = ivf_mod.host_store_prep(
+            lay.emb, index.metric, store_dtype
+        )
         shard_rows = NamedSharding(mesh, P(self.axes, None))
         shard_cols = NamedSharding(mesh, P(None, self.axes))
-        self._emb = jax.device_put(
-            jnp.asarray(emb_host, store_dtype if not self._int8 else jnp.int8),
-            shard_rows,
-        )
+        self._emb = jax.device_put(jnp.asarray(emb_host), shard_rows)
         self._ids = jax.device_put(
             jnp.asarray(np.broadcast_to(lay.ids[None, :], (8, npad)).copy()),
             shard_cols,
         )
         self._sqn = (
-            jax.device_put(jnp.asarray(self._sqn_host), shard_cols)
-            if self._sqn_host is not None else None
+            jax.device_put(jnp.asarray(sqn8), shard_cols)
+            if sqn8 is not None else None
         )
-        if self._int8:
-            self._scales = jax.device_put(jnp.asarray(scl), shard_cols)
+        self._scales = (
+            jax.device_put(jnp.asarray(scl8), shard_cols)
+            if scl8 is not None else None
+        )
         self._cent = jnp.asarray(index.centroids, jnp.float32)
 
     # -- planning (host, vectorized per shard) ------------------------------
     def probe_cells(self, query_emb: np.ndarray) -> np.ndarray:
-        import jax.numpy as jnp
-
-        from probing_rag_tpu.ops.dense_topk import matmul_topk
-
-        _, idx = matmul_topk(
-            jnp.asarray(query_emb, jnp.float32), self._cent,
-            k=self.nprobe, metric=self.index.metric,
-            tile_n=min(16384, max(256, self.index.nlist)),
+        return ivf_mod.probe_cells_host(
+            query_emb, self._cent, self.nprobe,
+            self.index.metric, self.index.nlist,
         )
-        return np.asarray(idx)
 
     def plan(self, probes: np.ndarray) -> np.ndarray:
         """[Q, nprobe] cell ids -> [S, T, PB] per-shard local block
@@ -163,41 +146,21 @@ class ShardedIVFEngine:
         (shard, tile) requirement, shared by all shards (one static shape
         rides the mesh)."""
         ix, lay = self.index, self._lay
-        q = probes.shape[0]
-        t = -(-q // 8)
-        if t * 8 != q:
-            probes = np.concatenate(
-                [probes, np.broadcast_to(probes[:1], (t * 8 - q, probes.shape[1]))]
-            )
-        tiles = np.sort(probes.reshape(t, -1), axis=1)
-        keep = np.ones_like(tiles, bool)
-        keep[:, 1:] = tiles[:, 1:] != tiles[:, :-1]
+        tiles, keep, t = ivf_mod.tile_union(probes)
         own = lay.owner[tiles]
         nb_all = ix.list_nblocks[tiles].astype(np.int64)
+        per = [np.where(keep & (own == s), nb_all, 0)
+               for s in range(self.n_shards)]
         pb = 8
-        per = []
-        for s in range(self.n_shards):
-            nb_s = np.where(keep & (own == s), nb_all, 0)
-            per.append(nb_s)
+        for nb_s in per:
             m = int(nb_s.sum(axis=1).max())
             pb = max(pb, _next_pow2(max(m, 1), 8))
+        starts = lay.local_start[tiles]
         pad_block = lay.nb_max  # local index of each shard's all-pad block
-        desc = np.full((self.n_shards, t, pb), pad_block, np.int32)
-        starts = lay.local_start[tiles].astype(np.int64)
-        for s in range(self.n_shards):
-            nbf = per[s].ravel()
-            total = int(nbf.sum())
-            if not total:
-                continue
-            reps = np.repeat(np.arange(nbf.size), nbf)
-            offs = np.arange(total) - np.repeat(np.cumsum(nbf) - nbf, nbf)
-            blocks = starts.ravel()[reps] + offs
-            tile_of = reps // tiles.shape[1]
-            per_tile = per[s].sum(axis=1)
-            tile_first = np.concatenate([[0], np.cumsum(per_tile[:-1])])
-            pos = np.arange(total) - np.repeat(tile_first, per_tile)
-            desc[s, tile_of, pos] = blocks.astype(np.int32)
-        return desc
+        return np.stack([
+            ivf_mod.expand_tile_blocks(starts, nb_s, pb, pad_block)
+            for nb_s in per
+        ])
 
     # -- search --------------------------------------------------------------
     def search_embeddings(
@@ -226,18 +189,25 @@ class ShardedIVFEngine:
         # descending-better for BOTH metrics (l2 rides as -(d^2 - 2 q.d)
         # until the engine re-adds ||q||^2), so the merge needs no sign flip
 
-        sqn = self._sqn if self._sqn is not None else jnp.zeros(
-            (8, self._emb.shape[0]), jnp.float32
-        )
-        scl = self._scales if self._scales is not None else jnp.ones(
-            (8, self._emb.shape[0]), jnp.float32
-        )
+        # only operands that exist ride the mesh: materializing full-store
+        # [8, npad] placeholder zeros/ones per call would push ~2x32 MB
+        # host->device on every search at 1M docs — on the exact
+        # small-batch latency path IVF exists to shorten
+        extra, extra_specs = [], []
+        if self._sqn is not None:
+            extra.append(self._sqn)
+            extra_specs.append(P(None, axes))
+        if self._scales is not None:
+            extra.append(self._scales)
+            extra_specs.append(P(None, axes))
+        int8 = self._int8
 
-        def shard_fn(qd, desc_l, emb_l, ids_l, sqn_l, scl_l):
+        def shard_fn(qd, desc_l, emb_l, ids_l, *rest):
+            sqn_l = rest[0] if metric == "l2" else None
+            scl_l = rest[-1] if int8 else None
             vals, gids = ivf_topk_pallas(
                 qd, desc_l[0], emb_l, ids_l, k=k, metric=metric, block=block,
-                sq_norms=sqn_l if metric == "l2" else None,
-                scales=scl_l if self._int8 else None,
+                sq_norms=sqn_l, scales=scl_l,
                 interpret=interpret,
             )
             all_v = jax.lax.all_gather(vals, axes, tiled=False)
@@ -255,10 +225,10 @@ class ShardedIVFEngine:
             shard_fn,
             mesh=self.mesh,
             in_specs=(P(), P(axes, None, None), P(axes, None), P(None, axes),
-                      P(None, axes), P(None, axes)),
+                      *extra_specs),
             out_specs=(P(), P()),
             check_vma=False,  # replicated after the all_gather merge
-        )(jnp.asarray(qpad), jnp.asarray(desc), self._emb, self._ids, sqn, scl)
+        )(jnp.asarray(qpad), jnp.asarray(desc), self._emb, self._ids, *extra)
         vals, idx = vals[:nq], idx[:nq]
         if metric == "l2":
             qsq = jnp.sum(jnp.asarray(q) ** 2, axis=-1, keepdims=True)

@@ -84,7 +84,11 @@ def _kmeanspp_init(x: np.ndarray, nlist: int, rng) -> np.ndarray:
         take = min(per_round, nlist - sum(c.shape[0] for c in chosen))
         p = np.maximum(mind2, 0)
         tot = p.sum()
-        if tot <= 0:  # fewer distinct points than nlist: fill uniformly
+        # degenerate corpora (fewer distinct points than nlist) can leave
+        # fewer nonzero-probability points than ``take``, which
+        # rng.choice(replace=False, p=...) rejects — fill uniformly then
+        # (duplicate seeds are fine: Lloyd reseeds empty cells)
+        if tot <= 0 or int((p > 0).sum()) < take:
             picks = rng.choice(n, take, replace=False)
         else:
             picks = rng.choice(n, take, replace=False, p=p / tot)
@@ -281,6 +285,103 @@ class IVFDenseIndex:
                    meta["metric"], meta["block"], meta["n_docs"])
 
 
+# -- shared engine plumbing (single-device AND cell-sharded engines) ---------
+#
+# One SQ8/norm scheme and ONE planner implementation, used by IVFEngine here
+# and parallel/sharded_ivf.py's ShardedIVFEngine: a planner or quantization
+# fix applied to one engine but not the other would silently break the
+# sharded-vs-single score equality the dryrun asserts. (The flat kernel's
+# device-side store prep is ops.pallas_dense.prepare_dense_store — same SQ8
+# layout, kept separate because it pads/tiles for a different kernel.)
+
+
+def host_store_prep(emb: np.ndarray, metric: str, store_dtype):
+    """Host-side store preparation: optional SQ8 per-vector quantization and
+    the [8, N] sublane-broadcast (norms, scales) blocks the kernel reads.
+
+    Returns ``(emb_host, scales8, sq_norms8)``. All computed on host — no
+    device round-trips (an earlier version pulled the whole bf16 store back
+    from the device just to square it; at Wikipedia scale that doubles
+    engine construction over the RPC tunnel)."""
+    import jax.numpy as jnp
+
+    emb = np.ascontiguousarray(emb, np.float32)
+    npad = emb.shape[0]
+    int8 = jnp.dtype(store_dtype) == jnp.int8
+    scl8 = None
+    if int8:
+        absmax = np.abs(emb).max(axis=-1)
+        s = np.where(absmax > 0, absmax / 127.0, 1.0).astype(np.float32)
+        emb_host = np.clip(np.round(emb / s[:, None]), -127, 127).astype(np.int8)
+        scl8 = np.broadcast_to(s[None, :], (8, npad)).copy()
+        deq = emb_host.astype(np.float32) * s[:, None] if metric == "l2" else None
+    else:
+        # ml_dtypes gives numpy a native bfloat16: round host-side so l2
+        # norms match the stored (rounded) vectors exactly
+        emb_host = emb.astype(jnp.dtype(store_dtype).type)
+        deq = emb_host.astype(np.float32) if metric == "l2" else None
+    sqn8 = None
+    if metric == "l2":
+        sq = np.sum(deq * deq, axis=-1).astype(np.float32)
+        sqn8 = np.broadcast_to(sq[None, :], (8, npad)).copy()
+    return emb_host, scl8, sqn8
+
+
+def probe_cells_host(query_emb, centroids_dev, nprobe: int, metric: str,
+                     nlist: int) -> np.ndarray:
+    """[Q, nprobe] nearest-centroid cell ids (the coarse quantizer)."""
+    import jax.numpy as jnp
+
+    from probing_rag_tpu.ops.dense_topk import matmul_topk
+
+    _, idx = matmul_topk(
+        jnp.asarray(query_emb, jnp.float32), centroids_dev,
+        k=int(min(nprobe, nlist)), metric=metric,
+        tile_n=min(16384, max(256, nlist)),
+    )
+    return np.asarray(idx)
+
+
+def tile_union(probes: np.ndarray):
+    """Pad queries to 8-row tiles and dedup each tile's probed cells.
+
+    Returns ``(tiles [T, 8*nprobe] sorted cell ids, keep mask, t)`` — the 8
+    queries of a tile probe their cells' union (see module docstring)."""
+    q = probes.shape[0]
+    t = -(-q // 8)
+    if t * 8 != q:  # tile-pad with the first query's probes
+        probes = np.concatenate(
+            [probes, np.broadcast_to(probes[:1], (t * 8 - q, probes.shape[1]))]
+        )
+    tiles = np.sort(probes.reshape(t, -1), axis=1)
+    keep = np.ones_like(tiles, bool)
+    keep[:, 1:] = tiles[:, 1:] != tiles[:, :-1]
+    return tiles, keep, t
+
+
+def expand_tile_blocks(starts: np.ndarray, nb: np.ndarray, pb: int,
+                       pad_block: int) -> np.ndarray:
+    """Ragged cell->block expansion, fully vectorized (repeat/cumsum): cell
+    j of tile row i contributes blocks ``starts[i,j] + 0..nb[i,j]-1``,
+    packed left; holes point at ``pad_block``. Returns [T, PB] int32."""
+    t = nb.shape[0]
+    nb = nb.astype(np.int64)
+    starts = starts.astype(np.int64)
+    desc = np.full((t, pb), pad_block, np.int32)
+    nbf = nb.ravel()
+    total = int(nbf.sum())
+    if total:
+        reps = np.repeat(np.arange(nbf.size), nbf)
+        offs = np.arange(total) - np.repeat(np.cumsum(nbf) - nbf, nbf)
+        blocks = starts.ravel()[reps] + offs
+        tile_of = reps // nb.shape[1]
+        per_tile = nb.sum(axis=1)
+        tile_first = np.concatenate([[0], np.cumsum(per_tile[:-1])])
+        pos = np.arange(total) - np.repeat(tile_first, per_tile)
+        desc[tile_of, pos] = blocks.astype(np.int32)
+    return desc
+
+
 class IVFEngine:
     """Device-resident IVF search. ``nprobe`` cells per query; the 8
     queries of a tile probe their cells' union (see module docstring)."""
@@ -307,25 +408,12 @@ class IVFEngine:
         store_dtype = jnp.bfloat16 if store_dtype is None else store_dtype
         self._int8 = jnp.dtype(store_dtype) == jnp.int8
         npad = index.emb_blocked.shape[0]
-
-        emb = index.emb_blocked
-        self._scales = None
-        if self._int8:
-            absmax = np.abs(emb).max(axis=-1)
-            s = np.where(absmax > 0, absmax / 127.0, 1.0).astype(np.float32)
-            q = np.clip(np.round(emb / s[:, None]), -127, 127).astype(np.int8)
-            emb_dev = jnp.asarray(q)
-            self._scales = jnp.asarray(
-                np.broadcast_to(s[None, :], (8, npad)).copy()
-            )
-            deq = q.astype(np.float32) * s[:, None]
-        else:
-            emb_dev = jnp.asarray(emb, store_dtype)
-            deq = np.asarray(emb_dev, np.float32) if index.metric == "l2" else None
-        self._sqn = None
-        if index.metric == "l2":
-            sq = np.sum(deq * deq, axis=-1).astype(np.float32)
-            self._sqn = jnp.asarray(np.broadcast_to(sq[None, :], (8, npad)).copy())
+        emb_host, scl8, sqn8 = host_store_prep(
+            index.emb_blocked, index.metric, store_dtype
+        )
+        emb_dev = jnp.asarray(emb_host)
+        self._scales = jnp.asarray(scl8) if scl8 is not None else None
+        self._sqn = jnp.asarray(sqn8) if sqn8 is not None else None
         self._emb = jax.device_put(emb_dev, device) if device else emb_dev
         self._ids = jnp.asarray(
             np.broadcast_to(index.ids_blocked[None, :], (8, npad)).copy()
@@ -334,52 +422,23 @@ class IVFEngine:
 
     def probe_cells(self, query_emb: np.ndarray, nprobe: Optional[int] = None
                     ) -> np.ndarray:
-        """[Q, nprobe] nearest-centroid cell ids (the coarse quantizer)."""
-        import jax.numpy as jnp
-
-        from probing_rag_tpu.ops.dense_topk import matmul_topk
-
-        npb = int(min(nprobe or self.nprobe, self.index.nlist))
-        _, idx = matmul_topk(
-            jnp.asarray(query_emb, jnp.float32), self._cent,
-            k=npb, metric=self.index.metric,
-            tile_n=min(16384, max(256, self.index.nlist)),
+        return probe_cells_host(
+            query_emb, self._cent, nprobe or self.nprobe,
+            self.index.metric, self.index.nlist,
         )
-        return np.asarray(idx)
 
     def plan(self, probes: np.ndarray) -> np.ndarray:
         """Vectorized tile plan: [Q, nprobe] cell ids -> [T, PB] block
         descriptors (per-tile union, deduped, holes -> pad block; PB is the
         pow2 bucket of the widest tile)."""
         ix = self.index
-        q = probes.shape[0]
-        t = -(-q // 8)
-        if t * 8 != q:  # tile-pad with the first query's probes
-            probes = np.concatenate(
-                [probes, np.broadcast_to(probes[:1], (t * 8 - q,
-                                                      probes.shape[1]))]
-            )
-        tiles = np.sort(probes.reshape(t, -1), axis=1)
-        keep = np.ones_like(tiles, bool)
-        keep[:, 1:] = tiles[:, 1:] != tiles[:, :-1]
-
+        tiles, keep, _ = tile_union(probes)
         nb = np.where(keep, ix.list_nblocks[tiles], 0).astype(np.int64)
-        starts = ix.list_block_start[tiles].astype(np.int64)
         per_tile = nb.sum(axis=1)
         pb = _next_pow2(int(per_tile.max()) if per_tile.max() > 0 else 1, 8)
-
-        nbf = nb.ravel()
-        total = int(nbf.sum())
-        desc = np.full((t, pb), ix.pad_block, np.int32)
-        if total:
-            reps = np.repeat(np.arange(nbf.size), nbf)
-            offs = np.arange(total) - np.repeat(np.cumsum(nbf) - nbf, nbf)
-            blocks = starts.ravel()[reps] + offs
-            tile_of = reps // tiles.shape[1]
-            tile_first = np.concatenate([[0], np.cumsum(per_tile[:-1])])
-            pos = np.arange(total) - np.repeat(tile_first, per_tile)
-            desc[tile_of, pos] = blocks.astype(np.int32)
-        return desc
+        return expand_tile_blocks(
+            ix.list_block_start[tiles], nb, pb, ix.pad_block
+        )
 
     def search_embeddings(
         self, query_emb: np.ndarray, k: int = 5,
