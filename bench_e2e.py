@@ -91,19 +91,78 @@ def main():
     from probing_rag_tpu.retrieval.bm25_index import BM25Config, BM25Index
 
     rng = np.random.default_rng(0)
-    t0 = time.time()
+    retr = os.environ.get("BENCH_E2E_RETR", "bm25")  # bm25 | dense | ivf
     term_ids = (_zipf_tokens(rng, N_DOCS * DOC_LEN) % VOCAB_TERMS).astype(np.int64)
     docs_tokens = [
         [f"t{t}" for t in term_ids[i * DOC_LEN : (i + 1) * DOC_LEN]]
         for i in range(N_DOCS)
     ]
-    index = BM25Index.build_tokenized(
-        docs_tokens, BM25Config(stem=False, remove_stopwords=False)
-    )
-    build_s = time.time() - t0
-    engine = BM25Engine(index)
     texts = [" ".join(toks) for toks in docs_tokens]
     store = DocStore.from_texts(texts)
+    index = None
+    t0 = time.time()
+    if retr == "bm25":
+        index = BM25Index.build_tokenized(
+            docs_tokens, BM25Config(stem=False, remove_stopwords=False)
+        )
+        engine = BM25Engine(index)
+        index_detail = {"n_docs": N_DOCS, "nnz": index.nnz}
+    else:
+        # dense serving composition: mixture-of-Gaussians doc embeddings
+        # (encoder quality needs checkpoints; latency doesn't) + the REAL
+        # contriever-size query encoder random-init — rounds >=1 encode the
+        # full prompt+generation string (truncated at the encoder's 512
+        # positions), so the retrieval phase carries the honest encoder
+        # forward + flat-or-probed sweep cost
+        from probing_rag_tpu.models.encoder import (
+            EncoderConfig, encoder_forward, init_encoder_params,
+        )
+
+        ecfg = (EncoderConfig.tiny()
+                if os.environ.get("BENCH_E2E_TINY") == "1"
+                else EncoderConfig.contriever())
+        d_emb = ecfg.d_model  # store dim must match the query encoder's
+        centers = rng.normal(size=(4096, d_emb)).astype(np.float32)
+        emb = (centers[rng.integers(0, 4096, size=N_DOCS)]
+               + 0.3 * rng.normal(size=(N_DOCS, d_emb))).astype(np.float32)
+        eparams = init_encoder_params(ecfg, jax.random.PRNGKey(3))
+        efwd = jax.jit(lambda p, t, m: encoder_forward(p, t, m, ecfg))
+        word_tok = HashWordTokenizer(ecfg.vocab_size)
+
+        def encode(batch_texts):
+            # pow2-bucket BOTH dims: the adaptive loop's shrinking active
+            # set would otherwise compile one encoder variant per distinct
+            # (batch, seq) shape
+            ids = [word_tok.encode(t)[: ecfg.max_positions] for t in batch_texts]
+            ml = 1 << max(max((len(i) for i in ids), default=1), 1).bit_length()
+            ml = min(ml, ecfg.max_positions)
+            bp = 1 << max(len(ids), 1).bit_length()
+            arr = np.zeros((bp, ml), np.int32)
+            mask = np.zeros((bp, ml), bool)
+            for i, row in enumerate(ids):
+                row = row[:ml]
+                arr[i, : len(row)] = row
+                mask[i, : len(row)] = True
+            mask[len(ids):, 0] = True  # pad rows: avoid 0/0 in mean pooling
+            out = np.asarray(efwd(eparams, jnp.asarray(arr), jnp.asarray(mask)))
+            return out[: len(ids)]
+
+        if retr == "ivf":
+            from probing_rag_tpu.retrieval.ivf import IVFDenseIndex, IVFEngine
+
+            ivf_ix = IVFDenseIndex.build(emb, metric="ip", seed=0)
+            engine = IVFEngine(ivf_ix, nprobe=32, encode_fn=encode,
+                               store_dtype=jnp.bfloat16)
+            index_detail = {"n_docs": N_DOCS, "dim": d_emb,
+                            "nlist": ivf_ix.nlist, "nprobe": engine.nprobe}
+        else:
+            from probing_rag_tpu.retrieval.dense import DenseEngine, DenseIndex
+
+            engine = DenseEngine(DenseIndex(emb, metric="ip"), encode,
+                                 store_dtype=jnp.bfloat16)
+            index_detail = {"n_docs": N_DOCS, "dim": d_emb}
+    build_s = time.time() - t0
+    index_detail["build_s"] = round(build_s, 1)
 
     if os.environ.get("BENCH_E2E_TINY") == "1":  # CPU smoke of the harness
         import dataclasses
@@ -207,6 +266,7 @@ def main():
                     "model": ("tiny (smoke)" if os.environ.get("BENCH_E2E_TINY") == "1"
                               else "gemma-2b (random "
                               + ("int8 weights + int8 KV)" if int8 else "bf16)")),
+                    "retriever": retr,
                     "n_queries": N_QUERIES,
                     "batch": BATCH,
                     "max_new_tokens": MAX_NEW,
@@ -221,9 +281,9 @@ def main():
                     "floor_phase_s": floor_phase,
                     "cold_pass_s": round(cold_s, 1),
                     "warmup_compile_s": round(warmup_s, 1),
-                    "index": {"n_docs": N_DOCS, "nnz": index.nnz,
-                              "build_s": round(build_s, 1)},
-                    "bm25_stats": dict(engine.last_stats),
+                    "index": index_detail,
+                    "bm25_stats": (dict(engine.last_stats)
+                                   if retr == "bm25" else None),
                     "device": str(jax.devices()[0]),
                 },
             }
