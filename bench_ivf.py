@@ -179,6 +179,7 @@ def main():
             "probed_mb_per_batch": round(probed_bytes / 1e6, 1),
             "pct_of_probed_hbm_bound": round(100 * bound_s / ivf_s, 1),
             "build_s": round(build_s, 1),
+            "quantizer_imbalance": round(index.imbalance_factor(), 2),
             "store_prep_s": round(prep_s, 1),
             "warmup_compile_s": round(warmup_s, 1),
             "device": str(jax.devices()[0]),

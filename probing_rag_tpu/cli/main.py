@@ -90,7 +90,8 @@ def cmd_index_build(args):
 
             t0 = time.time()
             IVFDenseIndex.build(
-                dense.embeddings, metric=dense.metric, seed=args.seed
+                dense.embeddings, metric=dense.metric, seed=args.seed,
+                nlist=args.ivf_nlist,
             ).save(out / "ivf")
             print(f"built IVF quantizer+store in {time.time()-t0:.1f}s")
     else:
@@ -573,6 +574,8 @@ def build_parser() -> argparse.ArgumentParser:
                         "huge-corpus serving mode")
         sp.add_argument("--ivf-nprobe", type=int, default=32,
                         help="IVF cells probed per query (recall knob)")
+        sp.add_argument("--ivf-nlist", type=int, default=None,
+                        help="IVF cell count (default ~2*sqrt(n_docs), pow2)")
 
     sp = sub.add_parser("index-build")
     common(sp)

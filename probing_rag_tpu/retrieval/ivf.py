@@ -216,6 +216,16 @@ class IVFDenseIndex:
     def pad_block(self) -> int:
         return self.emb_blocked.shape[0] // self.block - 1
 
+    def imbalance_factor(self) -> float:
+        """faiss's quantizer balance diagnostic: ``nlist * sum(n_i^2) / N^2``
+        (1.0 = perfectly balanced cells; probed bytes per query scale with
+        it, so a bad quantizer shows up here before it shows up as latency)."""
+        cell_of_block = np.repeat(np.arange(self.nlist), self.list_nblocks)
+        blk = np.nonzero(self.ids_blocked >= 0)[0] // self.block
+        counts = np.bincount(cell_of_block[blk], minlength=self.nlist)
+        return float(self.nlist * np.sum(counts.astype(np.float64) ** 2)
+                     / max(self.n_docs, 1) ** 2)
+
     @staticmethod
     def default_nlist(n_docs: int) -> int:
         # ~2*sqrt(N) rounded to pow2 (faiss guideline sqrt(N)..16*sqrt(N));

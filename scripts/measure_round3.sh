@@ -35,7 +35,9 @@ run bm25 timeout 3600 python bench.py
 run e2e_bf16 timeout 3600 python bench_e2e.py
 
 # 3. IVF dense: small-batch serving latency vs flat, 1M docs (build includes
-#    on-device k-means; recall@10 vs exact oracle reported in the JSON)
+#    on-device k-means; recall@10 vs exact oracle reported in the JSON).
+#    q8 is the flagship small-batch claim; q64 matches the e2e round size.
+run ivf_q8 env BENCH_IVF_Q=8 timeout 3600 python bench_ivf.py
 run ivf_q64 timeout 3600 python bench_ivf.py
 
 # 4. dense merge design space: group-split baseline, lane-segment splits
@@ -47,9 +49,8 @@ run dense_bf16_segs8 env BENCH_DENSE_SEGS=8 timeout 1800 python bench_dense.py
 run dense_int8_segs1 env BENCH_DENSE_INT8=1 BENCH_DENSE_SEGS=1 timeout 1800 python bench_dense.py
 run dense_int8_segs4 env BENCH_DENSE_INT8=1 BENCH_DENSE_SEGS=4 timeout 1800 python bench_dense.py
 
-# 6. full-int8 e2e + IVF variants
+# 6. full-int8 e2e + IVF int8 variant
 run e2e_int8 env BENCH_E2E_INT8=1 timeout 3600 python bench_e2e.py
-run ivf_q8 env BENCH_IVF_Q=8 timeout 1800 python bench_ivf.py
 run ivf_int8 env BENCH_IVF_INT8=1 timeout 1800 python bench_ivf.py
 
 # 7. e2e with the dense retrieval paths (encoder forward + flat/probed sweep)

@@ -201,6 +201,16 @@ def test_serving_scale_probed_topk_matches_oracle():
     np.testing.assert_allclose(res.scores, ov, rtol=1e-4, atol=1e-3)
 
 
+def test_imbalance_factor_sane():
+    rng = np.random.default_rng(11)
+    pts, _ = _clustered(rng, n_clusters=8, per=64, d=16)
+    ix = IVFDenseIndex.build(pts, nlist=8, block=32, metric="l2", seed=0)
+    f = ix.imbalance_factor()
+    # separable equal-size clusters: near-perfect balance; and the factor
+    # is >= 1 by Cauchy-Schwarz
+    assert 1.0 <= f < 1.3
+
+
 def test_save_load_roundtrip(tmp_path):
     rng = np.random.default_rng(6)
     emb = rng.normal(size=(200, 16)).astype(np.float32)
