@@ -134,9 +134,13 @@ def main():
             # set would otherwise compile one encoder variant per distinct
             # (batch, seq) shape
             ids = [word_tok.encode(t)[: ecfg.max_positions] for t in batch_texts]
-            ml = 1 << max(max((len(i) for i in ids), default=1), 1).bit_length()
-            ml = min(ml, ecfg.max_positions)
-            bp = 1 << max(len(ids), 1).bit_length()
+            # true next-pow2 (n stays n when already a power of two —
+            # 1<<n.bit_length() would double an exact-pow2 batch/seq and
+            # inflate the measured encoder cost 2x)
+            np2 = lambda n: 1 << max(n - 1, 1).bit_length() if n > 1 else 1
+            ml = min(np2(max((len(i) for i in ids), default=1)),
+                     ecfg.max_positions)
+            bp = np2(len(ids))
             arr = np.zeros((bp, ml), np.int32)
             mask = np.zeros((bp, ml), bool)
             for i, row in enumerate(ids):

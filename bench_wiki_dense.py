@@ -110,8 +110,10 @@ def main():
                                       base + (b + 1) * index.block))
         rows = np.concatenate(rows)
         rows = rows[lay.ids[rows] >= 0]
-        # oracle over the bf16-rounded store (what the kernel reads)
-        sub = lay.emb[rows].astype(jnp.bfloat16).astype(np.float32)
+        # oracle over the bf16-rounded store (what the kernel reads);
+        # lay.emb is dropped by the engine after device_put, so map the
+        # layout rows back to the original embeddings via the stored ids
+        sub = emb[lay.ids[rows]].astype(jnp.bfloat16).astype(np.float32)
         sc = sub @ q
         order = np.argsort(-sc, kind="stable")[:10]
         exp = sc[order]
@@ -133,7 +135,7 @@ def main():
             "synth_s": round(synth_s, 1),
             "kmeans_and_layout_build_s": round(build_s, 1),
             "shard_layout_s": round(shard_build_s, 1),
-            "store_bytes_bf16": int(lay.emb.shape[0] * D * 2),
+            "store_bytes_bf16": int(np.prod(engine._emb.shape)) * 2,
             "quantizer_imbalance": round(index.imbalance_factor(), 2),
             "probe_8k_queries_s": round(probe_s, 2),
             "plan_8k_queries_s": round(plan_s, 2),

@@ -36,7 +36,8 @@ class ShardedIVFLayout(NamedTuple):
     owner: np.ndarray  # [nlist] shard of each cell
     local_start: np.ndarray  # [nlist] cell's first block in its shard (block units)
     nb_max: int  # real blocks on the fullest shard (pad block excluded)
-    emb: np.ndarray  # [S * (nb_max+1) * block, D] f32 host master
+    emb: np.ndarray  # [S * (nb_max+1) * block, D] f32 host master (the
+    # engine drops this field after device_put — a full-store RAM copy)
     ids: np.ndarray  # [S * (nb_max+1) * block] int32 global doc ids (-1 pad)
 
 
@@ -105,7 +106,6 @@ class ShardedIVFEngine:
             else jax.default_backend() != "tpu"
         )
         lay = shard_ivf_layout(index, self.n_shards)
-        self._lay = lay
         store_dtype = jnp.bfloat16 if store_dtype is None else store_dtype
         self._int8 = jnp.dtype(store_dtype) == jnp.int8
 
@@ -131,6 +131,10 @@ class ShardedIVFEngine:
             if scl8 is not None else None
         )
         self._cent = jnp.asarray(index.centroids, jnp.float32)
+        # planning only needs the slim tables; dropping the rearranged f32
+        # host master (lay.emb) releases a full-store RAM copy (~64 GB at
+        # the 21M x 768 Wikipedia target) once it lives on the mesh
+        self._lay = lay._replace(emb=None)
 
     # -- planning (host, vectorized per shard) ------------------------------
     def probe_cells(self, query_emb: np.ndarray) -> np.ndarray:

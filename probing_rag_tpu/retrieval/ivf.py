@@ -339,14 +339,25 @@ def host_store_prep(emb: np.ndarray, metric: str, store_dtype):
 
 def probe_cells_host(query_emb, centroids_dev, nprobe: int, metric: str,
                      nlist: int) -> np.ndarray:
-    """[Q, nprobe] nearest-centroid cell ids (the coarse quantizer)."""
+    """[Q, nprobe] nearest-centroid cell ids (the coarse quantizer).
+
+    Cells are ALWAYS ranked by L2 distance to the centroids, for both
+    metrics: docs were assigned to their L2-nearest centroid at add time
+    (``assign_cells``), so query-time cell selection must use the same
+    geometry or the two quantizers disagree — with metric='ip' over
+    non-normalized vectors, ranking cells by q·centroid favors large-norm
+    centroids and silently drops the true nearest cells from the probe
+    set. (Same contract as faiss IndexIVFFlat/IP over an IndexFlatL2
+    coarse quantizer; the ``metric`` arg still names the index metric and
+    is kept for call-site clarity.)"""
     import jax.numpy as jnp
 
     from probing_rag_tpu.ops.dense_topk import matmul_topk
 
+    del metric  # cell ranking is l2 by construction (see docstring)
     _, idx = matmul_topk(
         jnp.asarray(query_emb, jnp.float32), centroids_dev,
-        k=int(min(nprobe, nlist)), metric=metric,
+        k=int(min(nprobe, nlist)), metric="l2",
         tile_n=min(16384, max(256, nlist)),
     )
     return np.asarray(idx)
@@ -403,18 +414,16 @@ class IVFEngine:
         encode_fn=None,  # texts -> [Q, D] embeddings (query encoder)
         device=None,
         store_dtype=None,  # default bf16; jnp.int8 for the SQ8 store
-        use_pallas: Optional[bool] = None,
     ):
+        # NOTE: no use_pallas knob (unlike DenseEngine): the probed search
+        # has exactly one implementation — the block-gather kernel, run
+        # compiled on TPU and in interpret mode elsewhere
         import jax
         import jax.numpy as jnp
 
         self.index = index
         self.encode_fn = encode_fn
         self.nprobe = int(min(nprobe, index.nlist))
-        self.use_pallas = (
-            use_pallas if use_pallas is not None
-            else jax.default_backend() == "tpu"
-        )
         store_dtype = jnp.bfloat16 if store_dtype is None else store_dtype
         self._int8 = jnp.dtype(store_dtype) == jnp.int8
         npad = index.emb_blocked.shape[0]
