@@ -433,3 +433,35 @@ def test_sharded_ivf_int8_matches_single_device_int8(eight_devices):
     r2 = ShardedIVFEngine(ix, mesh, nprobe=8, store_dtype=jnp.int8).search_embeddings(q, k=5)
     # both quantize per stored vector: identical vectors, identical scales
     np.testing.assert_allclose(r2.scores, r1.scores, rtol=1e-2, atol=1e-2)
+
+
+def test_tp_sharded_decode_matches_unsharded(eight_devices):
+    """The cached decode loop (while_loop + in-place KV cache + fused
+    capture) must produce the same tokens and pooled captures with
+    TP-sharded weights on the mesh as unsharded — the multi-chip SERVING
+    path, not just the prefill forward the test above covers."""
+    from probing_rag_tpu.models.decode import generate
+    from probing_rag_tpu.models.tokenizer import ByteTokenizer
+
+    mesh = make_mesh((2, 4), eight_devices)
+    params = init_params(CFG, jax.random.PRNGKey(0))
+    tok = ByteTokenizer(CFG.vocab_size)
+    capture = CaptureSpec.for_probing(CFG)
+    prompts = ["alpha beta", "another prompt"]
+
+    ref_texts, ref_res = generate(
+        params, CFG, tok, prompts, max_new_tokens=8, capture=capture
+    )
+    sharded_params = shard_lm_params(params, mesh)
+    with mesh:
+        texts, res = generate(
+            sharded_params, CFG, tok, prompts, max_new_tokens=8, capture=capture
+        )
+    assert texts == ref_texts
+    np.testing.assert_array_equal(
+        np.asarray(res.n_generated), np.asarray(ref_res.n_generated)
+    )
+    np.testing.assert_allclose(
+        np.asarray(res.pooled_captures), np.asarray(ref_res.pooled_captures),
+        rtol=5e-2, atol=5e-2,
+    )
