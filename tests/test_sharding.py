@@ -435,11 +435,13 @@ def test_sharded_ivf_int8_matches_single_device_int8(eight_devices):
     np.testing.assert_allclose(r2.scores, r1.scores, rtol=1e-2, atol=1e-2)
 
 
-def test_tp_sharded_decode_matches_unsharded(eight_devices):
+@pytest.mark.parametrize("kv_int8", [False, True])
+def test_tp_sharded_decode_matches_unsharded(eight_devices, kv_int8):
     """The cached decode loop (while_loop + in-place KV cache + fused
     capture) must produce the same tokens and pooled captures with
     TP-sharded weights on the mesh as unsharded — the multi-chip SERVING
-    path, not just the prefill forward the test above covers."""
+    path, not just the prefill forward the test above covers. kv_int8
+    pins the quantized-cache carry (values + scales) under GSPMD too."""
     from probing_rag_tpu.models.decode import generate
     from probing_rag_tpu.models.tokenizer import ByteTokenizer
 
@@ -450,12 +452,14 @@ def test_tp_sharded_decode_matches_unsharded(eight_devices):
     prompts = ["alpha beta", "another prompt"]
 
     ref_texts, ref_res = generate(
-        params, CFG, tok, prompts, max_new_tokens=8, capture=capture
+        params, CFG, tok, prompts, max_new_tokens=8, capture=capture,
+        kv_int8=kv_int8,
     )
     sharded_params = shard_lm_params(params, mesh)
     with mesh:
         texts, res = generate(
-            sharded_params, CFG, tok, prompts, max_new_tokens=8, capture=capture
+            sharded_params, CFG, tok, prompts, max_new_tokens=8,
+            capture=capture, kv_int8=kv_int8,
         )
     assert texts == ref_texts
     np.testing.assert_array_equal(
