@@ -201,6 +201,39 @@ def test_serving_scale_probed_topk_matches_oracle():
     np.testing.assert_allclose(res.scores, ov, rtol=1e-4, atol=1e-3)
 
 
+def test_kernel_all_hole_tile_and_short_candidates():
+    """Kernel contract pins: a tile whose descriptors are ALL holes returns
+    id -1 / -inf rows (callers must handle empty probes), and a probe set
+    with fewer real candidates than k fills the tail with -1."""
+    import jax
+
+    from probing_rag_tpu.ops.pallas_ivf import ivf_topk_pallas
+
+    rng = np.random.default_rng(12)
+    block = 32
+    # store: 1 real block (3 real rows) + trailing pad block
+    emb = np.zeros((2 * block, 8), np.float32)
+    emb[:3] = rng.normal(size=(3, 8))
+    ids = np.full((2 * block,), -1, np.int32)
+    ids[:3] = [7, 8, 9]
+    q = rng.normal(size=(16, 8)).astype(np.float32)  # 2 tiles
+    # tile 0 probes the real block; tile 1 probes only the pad block
+    desc = np.array([[0, 1], [1, 1]], np.int32)
+    with jax.disable_jit(False):
+        vals, got = ivf_topk_pallas(
+            jnp.asarray(q), jnp.asarray(desc), jnp.asarray(emb),
+            jnp.asarray(np.broadcast_to(ids[None, :], (8, 2 * block)).copy()),
+            k=5, metric="ip", block=block, interpret=True,
+        )
+    vals, got = np.asarray(vals), np.asarray(got)
+    # tile 0: 3 real candidates, then -1 tail
+    assert set(got[0, :3].tolist()) == {7, 8, 9}
+    assert (got[:8, 3:] == -1).all()
+    assert np.isneginf(vals[:8, 3:]).all()
+    # tile 1 (all holes): nothing inserted anywhere
+    assert (got[8:] == -1).all()
+
+
 def test_imbalance_factor_sane():
     rng = np.random.default_rng(11)
     pts, _ = _clustered(rng, n_clusters=8, per=64, d=16)
