@@ -34,11 +34,14 @@ class ModelSpec:
 
 @dataclass(frozen=True)
 class RetrievalSpec:
-    kind: str = "sparse"  # sparse | dense
+    kind: str = "sparse"  # sparse | dense | ivf (probed dense; small-batch
+    # / huge-corpus serving — retrieval/ivf.py)
     index_dir: str = "artifacts/index"
     docstore_path: str = "artifacts/docstore.json"
     bm25: BM25Config = field(default_factory=BM25Config)
     dense_metric: str = "l2"
+    ivf_nprobe: int = 32  # cells probed per query (recall knob)
+    ivf_nlist: Optional[int] = None  # cell count (None: ~2*sqrt(n), pow2)
     top_k: int = 5
 
 
@@ -71,6 +74,10 @@ def preset(name: str, **overrides) -> RunConfig:
         "rag-sparse-cot": base,
         "rag-dense-cot": dataclasses.replace(
             base, retrieval=dataclasses.replace(base.retrieval, kind="dense")
+        ),
+        # IVF serving mode: probed dense at small batches / huge corpora
+        "rag-ivf-cot": dataclasses.replace(
+            base, retrieval=dataclasses.replace(base.retrieval, kind="ivf")
         ),
         # make_dataset.sh: training-split extraction with simple/none methods
         "dataset-simple": dataclasses.replace(

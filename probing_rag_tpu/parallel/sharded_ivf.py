@@ -89,6 +89,7 @@ class ShardedIVFEngine:
         index: IVFDenseIndex,
         mesh,
         nprobe: int = 32,
+        encode_fn=None,  # texts -> [Q, D] embeddings (query encoder)
         store_dtype=None,  # default bf16; jnp.int8 for SQ8
         interpret: Optional[bool] = None,
     ):
@@ -97,6 +98,7 @@ class ShardedIVFEngine:
         from jax.sharding import NamedSharding, PartitionSpec as P
 
         self.index = index
+        self.encode_fn = encode_fn
         self.mesh = mesh
         self.axes = tuple(mesh.axis_names)
         self.n_shards = int(np.prod([mesh.shape[a] for a in self.axes]))
@@ -240,3 +242,11 @@ class ShardedIVFEngine:
         if not as_numpy:
             return DenseSearchResult(idx, vals)
         return DenseSearchResult(np.asarray(idx), np.asarray(vals))
+
+    def search(self, queries, k: int = 5) -> DenseSearchResult:
+        """Text-query search (same retriever contract as IVFEngine.search)."""
+        if self.encode_fn is None:
+            raise ValueError("ShardedIVFEngine needs encode_fn to search raw text")
+        return self.search_embeddings(
+            np.asarray(self.encode_fn(list(queries))), k=k
+        )
