@@ -151,9 +151,21 @@ def main():
     n_sample = min(16, Q)
     scores = qb[:n_sample] @ emb.T
     oracle = np.argsort(scores, axis=-1)[:, ::-1][:, :K]
-    recall = float(np.mean([
-        len(set(idx[r]) & set(oracle[r])) / K for r in range(n_sample)
-    ]))
+
+    def recall_of(got_idx):
+        return float(np.mean([
+            len(set(got_idx[r]) & set(oracle[r])) / K for r in range(n_sample)
+        ]))
+
+    recall = recall_of(idx)
+    # the faiss tradeoff curve: recall@10 as nprobe sweeps (untimed; the
+    # probed fraction — and so the latency — scales linearly with nprobe)
+    recall_curve = {}
+    for npb in (4, 8, 16, 32, 64):
+        if npb > index.nlist:
+            break
+        r = eng.search_embeddings(qb[:n_sample], k=K, nprobe=npb)
+        recall_curve[str(npb)] = round(recall_of(np.asarray(r.doc_indices)), 3)
 
     store_bytes = 1 if int8 else 2
     # probed HBM bytes per batch: blocks actually planned for the last batch
@@ -175,6 +187,7 @@ def main():
             "flat_per_batch_ms": round(flat_s * 1e3, 2),
             "speedup_vs_flat": round(flat_s / ivf_s, 2),
             "recall_at_10_vs_f32_oracle": round(recall, 3),
+            "recall_at_10_by_nprobe": recall_curve,
             "probed_blocks_per_batch": n_blocks,
             "probed_mb_per_batch": round(probed_bytes / 1e6, 1),
             "pct_of_probed_hbm_bound": round(100 * bound_s / ivf_s, 1),
