@@ -39,7 +39,15 @@ N_PASSES = int(os.environ.get("BENCH_IVF_PASSES", 50))
 HBM_GBPS = 820.0
 
 
+CORPUS = os.environ.get("BENCH_IVF_CORPUS", "clustered")  # clustered | uniform
+
+
 def make_corpus(rng):
+    if CORPUS == "uniform":
+        # structureless Gaussian: the adversarial case for IVF (no cluster
+        # for the quantizer to find) — the recall curve shows the honest
+        # cost; real encoder embeddings sit between this and 'clustered'
+        return rng.normal(size=(N, D)).astype(np.float32)
     centers = rng.normal(size=(N_CLUSTERS, D)).astype(np.float32)
     assign = rng.integers(0, N_CLUSTERS, size=N)
     emb = centers[assign] + 0.3 * rng.normal(size=(N, D)).astype(np.float32)
@@ -183,6 +191,7 @@ def main():
             "n_docs": N, "dim": D, "q_batch": Q, "k": K,
             "nlist": NLIST, "nprobe": NPROBE,
             "store_dtype": "int8" if int8 else "bfloat16",
+            "corpus": CORPUS,
             "per_batch_ms": round(ivf_s * 1e3, 2),
             "flat_per_batch_ms": round(flat_s * 1e3, 2),
             "speedup_vs_flat": round(flat_s / ivf_s, 2),

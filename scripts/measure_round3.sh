@@ -57,4 +57,8 @@ run ivf_int8 env BENCH_IVF_INT8=1 timeout 1800 python bench_ivf.py
 run e2e_dense env BENCH_E2E_RETR=dense timeout 3600 python bench_e2e.py
 run e2e_ivf env BENCH_E2E_RETR=ivf timeout 3600 python bench_e2e.py
 
+# 8. IVF adversarial recall curve: structureless corpus (no clusters for
+#    the quantizer to find) — the honest recall/nprobe trade
+run ivf_uniform env BENCH_IVF_CORPUS=uniform timeout 3600 python bench_ivf.py
+
 echo "measurement session complete -> $OUT" >&2
