@@ -32,6 +32,8 @@ rotate in VMEM) and the kernels add ``pl.multiple_of`` hints.
 
 from __future__ import annotations
 
+from typing import Optional
+
 import functools
 
 import jax

@@ -26,11 +26,30 @@ import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from probing_rag_tpu.ops.sparse import postings_gather, sorted_segment_topk
-from probing_rag_tpu.retrieval.bm25 import BM25SearchResult, _next_pow2
+from probing_rag_tpu.retrieval.bm25 import BM25SearchResult, _next_pow2, trim_to_cap
 from probing_rag_tpu.retrieval.bm25_index import (
     BM25Index, align_csr, build_bitonic_store,
 )
 
+
+
+def _merge_shard_topk(scores, idx, axes, k):
+    """k-per-shard all_gather merge -> global top-k (one implementation for
+    every sharded search path: bitonic, legacy, and the over-cap fallback).
+    Pad slots (idx < 0) mask to -inf; rows with no real hits return 0/-1."""
+    import jax
+    import jax.numpy as jnp
+
+    all_scores = jax.lax.all_gather(scores, axes, tiled=False)  # [S,Q,k]
+    all_idx = jax.lax.all_gather(idx, axes, tiled=False)
+    s, q, _ = all_scores.shape
+    flat_s = jnp.transpose(all_scores, (1, 0, 2)).reshape(q, s * k)
+    flat_i = jnp.transpose(all_idx, (1, 0, 2)).reshape(q, s * k)
+    flat_s = jnp.where(flat_i >= 0, flat_s, -jnp.inf)
+    top_vals, pos = jax.lax.top_k(flat_s, k)
+    top_idx = jnp.take_along_axis(flat_i, pos, axis=-1)
+    hit = jnp.isfinite(top_vals)
+    return jnp.where(hit, top_vals, 0.0), jnp.where(hit, top_idx, -1)
 
 def shard_index_by_docs(index: BM25Index, n_shards: int):
     """Split a CSR index into per-doc-range sub-CSRs (host-side, build time).
@@ -264,16 +283,7 @@ class ShardedBM25Engine:
                 pad=pad, sentinel_doc=sentinel, k=k, block=block,
                 interpret=interpret,
             )
-            all_scores = jax.lax.all_gather(scores, axes, tiled=False)  # [S,Q,k]
-            all_idx = jax.lax.all_gather(idx, axes, tiled=False)
-            s, q, _ = all_scores.shape
-            flat_s = jnp.transpose(all_scores, (1, 0, 2)).reshape(q, s * k)
-            flat_i = jnp.transpose(all_idx, (1, 0, 2)).reshape(q, s * k)
-            flat_s = jnp.where(flat_i >= 0, flat_s, -jnp.inf)
-            top_vals, pos = jax.lax.top_k(flat_s, k)
-            top_idx = jnp.take_along_axis(flat_i, pos, axis=-1)
-            hit = jnp.isfinite(top_vals)
-            return jnp.where(hit, top_vals, 0.0), jnp.where(hit, top_idx, -1)
+            return _merge_shard_topk(scores, idx, axes, k)
 
         ax = P(self._axes)
         extra = () if wtblk is None else (wtblk,)
@@ -310,16 +320,7 @@ class ShardedBM25Engine:
                     max_run=int(qt.shape[1]),  # a doc matches <= TQ terms
                 )  # local top-k
             # merge across shards: gather k-per-shard candidates (tiny)
-            all_scores = jax.lax.all_gather(scores, axes, tiled=False)  # [S,Q,k]
-            all_idx = jax.lax.all_gather(idx, axes, tiled=False)
-            s, q, _ = all_scores.shape
-            flat_s = jnp.transpose(all_scores, (1, 0, 2)).reshape(q, s * k)
-            flat_i = jnp.transpose(all_idx, (1, 0, 2)).reshape(q, s * k)
-            flat_s = jnp.where(flat_i >= 0, flat_s, -jnp.inf)
-            top_vals, pos = jax.lax.top_k(flat_s, k)
-            top_idx = jnp.take_along_axis(flat_i, pos, axis=-1)
-            hit = jnp.isfinite(top_vals)
-            return jnp.where(hit, top_vals, 0.0), jnp.where(hit, top_idx, -1)
+            return _merge_shard_topk(scores, idx, axes, k)
 
         return jax.shard_map(
             shard_fn,
@@ -335,6 +336,20 @@ class ShardedBM25Engine:
         ]
         if self.mode == "bitonic":
             return self.search_term_ids(term_ids, k=k)
+        # over-cap queries keep their most selective terms under the cap
+        # (the same GLOBAL trim as BM25Engine._plan — global term lens give
+        # every shard the same kept set, so cross-shard scores stay
+        # comparable; without it each shard's gather truncates mid-term at
+        # a different cut and the merge compares inconsistent subsets)
+        kept = []
+        for ids in term_ids:
+            ids, _, _, trimmed = trim_to_cap(
+                self._term_lens, np.asarray(ids, np.int32), self.max_pad
+            )
+            if trimmed:
+                self.last_stats["n_trimmed"] += 1
+            kept.append(ids)
+        term_ids = kept
         tq = _next_pow2(max((len(i) for i in term_ids), default=1) or 1, 8)
         qterms = np.zeros((len(term_ids), tq), np.int32)
         qmask = np.zeros((len(term_ids), tq), bool)
@@ -417,16 +432,7 @@ class ShardedBM25Engine:
             scores, idx = segment_topk_pallas(
                 doc, imp, k=k, sentinel=sentinel, interpret=interpret,
             )
-            all_scores = jax.lax.all_gather(scores, axes, tiled=False)  # [S,Q,k]
-            all_idx = jax.lax.all_gather(idx, axes, tiled=False)
-            s, q, _ = all_scores.shape
-            flat_s = jnp.transpose(all_scores, (1, 0, 2)).reshape(q, s * k)
-            flat_i = jnp.transpose(all_idx, (1, 0, 2)).reshape(q, s * k)
-            flat_s = jnp.where(flat_i >= 0, flat_s, -jnp.inf)
-            top_vals, pos = jax.lax.top_k(flat_s, k)
-            top_idx = jnp.take_along_axis(flat_i, pos, axis=-1)
-            hit = jnp.isfinite(top_vals)
-            return jnp.where(hit, top_vals, 0.0), jnp.where(hit, top_idx, -1)
+            return _merge_shard_topk(scores, idx, axes, k)
 
         ax = P(self._axes)
         extra = tuple(a for a in (big_wtblk, qw_short) if a is not None)
@@ -535,15 +541,10 @@ class ShardedBM25Engine:
                 if weight_lists is not None
                 else np.ones(ids.size, np.float32)
             )
-            total = int(worst_lens[ids].sum()) if ids.size else 0
-            if total > self.fallback_max_pad:
-                order = np.argsort(worst_lens[ids], kind="stable")
-                cut = int(np.searchsorted(
-                    np.cumsum(worst_lens[ids[order]]),
-                    self.fallback_max_pad, side="right",
-                ))
-                sel = np.sort(order[:cut])
-                ids, w = ids[sel], w[sel]
+            ids, w, _, trimmed = trim_to_cap(
+                worst_lens, ids, self.fallback_max_pad, w
+            )
+            if trimmed:
                 self.last_stats["n_trimmed"] += 1
             kept.append(ids)
             kept_w.append(w)

@@ -35,6 +35,24 @@ def _next_pow2(n: int, floor: int) -> int:
     return p
 
 
+
+def trim_to_cap(lens: np.ndarray, ids: np.ndarray, cap: int, weights=None):
+    """Keep the most selective (shortest-postings) terms whose posting
+    total fits under ``cap``, preserving query order. ONE implementation
+    for every trim site in both engines (single-chip plan/stream/mega and
+    the sharded fallback): the rule — and any future change to it — must
+    stay identical everywhere or sharded and single-chip engines diverge
+    on over-cap queries. Returns ``(ids, weights, total, trimmed)``."""
+    total = int(lens[ids].sum()) if len(ids) else 0
+    if total <= cap:
+        return ids, weights, total, False
+    order = np.argsort(lens[ids], kind="stable")
+    keep = int(np.searchsorted(np.cumsum(lens[ids[order]]), cap, side="right"))
+    sel = np.sort(order[:keep])
+    ids = ids[sel]
+    w = weights[sel] if weights is not None else None
+    return ids, w, int(lens[ids].sum()), True
+
 def _next_pow4(n: int, floor: int) -> int:
     p = floor
     while p < n:
@@ -255,13 +273,7 @@ class BM25Engine:
         kept: List[np.ndarray] = []
         for ids in term_id_lists:
             ids = np.asarray(ids, dtype=np.int32)
-            total = int(self._term_lens[ids].sum()) if ids.size else 0
-            if total > self.max_pad:
-                # Keep the most selective terms under the cap.
-                order = np.argsort(self._term_lens[ids], kind="stable")
-                lens_sorted = self._term_lens[ids[order]]
-                keep = int(np.searchsorted(np.cumsum(lens_sorted), self.max_pad, side="right"))
-                ids = ids[np.sort(order[:keep])]
+            ids, _, _, _ = trim_to_cap(self._term_lens, ids, self.max_pad)
             kept.append(ids)
 
         tq = _next_pow2(max((len(i) for i in kept), default=1) or 1, self.min_tq)
@@ -310,13 +322,7 @@ class BM25Engine:
         kept = []
         for ids in term_id_lists:
             ids = np.asarray(ids, dtype=np.int32)
-            total = int(self._term_lens[ids].sum()) if ids.size else 0
-            if total > self.max_pad:
-                order = np.argsort(self._term_lens[ids], kind="stable")
-                lens_sorted = self._term_lens[ids[order]]
-                keep = int(np.searchsorted(np.cumsum(lens_sorted), self.max_pad, side="right"))
-                ids = ids[np.sort(order[:keep])]
-                total = int(self._term_lens[ids].sum())
+            ids, _, total, _ = trim_to_cap(self._term_lens, ids, self.max_pad)
             kept.append((ids, total))
 
         tq = _next_pow2(max((len(i) for i, _ in kept), default=1) or 1, self.min_tq)
@@ -363,6 +369,14 @@ class BM25Engine:
                 )
             )
         if not as_numpy:
+            if overflow:
+                # parts-only results have nowhere to carry extra dispatches;
+                # silently skipping the unplaced queries would fold into a
+                # throughput number that never scored them
+                raise ValueError(
+                    f"search_mega_batch(as_numpy=False): {len(overflow)} "
+                    f"queries fit no plan bucket; provide a plan with room"
+                )
             return BM25SearchResult(
                 outs[-1][1], outs[-1][0],
                 parts=[(s, d) for s, d in outs],
@@ -574,15 +588,10 @@ class BM25Engine:
                 if weight_lists is not None
                 else np.ones(ids.size, np.float32)
             )
-            total = int(self._term_lens[ids].sum()) if ids.size else 0
-            if total > self.fallback_max_pad:
-                order = np.argsort(self._term_lens[ids], kind="stable")
-                lens_sorted = self._term_lens[ids[order]]
-                keep = int(np.searchsorted(
-                    np.cumsum(lens_sorted), self.fallback_max_pad, side="right"
-                ))
-                sel = np.sort(order[:keep])
-                ids, w = ids[sel], w[sel]
+            ids, w, _, trimmed = trim_to_cap(
+                self._term_lens, ids, self.fallback_max_pad, w
+            )
+            if trimmed:
                 self.last_stats["n_trimmed"] += 1
             isbig = a_len[ids] > 0
             big_ids, short_ids = ids[isbig], ids[~isbig]
@@ -721,13 +730,7 @@ class BM25Engine:
         kept: List[Tuple[np.ndarray, int]] = []
         for ids in term_id_lists:
             ids = np.asarray(ids, dtype=np.int32)
-            total = int(self._term_lens[ids].sum()) if ids.size else 0
-            if total > self.max_pad:
-                order = np.argsort(self._term_lens[ids], kind="stable")
-                lens_sorted = self._term_lens[ids[order]]
-                keep = int(np.searchsorted(np.cumsum(lens_sorted), self.max_pad, side="right"))
-                ids = ids[np.sort(order[:keep])]
-                total = int(self._term_lens[ids].sum())
+            ids, _, total, _ = trim_to_cap(self._term_lens, ids, self.max_pad)
             kept.append((ids, total))
 
         tq = _next_pow2(max((len(i) for i, _ in kept), default=1) or 1, self.min_tq)

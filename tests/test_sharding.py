@@ -469,3 +469,35 @@ def test_tp_sharded_decode_matches_unsharded(eight_devices, kv_int8):
         np.asarray(res.pooled_captures), np.asarray(ref_res.pooled_captures),
         rtol=5e-2, atol=5e-2,
     )
+
+
+def test_sharded_legacy_overcap_trim_is_consistent_and_exact(eight_devices, corpus):
+    """Over-cap queries on the legacy (xla) sharded path must keep ONE
+    most-selective term subset (worst-shard lens are shard-independent, so
+    every shard scores the same kept set) and match the exact oracle on
+    that subset — before this was pinned, each shard's gather truncated
+    mid-term at a different cut and the merge compared inconsistent
+    subsets. The sharded cap bounds the PER-SHARD tile, so the kept set is
+    legitimately larger than the single-chip engine's global trim."""
+    from probing_rag_tpu.retrieval.bm25 import trim_to_cap
+
+    mesh = make_mesh((4, 2), eight_devices)
+    index = BM25Index.build(corpus, PLAIN)
+    cap = 8  # below per-shard totals: every multi-term query trims
+    sharded = ShardedBM25Engine(index, mesh, mode="xla", max_pad=cap)
+    rng = np.random.default_rng(5)
+    queries = [
+        " ".join(rng.choice([f"w{i}" for i in range(150)], size=6))
+        for _ in range(6)
+    ]
+    r = sharded.search(queries, k=5)
+    assert sharded.last_stats["n_trimmed"] > 0
+    an = PLAIN.analyzer()
+    for i, q in enumerate(queries):
+        ids = np.asarray(index.encode_query(an(q)), np.int32)
+        kept, _, _, trimmed = trim_to_cap(sharded._term_lens, ids, cap)
+        assert trimmed and len(kept) < len(ids)
+        oracle = index.score_all(kept)
+        got = r.scores[i][r.doc_indices[i] >= 0]
+        exp = np.sort(oracle)[::-1][: len(got)]
+        np.testing.assert_allclose(np.sort(got)[::-1], exp, rtol=1e-4, atol=1e-5)
