@@ -68,9 +68,14 @@ def main():
     assert len(devices) == N_SHARDS, "run with xla_force_host_platform_device_count=8"
     mesh = Mesh(np.asarray(devices), ("shard",))
 
+    # default: the XLA gather+einsum per-shard path (the off-TPU
+    # production path — compiled, seconds at 2M docs); WIKI_DENSE_KERNEL=1
+    # certifies the Pallas kernel in interpret mode instead (~19 min at 2M)
+    force_kernel = os.environ.get("WIKI_DENSE_KERNEL", "") == "1"
     t0 = time.time()
     engine = ShardedIVFEngine(index, mesh, nprobe=NPROBE,
-                              store_dtype=jnp.bfloat16, interpret=True)
+                              store_dtype=jnp.bfloat16,
+                              interpret=True if force_kernel else None)
     shard_build_s = time.time() - t0
     log(f"shard layout done ({shard_build_s:.0f}s)")
 
@@ -142,7 +147,8 @@ def main():
             "plan_us_per_query": round(plan_s / N_QUERIES * 1e6, 1),
             "probed_blocks_per_tile_mean": round(
                 float((desc != lay.nb_max).sum() / desc.shape[1]), 1),
-            "mesh_search_s_per_64q_interpret": round(search_s, 1),
+            "mesh_search_s_per_64q": round(search_s, 1),
+            "search_path": "pallas-interpret" if force_kernel else "xla",
             "oracle_spot_checks_passed": f"{ok}/8",
             "recall_at_10_vs_flat_mean": round(float(np.mean(recall)), 3),
         },

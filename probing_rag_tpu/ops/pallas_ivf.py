@@ -95,6 +95,69 @@ def _kernel(desc_ref, q_ref, emb_ref, ids_ref, sqn_ref, scl_ref,
 
 @functools.partial(
     jax.jit,
+    static_argnames=("k", "metric", "block"),
+)
+def ivf_topk_xla(
+    queries: jnp.ndarray,  # [T*QT, D] tile-padded queries
+    desc: jnp.ndarray,  # [T, PB] int32 block indices (holes -> pad block)
+    embeddings: jnp.ndarray,  # [NB*block, D]
+    ids: jnp.ndarray,  # [8, NB*block] int32 (-1 = pad row)
+    *,
+    k: int,
+    metric: str = "ip",
+    block: int = 256,
+    sq_norms: jnp.ndarray | None = None,
+    scales: jnp.ndarray | None = None,
+):
+    """Pure-XLA probed search with the same contract as
+    :func:`ivf_topk_pallas` (same scores; top-k tie ORDER may differ).
+
+    The non-TPU production path: block gather via ``take`` + one einsum +
+    ``top_k`` per tile, sequenced with ``lax.map`` so peak memory is one
+    tile's [PB, block, D] gather rather than the whole batch's. The Pallas
+    kernel stays the TPU path (block DMAs never materialize the gather);
+    interpret mode remains for kernel certification only — at serving
+    widths it is minutes-per-batch slow (measured 19 min at [64 q x 2M
+    docs] on the virtual mesh vs seconds here)."""
+    int8_store = embeddings.dtype == jnp.int8
+    if int8_store and scales is None:
+        raise ValueError("int8 IVF store needs per-vector scales")
+    tq, d = queries.shape
+    assert tq % QT == 0
+    t = tq // QT
+    emb_b = embeddings.reshape(-1, block, d)
+    ids_row = ids[0].reshape(-1, block)
+    sqn_row = sq_norms[0].reshape(-1, block) if metric == "l2" else None
+    scl_row = scales[0].reshape(-1, block) if int8_store else None
+    qs = queries.reshape(t, QT, d)
+    if embeddings.dtype == jnp.bfloat16 or int8_store:
+        qs = qs.astype(jnp.bfloat16)
+
+    def one_tile(args):
+        qt, dt = args  # [QT, D], [PB]
+        blocks = emb_b[dt]  # [PB, block, D]
+        if int8_store:
+            blocks = blocks.astype(jnp.bfloat16)
+        s = jnp.einsum(
+            "qd,pbd->qpb", qt, blocks, preferred_element_type=jnp.float32
+        )
+        if int8_store:
+            s = s * scl_row[dt][None]
+        if metric == "l2":
+            s = 2.0 * s - sqn_row[dt][None]
+        idr = ids_row[dt]  # [PB, block]
+        s = jnp.where(idr[None] >= 0, s, -jnp.inf)
+        pb = dt.shape[0]
+        v, pos = jax.lax.top_k(s.reshape(QT, pb * block), k)
+        gid = jnp.take(idr.reshape(-1), pos, axis=0)
+        return v, jnp.where(jnp.isneginf(v), -1, gid)
+
+    vals, gids = jax.lax.map(one_tile, (qs, desc))
+    return vals.reshape(tq, k), gids.reshape(tq, k)
+
+
+@functools.partial(
+    jax.jit,
     static_argnames=("k", "metric", "block", "interpret"),
 )
 def ivf_topk_pallas(

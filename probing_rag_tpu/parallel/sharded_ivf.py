@@ -91,7 +91,8 @@ class ShardedIVFEngine:
         nprobe: int = 32,
         encode_fn=None,  # texts -> [Q, D] embeddings (query encoder)
         store_dtype=None,  # default bf16; jnp.int8 for SQ8
-        interpret: Optional[bool] = None,
+        interpret: Optional[bool] = None,  # True: kernel-interpret off-TPU
+        # (certification); default: Pallas compiled on TPU, XLA path else
     ):
         import jax
         import jax.numpy as jnp
@@ -103,10 +104,12 @@ class ShardedIVFEngine:
         self.axes = tuple(mesh.axis_names)
         self.n_shards = int(np.prod([mesh.shape[a] for a in self.axes]))
         self.nprobe = int(min(nprobe, index.nlist))
-        self.interpret = (
-            interpret if interpret is not None
-            else jax.default_backend() != "tpu"
-        )
+        on_tpu = jax.default_backend() == "tpu"
+        # three modes: compiled kernel (TPU), kernel-interpret
+        # (explicit certification), or the XLA gather+einsum path (the
+        # non-TPU production path — interpret is minutes-slow at scale)
+        self.interpret = bool(interpret) and not on_tpu
+        self.use_kernel = on_tpu or self.interpret
         lay = shard_ivf_layout(index, self.n_shards)
         store_dtype = jnp.bfloat16 if store_dtype is None else store_dtype
         self._int8 = jnp.dtype(store_dtype) == jnp.int8
@@ -176,7 +179,7 @@ class ShardedIVFEngine:
         import jax.numpy as jnp
         from jax.sharding import PartitionSpec as P
 
-        from probing_rag_tpu.ops.pallas_ivf import ivf_topk_pallas
+        from probing_rag_tpu.ops.pallas_ivf import ivf_topk_pallas, ivf_topk_xla
 
         q = np.asarray(query_emb, np.float32)
         nq = q.shape[0]
@@ -208,14 +211,22 @@ class ShardedIVFEngine:
             extra_specs.append(P(None, axes))
         int8 = self._int8
 
+        use_kernel = self.use_kernel
+
         def shard_fn(qd, desc_l, emb_l, ids_l, *rest):
             sqn_l = rest[0] if metric == "l2" else None
             scl_l = rest[-1] if int8 else None
-            vals, gids = ivf_topk_pallas(
-                qd, desc_l[0], emb_l, ids_l, k=k, metric=metric, block=block,
-                sq_norms=sqn_l, scales=scl_l,
-                interpret=interpret,
-            )
+            if use_kernel:
+                vals, gids = ivf_topk_pallas(
+                    qd, desc_l[0], emb_l, ids_l, k=k, metric=metric,
+                    block=block, sq_norms=sqn_l, scales=scl_l,
+                    interpret=interpret,
+                )
+            else:
+                vals, gids = ivf_topk_xla(
+                    qd, desc_l[0], emb_l, ids_l, k=k, metric=metric,
+                    block=block, sq_norms=sqn_l, scales=scl_l,
+                )
             all_v = jax.lax.all_gather(vals, axes, tiled=False)
             all_i = jax.lax.all_gather(gids, axes, tiled=False)
             s, qn, kk = all_v.shape

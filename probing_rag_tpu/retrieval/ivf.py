@@ -414,16 +414,16 @@ class IVFEngine:
         encode_fn=None,  # texts -> [Q, D] embeddings (query encoder)
         device=None,
         store_dtype=None,  # default bf16; jnp.int8 for the SQ8 store
+        force_kernel: bool = False,  # off-TPU: run the Pallas kernel in
+        # interpret mode instead of the XLA path (kernel certification)
     ):
-        # NOTE: no use_pallas knob (unlike DenseEngine): the probed search
-        # has exactly one implementation — the block-gather kernel, run
-        # compiled on TPU and in interpret mode elsewhere
         import jax
         import jax.numpy as jnp
 
         self.index = index
         self.encode_fn = encode_fn
         self.nprobe = int(min(nprobe, index.nlist))
+        self.force_kernel = force_kernel
         store_dtype = jnp.bfloat16 if store_dtype is None else store_dtype
         self._int8 = jnp.dtype(store_dtype) == jnp.int8
         npad = index.emb_blocked.shape[0]
@@ -466,7 +466,7 @@ class IVFEngine:
         import jax
         import jax.numpy as jnp
 
-        from probing_rag_tpu.ops.pallas_ivf import ivf_topk_pallas
+        from probing_rag_tpu.ops.pallas_ivf import ivf_topk_pallas, ivf_topk_xla
 
         q = np.asarray(query_emb, np.float32)
         nq = q.shape[0]
@@ -478,12 +478,22 @@ class IVFEngine:
             qpad = np.concatenate(
                 [q, np.broadcast_to(q[:1], (t * 8 - nq, q.shape[1]))]
             )
-        vals, idx = ivf_topk_pallas(
-            jnp.asarray(qpad), jnp.asarray(desc), self._emb, self._ids,
-            k=k, metric=self.index.metric, block=self.index.block,
-            sq_norms=self._sqn, scales=self._scales,
-            interpret=jax.default_backend() != "tpu",
-        )
+        on_tpu = jax.default_backend() == "tpu"
+        if on_tpu or self.force_kernel:
+            # the Pallas block-gather kernel: compiled on TPU; interpret
+            # mode off-TPU (kernel certification — minutes-slow at scale)
+            vals, idx = ivf_topk_pallas(
+                jnp.asarray(qpad), jnp.asarray(desc), self._emb, self._ids,
+                k=k, metric=self.index.metric, block=self.index.block,
+                sq_norms=self._sqn, scales=self._scales,
+                interpret=not on_tpu,
+            )
+        else:
+            vals, idx = ivf_topk_xla(
+                jnp.asarray(qpad), jnp.asarray(desc), self._emb, self._ids,
+                k=k, metric=self.index.metric, block=self.index.block,
+                sq_norms=self._sqn, scales=self._scales,
+            )
         vals, idx = vals[:nq], idx[:nq]
         if self.index.metric == "l2":
             qsq = jnp.sum(jnp.asarray(qpad[:nq]) ** 2, axis=-1, keepdims=True)

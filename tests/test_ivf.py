@@ -82,11 +82,15 @@ def _union_oracle(engine, q, k):
 
 
 @pytest.mark.parametrize("metric", ["l2", "ip"])
-def test_probed_search_matches_union_oracle(metric):
+@pytest.mark.parametrize("force_kernel", [False, True])
+def test_probed_search_matches_union_oracle(metric, force_kernel):
+    """Both implementations (XLA gather+einsum, the off-TPU production
+    path; interpret-mode Pallas kernel) against the same oracle."""
     rng = np.random.default_rng(2)
     pts, _ = _clustered(rng, n_clusters=16, per=40, d=24)
     ix = IVFDenseIndex.build(pts, nlist=16, block=32, metric=metric, seed=0)
-    eng = IVFEngine(ix, nprobe=3, store_dtype=jnp.float32)
+    eng = IVFEngine(ix, nprobe=3, store_dtype=jnp.float32,
+                    force_kernel=force_kernel)
     q = rng.normal(size=(13, 24)).astype(np.float32) * 2.0  # non-multiple of 8
     res = eng.search_embeddings(q, k=5)
     ov, oi = _union_oracle(eng, q, 5)
@@ -232,6 +236,19 @@ def test_kernel_all_hole_tile_and_short_candidates():
     assert np.isneginf(vals[:8, 3:]).all()
     # tile 1 (all holes): nothing inserted anywhere
     assert (got[8:] == -1).all()
+    # the XLA path obeys the same contract
+    from probing_rag_tpu.ops.pallas_ivf import ivf_topk_xla
+
+    xv, xi = ivf_topk_xla(
+        jnp.asarray(q), jnp.asarray(desc), jnp.asarray(emb),
+        jnp.asarray(np.broadcast_to(ids[None, :], (8, 2 * block)).copy()),
+        k=5, metric="ip", block=block,
+    )
+    xv, xi = np.asarray(xv), np.asarray(xi)
+    assert set(xi[0, :3].tolist()) == {7, 8, 9}
+    assert (xi[:8, 3:] == -1).all() and (xi[8:] == -1).all()
+    np.testing.assert_allclose(np.sort(xv[:, :3], -1), np.sort(vals[:, :3], -1),
+                               rtol=1e-5, atol=1e-6)
 
 
 def test_imbalance_factor_sane():
