@@ -17,6 +17,7 @@ BATCH = int(os.environ.get("BENCH_DECODE_BATCH", 8))
 PROMPT_LEN = int(os.environ.get("BENCH_DECODE_PROMPT", 1024))
 MAX_NEW = int(os.environ.get("BENCH_DECODE_NEW", 150))
 INT8 = os.environ.get("BENCH_DECODE_INT8", "0") == "1"
+INT4 = os.environ.get("BENCH_DECODE_INT4", "0") == "1"  # grouped w4a16
 KV_INT8 = os.environ.get("BENCH_DECODE_KV_INT8", "0") == "1"
 CAPTURE = os.environ.get("BENCH_DECODE_CAPTURE", "1") == "1"
 
@@ -38,10 +39,12 @@ def main():
 
     cfg = GemmaConfig.gemma_2b()
     params = init_params(cfg, jax.random.PRNGKey(0), dtype=jnp.bfloat16)
-    if INT8:
+    if INT8 or INT4:
         from probing_rag_tpu.models.gemma import quantize_lm_params
 
-        params = quantize_lm_params(params)  # halves the HBM weight payload
+        # int8 halves the HBM weight payload; int4 (grouped w4a16, embed
+        # int8) halves the layer-weight payload again
+        params = quantize_lm_params(params, bits=4 if INT4 else 8)
     capture = CaptureSpec.for_probing(cfg) if CAPTURE else CaptureSpec()
 
     rng = np.random.default_rng(0)
@@ -77,6 +80,10 @@ def main():
     # the calibrated fetch cost subtracted
     n_iters = 8
     variants = [jnp.roll(tokens, i + 1, axis=-1) for i in range(n_iters)]
+    # settling pass: the FIRST timed block after warmup pays a ~1 s
+    # position-dependent tunnel stall regardless of code (see bench.py)
+    out = run(jnp.roll(tokens, n_iters + 1, axis=-1))
+    fetch_scalar(out[3][0])
     t0 = time.time()
     acc = jnp.zeros((), jnp.float32)
     for i in range(n_iters):
@@ -94,7 +101,8 @@ def main():
         json.dumps(
             {
                 "metric": "gemma2b_decode_tokens_per_sec_per_chip"
-                + ("_int8" if INT8 else "") + ("_kvint8" if KV_INT8 else ""),
+                + ("_int8" if INT8 else "") + ("_int4" if INT4 else "")
+                + ("_kvint8" if KV_INT8 else ""),
                 "value": round(tok_s, 1),
                 "unit": "tokens/s",
                 "vs_baseline": None,

@@ -177,10 +177,11 @@ def main():
         cfg = GemmaConfig.gemma_2b()
         params = init_params(cfg, jax.random.PRNGKey(0), dtype=jnp.bfloat16)
     int8 = os.environ.get("BENCH_E2E_INT8", "") == "1"
-    if int8:
+    int4 = os.environ.get("BENCH_E2E_INT4", "") == "1"  # grouped w4a16
+    if int8 or int4:
         from probing_rag_tpu.models.gemma import quantize_lm_params
 
-        params = quantize_lm_params(params)
+        params = quantize_lm_params(params, bits=4 if int4 else 8)
     tok = HashWordTokenizer(cfg.vocab_size)
     tc = ProberTrainConfig(layers=cfg.probe_layers, positions=("resid_post",))
     probers = init_prober_stack(tc, cfg.d_model, jax.random.PRNGKey(1))
@@ -217,7 +218,7 @@ def main():
             params, cfg, tok, engine, store, probers,
             RAGConfig(retr_method="probing", threshold=threshold,
                       batch_size=BATCH, max_new_tokens=MAX_NEW,
-                      kv_int8=int8),
+                      kv_int8=int8 or int4),
         )
 
     # warmup at 2 queries: _generate pads every chunk to BATCH, so this
@@ -269,7 +270,9 @@ def main():
                 "detail": {
                     "model": ("tiny (smoke)" if os.environ.get("BENCH_E2E_TINY") == "1"
                               else "gemma-2b (random "
-                              + ("int8 weights + int8 KV)" if int8 else "bf16)")),
+                              + ("int4 weights + int8 KV)" if int4
+                                 else "int8 weights + int8 KV)" if int8
+                                 else "bf16)")),
                     "retriever": retr,
                     "n_queries": N_QUERIES,
                     "batch": BATCH,

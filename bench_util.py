@@ -18,6 +18,16 @@ def require_live_device(timeout_s: float = 240.0) -> None:
     import os
     import sys
 
+    forced = os.environ.get("BENCH_PLATFORM")
+    if forced:
+        # CPU smoke path while the tunnel is down. The JAX_PLATFORMS env
+        # var does NOT override this machine's sitecustomize pin
+        # ("axon,cpu"); only an in-process config update does.
+        import jax
+
+        jax.config.update("jax_platforms", forced)
+        return
+
     def _probe() -> float:
         import jax
         import jax.numpy as jnp

@@ -56,7 +56,7 @@ def _load_model(args):
             tok = SentencePieceTokenizer(
                 AutoTokenizer.from_pretrained(args.checkpoint)
             )
-        return params, cfg, tok
+        return _maybe_quantize(params, args), cfg, tok
 
     print(
         "[probing-rag-tpu] no --checkpoint: using random-init tiny model "
@@ -64,7 +64,20 @@ def _load_model(args):
         file=sys.stderr,
     )
     cfg = dataclasses.replace(GemmaConfig.tiny(), compute_dtype=jnp.float32)
-    return init_params(cfg, jax.random.PRNGKey(args.seed)), cfg, ByteTokenizer(cfg.vocab_size)
+    params = init_params(cfg, jax.random.PRNGKey(args.seed))
+    return _maybe_quantize(params, args), cfg, ByteTokenizer(cfg.vocab_size)
+
+
+def _maybe_quantize(params, args):
+    mode = getattr(args, "quantize", "none") or "none"
+    if mode == "none":
+        return params
+    from probing_rag_tpu.models.gemma import quantize_lm_params
+
+    # tiny smoke configs have d_model < the default 128 group; shrink to fit
+    d = params["layers"]["wq"].shape[-2]
+    return quantize_lm_params(
+        params, bits=4 if mode == "int4" else 8, group_size=min(128, d))
 
 
 def cmd_index_build(args):
@@ -563,6 +576,12 @@ def build_parser() -> argparse.ArgumentParser:
         sp.add_argument("--checkpoint", default=None, help="HF checkpoint dir")
         sp.add_argument("--tokenizer", default=None, help="sentencepiece model path")
         sp.add_argument("--seed", type=int, default=42)
+        sp.add_argument("--quantize", default="none",
+                        choices=["none", "int8", "int4"],
+                        help="LM weight quantization for serving: int8 "
+                        "(per-channel) halves decode HBM traffic; int4 "
+                        "(grouped w4a16, embeddings stay int8) halves the "
+                        "layer weights again")
         sp.add_argument("--dense", action="store_true", help="dense retrieval")
         sp.add_argument("--dense-int8", action="store_true",
                         help="int8 (SQ8) dense store: half the HBM bytes "

@@ -190,39 +190,101 @@ def rms_norm(
     return (normed * ((1.0 + w32) if plus_one else w32)).astype(x.dtype)
 
 
-# -------------------------------------------------------- int8 quantization
+# -------------------------------------------------- int8/int4 quantization
+
+# Above this many activation rows (prod of leading dims), the grouped-int4
+# matmul dequantizes the weight to a transient compute-dtype copy instead of
+# running the per-group batched dot: the [rows, K, F] partial tensor would
+# dominate HBM at prefill widths, while a one-off [D, F] bf16 copy is ~64 MB
+# and prefill is MXU-bound anyway. Decode (rows = batch) stays far below it.
+_INT4_DEQUANT_ROWS = 1024
 
 
-def quantize_lm_params(params: Params) -> Params:
-    """Symmetric per-output-channel int8 quantization of the seven matmul
-    weight families plus the embedding table (the HBM-bandwidth payload of
-    the decode loop). Each quantized leaf becomes ``{"q": int8, "s": f32}``
-    with the scale on the *output channel*, so the forward computes
-    ``(x @ q) * s`` — exactly ``x @ (q * s)`` — and the dequant is a unary
-    convert XLA fuses into the matmul's weight load: HBM reads stay int8.
-    The embedding scale is per vocab row, which serves both the lookup
-    (row dequant) and the tied head (per-logit column scale)."""
+def quantize_lm_params(
+    params: Params,
+    bits: int = 8,
+    group_size: int = 128,
+    embed_bits: Optional[int] = None,
+) -> Params:
+    """Symmetric quantization of the seven matmul weight families plus the
+    embedding table (the HBM-bandwidth payload of the decode loop).
 
-    def quant(w, axis):
+    ``bits=8`` (default): per-output-channel int8. Each quantized leaf
+    becomes ``{"q": int8, "s": f32}`` with the scale on the *output
+    channel*, so the forward computes ``(x @ q) * s`` — exactly
+    ``x @ (q * s)`` — and the dequant is a unary convert XLA fuses into the
+    matmul's weight load: HBM reads stay int8. The embedding scale is per
+    vocab row, which serves both the lookup (row dequant) and the tied head
+    (per-logit column scale).
+
+    ``bits=4``: the layer matmul families switch to *sub-channel* int4 —
+    ``{"q": int4 [D, F], "gs": f32 [D/group_size, F]}`` with one scale per
+    ``group_size`` slice of the reduction dim (the standard w4a16 recipe;
+    per-channel int4 is too coarse for real weights). The forward keeps the
+    scales OUTSIDE the dot by splitting the reduction into a batched dot
+    over groups (``sum_k gs[k] * (x_k @ q_k)``), so HBM weight reads stay
+    int4 inside the decode loop (no hoistable dequantized copy exists —
+    the failure mode PARITY.md documents for pre-``logits_last_only``
+    int8). The embedding table defaults to per-ROW int8 (it is
+    quantization-sensitive, and the tied-head trick needs a channel-wise
+    scale, not sub-channel groups); pass ``embed_bits=4`` to push it to
+    per-row int4 for the full bandwidth win. An untied ``lm_head`` is
+    grouped int4 like the layer weights. Scale overhead at group 128 is
+    ~6% of the int4 payload.
+    """
+    if bits not in (8, 4):
+        raise ValueError(f"bits must be 8 or 4, got {bits}")
+    embed_bits = 8 if embed_bits is None else embed_bits
+    if bits == 8 and embed_bits != 8:
+        raise ValueError("embed_bits only applies to bits=4")
+
+    def quant(w, axis, nbits):
         # device-side (jnp) so a 2.5B-param model quantizes without a
         # host round trip; jitted per unique shape
+        qmax = (1 << (nbits - 1)) - 1
+        qdt = jnp.int8 if nbits == 8 else jnp.int4
+
         @jax.jit
         def _q(w):
             w32 = w.astype(jnp.float32)
-            s = jnp.max(jnp.abs(w32), axis=axis, keepdims=True) / 127.0
+            s = jnp.max(jnp.abs(w32), axis=axis, keepdims=True) / qmax
             s = jnp.where(s == 0.0, 1.0, s)
-            q = jnp.clip(jnp.round(w32 / s), -127, 127).astype(jnp.int8)
+            q = jnp.clip(jnp.round(w32 / s), -qmax, qmax).astype(qdt)
             return {"q": q, "s": s}
 
         return _q(jnp.asarray(w))
 
+    def quant_grouped(w):
+        # [.., D, F] with per-(group, output-channel) scales along axis -2
+        @jax.jit
+        def _q(w):
+            w32 = w.astype(jnp.float32)
+            *lead, d, f = w32.shape
+            if d % group_size:
+                raise ValueError(
+                    f"group_size {group_size} must divide reduction dim {d}")
+            wg = w32.reshape(*lead, d // group_size, group_size, f)
+            s = jnp.max(jnp.abs(wg), axis=-2, keepdims=True) / 7.0
+            s = jnp.where(s == 0.0, 1.0, s)
+            q = jnp.clip(jnp.round(wg / s), -7, 7).astype(jnp.int4)
+            return {"q": q.reshape(*lead, d, f), "gs": s[..., 0, :]}
+
+        return _q(jnp.asarray(w))
+
     out = dict(params)
-    out["embed"] = quant(params["embed"], axis=-1)  # [V, D], scale [V, 1]
+    # [V, D], scale [V, 1]: per-row serves lookup AND tied head
+    out["embed"] = quant(params["embed"], -1, embed_bits)
     if "lm_head" in params:
-        out["lm_head"] = quant(params["lm_head"], axis=-2)  # [D, V], scale [1, V]
+        if bits == 4:
+            out["lm_head"] = quant_grouped(params["lm_head"])  # [D, V]
+        else:
+            out["lm_head"] = quant(params["lm_head"], -2, 8)  # scale [1, V]
     out["layers"] = dict(params["layers"])
     for name in ("wq", "wk", "wv", "wo", "w_gate", "w_up", "w_down"):
-        out["layers"][name] = quant(params["layers"][name], axis=-2)
+        if bits == 4:
+            out["layers"][name] = quant_grouped(params["layers"][name])
+        else:
+            out["layers"][name] = quant(params["layers"][name], -2, 8)
     return out
 
 
@@ -234,8 +296,30 @@ def _mm(x: jnp.ndarray, w, dt) -> jnp.ndarray:
     (A Pallas variant lives in ops/pallas_matmul.py; measured 2-10x off the
     weight-bandwidth bound at decode shapes on v5e, so the fused-convert XLA
     form stays the production path. The batch-32 int8 HBM blow-up is solved
-    by ``logits_last_only`` instead — see forward.)"""
+    by ``logits_last_only`` instead — see forward.)
+
+    Grouped-int4 leaves ({"q", "gs"}) keep the per-group scales outside the
+    dot by batching over groups: ``out = sum_k gs[k] * (x[.., k, :] @
+    q[k])``. The int4->dt convert fuses into each group dot's weight load,
+    and no full dequantized weight tensor exists for XLA to hoist out of
+    the decode while_loop. Past ``_INT4_DEQUANT_ROWS`` activation rows
+    (prefill / training capture — MXU-bound, not weight-bound) the [rows,
+    K, F] partials would outweigh a transient [D, F] copy, so the weight is
+    dequantized in compute dtype instead."""
     if isinstance(w, dict):
+        if "gs" in w:  # grouped int4: q [D, F], gs [K, F], K = D / group
+            q, gs = w["q"], w["gs"]
+            d, f = q.shape
+            k = gs.shape[0]
+            g = d // k
+            rows = int(np.prod(x.shape[:-1]))
+            if rows > _INT4_DEQUANT_ROWS:
+                wd = (q.reshape(k, g, f).astype(dt) * gs[:, None, :].astype(dt))
+                return x @ wd.reshape(d, f)
+            xg = x.reshape(x.shape[:-1] + (k, g))
+            part = jnp.einsum("...kg,kgf->...kf", xg, q.reshape(k, g, f).astype(dt))
+            return jnp.einsum(
+                "...kf,kf->...f", part.astype(jnp.float32), gs).astype(dt)
         return (x @ w["q"].astype(dt)) * w["s"].astype(dt)
     return x @ w.astype(dt)
 

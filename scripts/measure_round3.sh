@@ -61,4 +61,10 @@ run e2e_ivf env BENCH_E2E_RETR=ivf timeout 3600 python bench_e2e.py
 #    the quantizer to find) — the honest recall/nprobe trade
 run ivf_uniform env BENCH_IVF_CORPUS=uniform timeout 3600 python bench_ivf.py
 
+# 9. int4 (grouped w4a16) decode: weight HBM traffic halves again vs int8.
+#    batch 8 (weight-bound regime) and 32, then the composed e2e loop.
+run decode_int4_b8 env BENCH_DECODE_INT4=1 BENCH_DECODE_KV_INT8=1 timeout 3600 python bench_decode.py
+run decode_int4_b32 env BENCH_DECODE_INT4=1 BENCH_DECODE_KV_INT8=1 BENCH_DECODE_BATCH=32 timeout 3600 python bench_decode.py
+run e2e_int4 env BENCH_E2E_INT4=1 timeout 3600 python bench_e2e.py
+
 echo "measurement session complete -> $OUT" >&2

@@ -152,6 +152,28 @@ def test_tp_sharded_lm_forward_matches_unsharded(eight_devices):
     )
 
 
+def test_tp_sharded_int4_forward_matches_unsharded(eight_devices):
+    """Grouped-int4 leaves ({"q", "gs"}) inherit the weight's TP rule; the
+    grouped batched dot must survive GSPMD partitioning (the gs group axis
+    rides the weight's sharded reduction dim on wo/w_down)."""
+    from probing_rag_tpu.models.gemma import quantize_lm_params
+
+    mesh = make_mesh((2, 4), eight_devices)
+    params = quantize_lm_params(
+        init_params(CFG, jax.random.PRNGKey(0)), bits=4, group_size=16)
+    tokens = jax.random.randint(jax.random.PRNGKey(1), (4, 8), 0, CFG.vocab_size)
+    ref_logits, _, _ = forward(params, tokens, CFG)
+
+    sharded_params = shard_lm_params(params, mesh)
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    tokens_sharded = jax.device_put(tokens, NamedSharding(mesh, P("dp", None)))
+    logits, _, _ = jax.jit(lambda p, t: forward(p, t, CFG))(
+        sharded_params, tokens_sharded)
+    np.testing.assert_allclose(
+        np.asarray(ref_logits), np.asarray(logits), rtol=1e-4, atol=1e-4)
+
+
 def test_sharded_bm25_pallas_path_equals_single_device(eight_devices, corpus):
     mesh = make_mesh((4, 2), eight_devices)
     index = BM25Index.build(corpus, PLAIN)
