@@ -37,14 +37,23 @@ def main():
     from probing_rag_tpu.models.decode import StopTables, decode_greedy
     from probing_rag_tpu.models.gemma import CaptureSpec, GemmaConfig, init_params
 
-    cfg = GemmaConfig.gemma_2b()
-    params = init_params(cfg, jax.random.PRNGKey(0), dtype=jnp.bfloat16)
+    if os.environ.get("BENCH_DECODE_TINY") == "1":  # CPU smoke of the harness
+        import dataclasses
+
+        cfg = dataclasses.replace(
+            GemmaConfig.tiny(4096), compute_dtype=jnp.float32)
+        params = init_params(cfg, jax.random.PRNGKey(0))
+    else:
+        cfg = GemmaConfig.gemma_2b()
+        params = init_params(cfg, jax.random.PRNGKey(0), dtype=jnp.bfloat16)
     if INT8 or INT4:
         from probing_rag_tpu.models.gemma import quantize_lm_params
 
         # int8 halves the HBM weight payload; int4 (grouped w4a16, embed
-        # int8) halves the layer-weight payload again
-        params = quantize_lm_params(params, bits=4 if INT4 else 8)
+        # int8) halves the layer-weight payload again. Tiny smoke configs
+        # have d_model < the default 128 group.
+        g = min(128, params["layers"]["wq"].shape[-2])
+        params = quantize_lm_params(params, bits=4 if INT4 else 8, group_size=g)
     capture = CaptureSpec.for_probing(cfg) if CAPTURE else CaptureSpec()
 
     rng = np.random.default_rng(0)
@@ -107,6 +116,9 @@ def main():
                 "unit": "tokens/s",
                 "vs_baseline": None,
                 "detail": {
+                    "model": ("tiny (smoke)"
+                              if os.environ.get("BENCH_DECODE_TINY") == "1"
+                              else "gemma-2b (random)"),
                     "batch": BATCH,
                     "prompt_len": PROMPT_LEN,
                     "max_new": MAX_NEW,

@@ -181,7 +181,9 @@ def main():
     if int8 or int4:
         from probing_rag_tpu.models.gemma import quantize_lm_params
 
-        params = quantize_lm_params(params, bits=4 if int4 else 8)
+        # tiny smoke configs have d_model < the default 128 group
+        g = min(128, params["layers"]["wq"].shape[-2])
+        params = quantize_lm_params(params, bits=4 if int4 else 8, group_size=g)
     tok = HashWordTokenizer(cfg.vocab_size)
     tc = ProberTrainConfig(layers=cfg.probe_layers, positions=("resid_post",))
     probers = init_prober_stack(tc, cfg.d_model, jax.random.PRNGKey(1))

@@ -15,6 +15,13 @@ from typing import Any, Dict, Optional, Tuple
 import jax
 import numpy as np
 
+# npz (the .npy format) only encodes builtin numpy dtypes; ml_dtypes leaves
+# (bfloat16 LM weights, int4 quantized weights) silently degrade to raw void
+# fields ("|V1"/"|V2") that load as garbage. Exotic leaves are stored as a
+# same-width unsigned view plus a dtype tag in the manifest, and re-viewed on
+# load — byte-exact round trip, no storage overhead.
+_VIEW_FOR_ITEMSIZE = {1: np.uint8, 2: np.uint16, 4: np.uint32}
+
 
 def _flatten(tree) -> Dict[str, np.ndarray]:
     flat = {}
@@ -30,9 +37,21 @@ def save_pytree(path: Path, tree, meta: Optional[Dict[str, Any]] = None) -> None
     path = Path(path)
     path.parent.mkdir(parents=True, exist_ok=True)
     flat = _flatten(tree)
-    np.savez(path.with_suffix(".npz"), **flat)
+    exotic: Dict[str, str] = {}
+    stored = {}
+    for key, arr in flat.items():
+        if arr.dtype.kind == "V":  # ml_dtypes all present as numpy kind 'V'
+            exotic[key] = arr.dtype.name
+            arr = arr.view(_VIEW_FOR_ITEMSIZE[arr.dtype.itemsize])
+        stored[key] = arr
+    np.savez(path.with_suffix(".npz"), **stored)
     treedef = jax.tree_util.tree_structure(tree)
-    manifest = {"meta": meta or {}, "treedef": str(treedef), "keys": sorted(flat)}
+    manifest = {
+        "meta": meta or {},
+        "treedef": str(treedef),
+        "keys": sorted(flat),
+        "exotic_dtypes": exotic,
+    }
     path.with_suffix(".json").write_text(json.dumps(manifest, indent=2))
 
 
@@ -43,6 +62,10 @@ def load_pytree(path: Path, like=None) -> Tuple[Any, Dict[str, Any]]:
     path = Path(path)
     arrays = dict(np.load(path.with_suffix(".npz")))
     manifest = json.loads(path.with_suffix(".json").read_text())
+    for key, dtype_name in manifest.get("exotic_dtypes", {}).items():
+        import ml_dtypes  # ships with jax
+
+        arrays[key] = arrays[key].view(getattr(ml_dtypes, dtype_name))
     if like is not None:
         flat_template = _flatten(like)
         if set(flat_template) != set(arrays):

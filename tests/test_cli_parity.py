@@ -10,6 +10,34 @@ from pathlib import Path
 import pytest
 
 
+def test_rag_run_quantize_int4_smoke(tmp_path):
+    """`rag-run --quantize int4` must work on the smoke path: the CLI
+    quantizes the (tiny random) LM with a group size clamped to d_model and
+    the whole retrieve->generate loop runs on grouped-int4 weights."""
+    import json
+
+    from probing_rag_tpu.cli.main import main
+
+    corpus = tmp_path / "corpus.txt"
+    corpus.write_text("\n".join(
+        f"doc {i} about topic{i % 5} with words words words" for i in range(24)
+    ))
+    qa = tmp_path / "qa.json"
+    qa.write_text(json.dumps(
+        [{"question": "what about topic1?", "answers": ["doc"]}]
+    ))
+    main(["index-build", "--dataset", "nq", "--fixture", str(corpus),
+          "--out", str(tmp_path / "index")])
+    main(["rag-run", "--dataset", "nq", "--split", "dev",
+          "--fixture-qa", str(qa), "--retr-method", "simple",
+          "--index", str(tmp_path / "index"), "--quantize", "int4",
+          "--steps-limit", "1", "--max-new-tokens", "4",
+          "--batch-size", "1", "--results-dir", str(tmp_path / "result")])
+    runs = (tmp_path / "result" / "runs.jsonl").read_text().splitlines()
+    rec = json.loads(runs[-1])
+    assert rec["config"]["quantize"] == "int4"
+
+
 @pytest.mark.slow
 def test_parity_drill_smoke(tmp_path):
     from probing_rag_tpu.cli.main import main
