@@ -18,8 +18,13 @@ PROMPT_LEN = int(os.environ.get("BENCH_DECODE_PROMPT", 1024))
 MAX_NEW = int(os.environ.get("BENCH_DECODE_NEW", 150))
 INT8 = os.environ.get("BENCH_DECODE_INT8", "0") == "1"
 INT4 = os.environ.get("BENCH_DECODE_INT4", "0") == "1"  # grouped w4a16
+if INT8 and INT4:
+    # a run with both set would measure int4 under a metric name claiming
+    # both — poisoning the int8-vs-int4 comparison this bench exists for
+    sys.exit("set only one of BENCH_DECODE_INT8 / BENCH_DECODE_INT4")
 KV_INT8 = os.environ.get("BENCH_DECODE_KV_INT8", "0") == "1"
 CAPTURE = os.environ.get("BENCH_DECODE_CAPTURE", "1") == "1"
+TINY = os.environ.get("BENCH_DECODE_TINY", "0") == "1"
 
 
 def main():
@@ -37,7 +42,7 @@ def main():
     from probing_rag_tpu.models.decode import StopTables, decode_greedy
     from probing_rag_tpu.models.gemma import CaptureSpec, GemmaConfig, init_params
 
-    if os.environ.get("BENCH_DECODE_TINY") == "1":  # CPU smoke of the harness
+    if TINY:  # CPU smoke of the harness
         import dataclasses
 
         cfg = dataclasses.replace(
@@ -50,10 +55,8 @@ def main():
         from probing_rag_tpu.models.gemma import quantize_lm_params
 
         # int8 halves the HBM weight payload; int4 (grouped w4a16, embed
-        # int8) halves the layer-weight payload again. Tiny smoke configs
-        # have d_model < the default 128 group.
-        g = min(128, params["layers"]["wq"].shape[-2])
-        params = quantize_lm_params(params, bits=4 if INT4 else 8, group_size=g)
+        # int8) halves the layer-weight payload again
+        params = quantize_lm_params(params, bits=4 if INT4 else 8)
     capture = CaptureSpec.for_probing(cfg) if CAPTURE else CaptureSpec()
 
     rng = np.random.default_rng(0)
@@ -111,14 +114,14 @@ def main():
             {
                 "metric": "gemma2b_decode_tokens_per_sec_per_chip"
                 + ("_int8" if INT8 else "") + ("_int4" if INT4 else "")
-                + ("_kvint8" if KV_INT8 else ""),
+                + ("_kvint8" if KV_INT8 else "")
+                # smoke runs must never share a metric key with real ones
+                + ("_tiny" if TINY else ""),
                 "value": round(tok_s, 1),
                 "unit": "tokens/s",
                 "vs_baseline": None,
                 "detail": {
-                    "model": ("tiny (smoke)"
-                              if os.environ.get("BENCH_DECODE_TINY") == "1"
-                              else "gemma-2b (random)"),
+                    "model": "tiny (smoke)" if TINY else "gemma-2b (random)",
                     "batch": BATCH,
                     "prompt_len": PROMPT_LEN,
                     "max_new": MAX_NEW,

@@ -178,12 +178,12 @@ def main():
         params = init_params(cfg, jax.random.PRNGKey(0), dtype=jnp.bfloat16)
     int8 = os.environ.get("BENCH_E2E_INT8", "") == "1"
     int4 = os.environ.get("BENCH_E2E_INT4", "") == "1"  # grouped w4a16
+    if int8 and int4:
+        sys.exit("set only one of BENCH_E2E_INT8 / BENCH_E2E_INT4")
     if int8 or int4:
         from probing_rag_tpu.models.gemma import quantize_lm_params
 
-        # tiny smoke configs have d_model < the default 128 group
-        g = min(128, params["layers"]["wq"].shape[-2])
-        params = quantize_lm_params(params, bits=4 if int4 else 8, group_size=g)
+        params = quantize_lm_params(params, bits=4 if int4 else 8)
     tok = HashWordTokenizer(cfg.vocab_size)
     tc = ProberTrainConfig(layers=cfg.probe_layers, positions=("resid_post",))
     probers = init_prober_stack(tc, cfg.d_model, jax.random.PRNGKey(1))
@@ -265,7 +265,9 @@ def main():
     print(
         json.dumps(
             {
-                "metric": "adaptive_rag_e2e_queries_per_sec_per_chip",
+                "metric": "adaptive_rag_e2e_queries_per_sec_per_chip"
+                # smoke runs must never share a metric key with real ones
+                + ("_tiny" if os.environ.get("BENCH_E2E_TINY") == "1" else ""),
                 "value": round(N_QUERIES / total_s, 3),
                 "unit": "queries/s",
                 "vs_baseline": None,

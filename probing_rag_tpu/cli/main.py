@@ -74,10 +74,7 @@ def _maybe_quantize(params, args):
         return params
     from probing_rag_tpu.models.gemma import quantize_lm_params
 
-    # tiny smoke configs have d_model < the default 128 group; shrink to fit
-    d = params["layers"]["wq"].shape[-2]
-    return quantize_lm_params(
-        params, bits=4 if mode == "int4" else 8, group_size=min(128, d))
+    return quantize_lm_params(params, bits=4 if mode == "int4" else 8)
 
 
 def cmd_index_build(args):

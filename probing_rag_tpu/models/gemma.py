@@ -200,10 +200,27 @@ def rms_norm(
 _INT4_DEQUANT_ROWS = 1024
 
 
+def _default_group_size(params: Params, cap: int = 128) -> int:
+    """Largest group <= ``cap`` dividing EVERY grouped reduction dim: d_model
+    (wq/w_gate/w_up and a tied or untied head), n_heads*head_dim (wo), and
+    d_ff (w_down). Tiny test configs (d_model 64) and odd head counts get a
+    valid group automatically instead of a trace-time divisibility error."""
+    import math
+
+    dims = [params["layers"][n].shape[-2] for n in ("wq", "wo", "w_down")]
+    if "lm_head" in params:
+        dims.append(params["lm_head"].shape[-2])
+    gcd = math.gcd(*dims)
+    g = min(cap, gcd)
+    while gcd % g:  # a divisor of the gcd divides every dim
+        g -= 1
+    return g
+
+
 def quantize_lm_params(
     params: Params,
     bits: int = 8,
-    group_size: int = 128,
+    group_size: Optional[int] = None,
     embed_bits: Optional[int] = None,
 ) -> Params:
     """Symmetric quantization of the seven matmul weight families plus the
@@ -231,12 +248,20 @@ def quantize_lm_params(
     per-row int4 for the full bandwidth win. An untied ``lm_head`` is
     grouped int4 like the layer weights. Scale overhead at group 128 is
     ~6% of the int4 payload.
+
+    ``group_size=None`` (default) picks the largest group <= 128 that
+    divides every grouped reduction dim of THIS param tree (tiny test
+    configs get a valid group automatically).
     """
     if bits not in (8, 4):
         raise ValueError(f"bits must be 8 or 4, got {bits}")
     embed_bits = 8 if embed_bits is None else embed_bits
     if bits == 8 and embed_bits != 8:
         raise ValueError("embed_bits only applies to bits=4")
+    if embed_bits not in (8, 4):
+        raise ValueError(f"embed_bits must be 8 or 4, got {embed_bits}")
+    if group_size is None:
+        group_size = _default_group_size(params)
 
     def quant(w, axis, nbits):
         # device-side (jnp) so a 2.5B-param model quantizes without a

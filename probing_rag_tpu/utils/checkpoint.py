@@ -62,10 +62,11 @@ def load_pytree(path: Path, like=None) -> Tuple[Any, Dict[str, Any]]:
     path = Path(path)
     arrays = dict(np.load(path.with_suffix(".npz")))
     manifest = json.loads(path.with_suffix(".json").read_text())
-    for key, dtype_name in manifest.get("exotic_dtypes", {}).items():
+    if manifest.get("exotic_dtypes"):
         import ml_dtypes  # ships with jax
 
-        arrays[key] = arrays[key].view(getattr(ml_dtypes, dtype_name))
+        for key, dtype_name in manifest["exotic_dtypes"].items():
+            arrays[key] = arrays[key].view(getattr(ml_dtypes, dtype_name))
     if like is not None:
         flat_template = _flatten(like)
         if set(flat_template) != set(arrays):

@@ -228,6 +228,14 @@ def test_int4_grouped_quantization_formats_and_rtn_bound():
         quantize_lm_params(params, bits=3)
     with pytest.raises(ValueError):
         quantize_lm_params(params, bits=8, embed_bits=4)
+    with pytest.raises(ValueError):  # silent int4 wraparound if accepted
+        quantize_lm_params(params, bits=4, embed_bits=16)
+
+    # group_size=None resolves to the largest group <= 128 dividing every
+    # grouped reduction dim (64 for the tiny config: d_model=64, d_ff=128)
+    q4d = quantize_lm_params(params, bits=4)
+    assert q4d["layers"]["wq"]["gs"].shape[1] == d // 64
+    assert q4d["layers"]["w_down"]["gs"].shape[1] == cfg.d_ff // 64
 
 
 def test_int4_forward_drift_bounded_and_branches_agree(monkeypatch):
