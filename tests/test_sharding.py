@@ -493,6 +493,39 @@ def test_tp_sharded_decode_matches_unsharded(eight_devices, kv_int8):
     )
 
 
+def test_tp_sharded_int4_decode_matches_unsharded(eight_devices):
+    """The full serving quantization stack under TP: grouped-int4 weights +
+    int8 KV cache inside the cached decode while_loop on the mesh must
+    produce the same tokens as the same quantized model unsharded (int4
+    changes WHICH tokens vs bf16; sharding must not)."""
+    from probing_rag_tpu.models.decode import generate
+    from probing_rag_tpu.models.gemma import quantize_lm_params
+    from probing_rag_tpu.models.tokenizer import ByteTokenizer
+
+    mesh = make_mesh((2, 4), eight_devices)
+    params = quantize_lm_params(
+        init_params(CFG, jax.random.PRNGKey(0)), bits=4, group_size=16)
+    tok = ByteTokenizer(CFG.vocab_size)
+    capture = CaptureSpec.for_probing(CFG)
+    prompts = ["alpha beta", "another prompt"]
+
+    ref_texts, ref_res = generate(
+        params, CFG, tok, prompts, max_new_tokens=8, capture=capture,
+        kv_int8=True,
+    )
+    sharded_params = shard_lm_params(params, mesh)
+    with mesh:
+        texts, res = generate(
+            sharded_params, CFG, tok, prompts, max_new_tokens=8,
+            capture=capture, kv_int8=True,
+        )
+    assert texts == ref_texts
+    np.testing.assert_allclose(
+        np.asarray(res.pooled_captures), np.asarray(ref_res.pooled_captures),
+        rtol=5e-2, atol=5e-2,
+    )
+
+
 def test_sharded_legacy_overcap_trim_is_consistent_and_exact(eight_devices, corpus):
     """Over-cap queries on the legacy (xla) sharded path must keep ONE
     most-selective term subset (worst-shard lens are shard-independent, so
