@@ -45,17 +45,23 @@ def main():
     jax.config.update("jax_compilation_cache_dir", cache_dir)
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
-    from probing_rag_tpu.ops.pallas_dense import dense_topk_pallas, prepare_dense_store
+    from probing_rag_tpu.ops.pallas_dense import (
+        dense_topk_pallas, dense_topk_rerank, prepare_dense_store,
+    )
 
     rng = np.random.default_rng(0)
     emb32 = rng.normal(size=(N, D)).astype(np.float32)
     int8 = os.environ.get("BENCH_DENSE_INT8", "") == "1"
+    rerank = os.environ.get("BENCH_DENSE_RERANK", "") == "1"
+    if rerank and not int8:
+        sys.exit("BENCH_DENSE_RERANK needs BENCH_DENSE_INT8=1")
     store, sqn, scl, n = prepare_dense_store(
         jnp.asarray(emb32, np.float32 if int8 else jnp.bfloat16),
         tile_n=TILE_N, metric="ip",
         store_dtype=jnp.int8 if int8 else None,
     )
     store = jax.block_until_ready(store)
+    rer_emb = jnp.asarray(emb32, jnp.bfloat16) if rerank else None
     store_bytes = 1 if int8 else 2
     # distinct query batches: identical dispatches can be memoized remotely
     qs = [jnp.asarray(rng.normal(size=(Q, D)).astype(np.float32)) for _ in range(10)]
@@ -63,10 +69,19 @@ def main():
     def fetch(x) -> float:
         return float(np.asarray(x))
 
+    def search(q):
+        if rerank:
+            return dense_topk_rerank(
+                q, store, rer_emb, k=K, sq_norms=sqn, scales=scl,
+                n_total=n, tile_n=TILE_N, merge_segs=MERGE_SEGS,
+            )
+        return dense_topk_pallas(
+            q, store, k=K, sq_norms=sqn, scales=scl, n_total=n,
+            tile_n=TILE_N, merge_segs=MERGE_SEGS,
+        )
+
     t0 = time.time()
-    v, i = dense_topk_pallas(
-        qs[0], store, k=K, sq_norms=sqn, scales=scl, n_total=n, tile_n=TILE_N, merge_segs=MERGE_SEGS
-    )
+    v, i = search(qs[0])
     fetch(jnp.sum(v))
     warmup_s = time.time() - t0
 
@@ -75,9 +90,7 @@ def main():
     # — at ~3 ms/batch that stall would dominate the whole timed region
     acc = jnp.zeros((), jnp.float32)
     for j in range(N_PASSES):
-        v, _ = dense_topk_pallas(
-            qs[j % len(qs)], store, k=K, sq_norms=sqn, scales=scl, n_total=n, tile_n=TILE_N, merge_segs=MERGE_SEGS
-        )
+        v, _ = search(qs[j % len(qs)])
         acc = acc + jnp.sum(v)
     t0 = time.time()
     fetch(acc)
@@ -89,9 +102,7 @@ def main():
     t0 = time.time()
     acc = jnp.zeros((), jnp.float32)
     for j in range(N_PASSES):
-        v, i = dense_topk_pallas(
-            qs[j % len(qs)], store, k=K, sq_norms=sqn, scales=scl, n_total=n, tile_n=TILE_N, merge_segs=MERGE_SEGS
-        )
+        v, i = search(qs[j % len(qs)])
         acc = acc + jnp.sum(v)
     fetch(acc)
     raw = time.time() - t0

@@ -153,6 +153,66 @@ def main():
     raw_flat = time.time() - t0
     flat_s = max(raw_flat - min(fetch_before, fetch_after), 0.05 * raw_flat) / N_PASSES
 
+    # ---- component profile (BENCH_IVF_PROFILE=1, default on): the same
+    # plan through (a) the kernel with the top-k merge compiled OUT — the
+    # gather+matmul+rowmax floor the merge rides on — and (b) the XLA
+    # gather+einsum probed path on this device. Splits kernel cost into
+    # DMA/score vs merge and answers whether the XLA path beats the kernel
+    # at serving shapes (VERDICT r3: kernel measured 2% of probed-HBM
+    # bound with no breakdown).
+    profile = {}
+    if os.environ.get("BENCH_IVF_PROFILE", "1") == "1":
+        from probing_rag_tpu.ops.pallas_ivf import ivf_topk_pallas, ivf_topk_xla
+
+        interp = jax.default_backend() != "tpu"
+
+        def timed(fn):
+            fn(qbatches[0])  # compile
+            for j in range(N_PASSES):  # settle
+                out = fn(qbatches[j % len(qbatches)])
+            fetch(jnp.sum(out[0]))
+            t0 = time.time()
+            acc = jnp.zeros((), jnp.float32)
+            for j in range(N_PASSES):
+                out = fn(qbatches[j % len(qbatches)])
+                acc = acc + jnp.sum(out[0])
+            fetch(acc)
+            raw = time.time() - t0
+            return max(raw - min(fetch_before, fetch_after), 0.05 * raw) / N_PASSES
+
+        def prep(qb):
+            desc = eng.plan(eng.probe_cells(qb))
+            t = desc.shape[0]
+            qpad = qb
+            if t * 8 != qb.shape[0]:
+                qpad = np.concatenate(
+                    [qb, np.broadcast_to(qb[:1], (t * 8 - qb.shape[0], D))]
+                )
+            return jnp.asarray(qpad), jnp.asarray(desc)
+
+        def kernel_floor(qb):
+            qpad, desc = prep(qb)
+            return ivf_topk_pallas(
+                qpad, desc, eng._emb, eng._ids, k=K, metric="ip",
+                block=eng.index.block, sq_norms=eng._sqn,
+                scales=eng._scales, interpret=interp, merge=False,
+            )
+
+        def xla_path(qb):
+            qpad, desc = prep(qb)
+            return ivf_topk_xla(
+                qpad, desc, eng._emb, eng._ids, k=K, metric="ip",
+                block=eng.index.block, sq_norms=eng._sqn, scales=eng._scales,
+            )
+
+        floor_s = timed(kernel_floor)
+        xla_s = timed(xla_path)
+        profile = {
+            "kernel_floor_per_batch_ms": round(floor_s * 1e3, 2),
+            "kernel_merge_per_batch_ms": round((ivf_s - floor_s) * 1e3, 2),
+            "xla_probed_per_batch_ms": round(xla_s * 1e3, 2),
+        }
+
     # ---- recall@10 vs the exact f32 oracle (sampled queries, untimed)
     qb = qbatches[(N_PASSES - 1) % len(qbatches)]
     idx = np.asarray(last.doc_indices)
@@ -200,6 +260,7 @@ def main():
             "probed_blocks_per_batch": n_blocks,
             "probed_mb_per_batch": round(probed_bytes / 1e6, 1),
             "pct_of_probed_hbm_bound": round(100 * bound_s / ivf_s, 1),
+            **profile,
             "build_s": round(build_s, 1),
             "quantizer_imbalance": round(index.imbalance_factor(), 2),
             "store_prep_s": round(prep_s, 1),

@@ -69,7 +69,9 @@ def topk_merge_tile(scores, idx_source, run_vals, run_idx, k, thresh_k=None):
     qb, tn = scores.shape
     tk = k if thresh_k is None else thresh_k
     lane = jax.lax.broadcasted_iota(jnp.int32, (qb, tn), 1)
-    kcol = jax.lax.broadcasted_iota(jnp.int32, (qb, K_PAD), 1)
+    # buffer width from the running buffer itself (callers size it K_PAD
+    # or a per-call k_pad; lanes pad to 128 so wider buffers are ~free)
+    kcol = jax.lax.broadcasted_iota(jnp.int32, (qb, run_vals.shape[-1]), 1)
 
     def qualifies(scores_max, run_vals):
         # a candidate only matters if it beats its row's current k-th value;
@@ -158,7 +160,6 @@ def _kernel(q_ref, emb_ref, sqn_ref, scl_ref, out_v_ref, out_i_ref, vals,
     if qb % gq:  # groups must tile the block exactly (static shapes)
         gq = qb
     base = ni * tile_n
-    col = base + jax.lax.broadcasted_iota(jnp.int32, (gq, tile_n), 1)
 
     # Merge per ``gq``-row group, each behind its own gate: the serial
     # insert rounds of ``topk_merge_tile`` run max-candidates-per-row-in-
@@ -170,42 +171,54 @@ def _kernel(q_ref, emb_ref, sqn_ref, scl_ref, out_v_ref, out_i_ref, vals,
     sw = tile_n // merge_segs if merge_segs and tile_n % merge_segs == 0 \
         else tile_n
     for g in range(0, qb, gq):
-        g_max = row_max[g : g + gq]
-        g_kth = vals[g : g + gq, k - 1]
+        # Lane-segment split (merge_segs > 1): the serial insert rounds
+        # of topk_merge_tile cost rounds x [gq, width] VPU work, and
+        # rounds = max candidates per row IN THE MERGED SPAN. Splitting
+        # the tile into static lane segments makes each span ~1/segs as
+        # wide AND usually 1-round (candidates per (row, segment) are
+        # Poisson-thin), at the price of one gate + one [gq, sw] max
+        # per segment. Each segment's inserts also raise the running
+        # k-th threshold for the next segment's gate.
+        #
+        # Gates stay FLAT: each segment's pl.when is emitted at the top
+        # level of the kernel, not nested inside a per-group pl.when — a
+        # segment gate (seg max > kth) strictly implies the group gate,
+        # so the outer conditional is redundant, and the nested
+        # when-in-when form SIGABRTed the TPU compiler (the r3
+        # dense_bf16_segs4/8 bench failures; scripts/tpu_smoke.py repro).
+        for s0 in range(0, tile_n, sw):
+            seg = scores[g : g + gq, s0 : s0 + sw]
+            # per-segment column ids from a FRESH iota: slicing one
+            # tile-wide iota-derived array (col[:, s0:s0+sw]) into
+            # topk_merge_tile SIGABRTs the TPU compiler — the actual
+            # root cause of the r3 dense_bf16_segs4/8 failures, isolated
+            # by scripts/bisect_segs.py (sliced scores are fine, the
+            # sliced iota operand is not)
+            seg_col = (base + s0) + jax.lax.broadcasted_iota(
+                jnp.int32, (gq, sw), 1
+            )
 
-        @pl.when(jnp.any(g_max > g_kth))
-        def _(g=g):
-            # Lane-segment split (merge_segs > 1): the serial insert rounds
-            # of topk_merge_tile cost rounds x [gq, width] VPU work, and
-            # rounds = max candidates per row IN THE MERGED SPAN. Splitting
-            # the tile into static lane segments makes each span ~1/segs as
-            # wide AND usually 1-round (candidates per (row, segment) are
-            # Poisson-thin), at the price of one gate + one [gq, sw] max
-            # per segment. Each segment's inserts also raise the running
-            # k-th threshold for the next segment's gate.
-            for s0 in range(0, tile_n, sw):
-                seg = scores[g : g + gq, s0 : s0 + sw]
-                seg_col = col[:, s0 : s0 + sw]
+            def merge(seg=seg, seg_col=seg_col, g=g):
+                # pad columns exist only in the final (partial) tile; a
+                # pad lane may spuriously trip the gates there — masked
+                # before the merge, so it inserts nothing
+                s = jnp.where(seg_col < n_total, seg, -jnp.inf)
+                new_vals, new_idx = topk_merge_tile(
+                    s, seg_col, vals[g : g + gq, :], idxs[g : g + gq, :],
+                    k,
+                )
+                vals[g : g + gq, :] = new_vals
+                idxs[g : g + gq, :] = new_idx
 
-                def merge(seg=seg, seg_col=seg_col, g=g):
-                    # pad columns exist only in the final (partial) tile; a
-                    # pad lane may spuriously trip the gates there — masked
-                    # before the merge, so it inserts nothing
-                    s = jnp.where(seg_col < n_total, seg, -jnp.inf)
-                    new_vals, new_idx = topk_merge_tile(
-                        s, seg_col, vals[g : g + gq, :], idxs[g : g + gq, :],
-                        k,
-                    )
-                    vals[g : g + gq, :] = new_vals
-                    idxs[g : g + gq, :] = new_idx
-
-                if sw == tile_n:
-                    merge()  # single span: the group gate above suffices
-                else:
-                    seg_gate = jnp.any(
-                        jnp.max(seg, axis=-1) > vals[g : g + gq, k - 1]
-                    )
-                    pl.when(seg_gate)(merge)
+            if sw == tile_n:
+                # single span: gate on the group's row-max (cheap — the
+                # row_max above is already on the critical path)
+                gate = jnp.any(row_max[g : g + gq] > vals[g : g + gq, k - 1])
+            else:
+                gate = jnp.any(
+                    jnp.max(seg, axis=-1) > vals[g : g + gq, k - 1]
+                )
+            pl.when(gate)(merge)
 
     @pl.when(ni == n_tiles - 1)
     def _():
@@ -269,7 +282,7 @@ def prepare_dense_store(
     jax.jit,
     static_argnames=(
         "k", "metric", "tile_n", "tile_q", "interpret", "n_total",
-        "group_rows", "merge_segs",
+        "group_rows", "merge_segs", "k_pad",
     ),
 )
 def dense_topk_pallas(
@@ -286,6 +299,9 @@ def dense_topk_pallas(
     n_total: int = 0,  # true doc count when embeddings are pre-padded
     group_rows: int = 64,  # merge-gate granularity (0 = whole query block)
     merge_segs: int = 1,  # lane-segment split of the gated merge (1 = off)
+    k_pad: int = 0,  # running-buffer width (0 = K_PAD); the rerank path
+    # asks for a deeper candidate pool — lanes pad to 128, so wider
+    # buffers cost no extra vregs up to 128
     interpret: bool = False,
 ):
     """Returns (scores [Q, k], indices [Q, k]); same contract as
@@ -300,7 +316,8 @@ def dense_topk_pallas(
     ``n_total`` (and ``scales`` for int8 stores) from
     :func:`prepare_dense_store`; otherwise the pad and the norm pass re-run
     inside the jitted program on EVERY call."""
-    assert k <= K_PAD
+    kp = k_pad or K_PAD
+    assert k <= kp
     int8_store = embeddings.dtype == jnp.int8
     if int8_store and scales is None:
         raise ValueError(
@@ -377,16 +394,16 @@ def dense_topk_pallas(
             scl_spec,
         ],
         out_specs=[
-            pl.BlockSpec((tile_q, K_PAD), lambda qi, ni: (qi, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((tile_q, K_PAD), lambda qi, ni: (qi, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((tile_q, kp), lambda qi, ni: (qi, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((tile_q, kp), lambda qi, ni: (qi, 0), memory_space=pltpu.VMEM),
         ],
         out_shape=[
-            jax.ShapeDtypeStruct((qp, K_PAD), jnp.float32),
-            jax.ShapeDtypeStruct((qp, K_PAD), jnp.int32),
+            jax.ShapeDtypeStruct((qp, kp), jnp.float32),
+            jax.ShapeDtypeStruct((qp, kp), jnp.int32),
         ],
         scratch_shapes=[
-            pltpu.VMEM((tile_q, K_PAD), jnp.float32),
-            pltpu.VMEM((tile_q, K_PAD), jnp.int32),
+            pltpu.VMEM((tile_q, kp), jnp.float32),
+            pltpu.VMEM((tile_q, kp), jnp.int32),
         ],
         interpret=interpret,
         # adaptive tile_q (512-query blocks) overflows the 16 MB default
@@ -400,4 +417,74 @@ def dense_topk_pallas(
     if metric == "l2":
         q_sq = jnp.sum(queries[:q].astype(jnp.float32) ** 2, axis=-1, keepdims=True)
         vals = -vals + q_sq
+    return vals, idx
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=(
+        "k", "metric", "tile_n", "n_total", "k_pad", "group_rows",
+        "merge_segs", "interpret",
+    ),
+)
+def dense_topk_rerank(
+    queries: jnp.ndarray,  # [Q, D] f32
+    embeddings: jnp.ndarray,  # sweep store (int8 from prepare_dense_store)
+    rerank_emb: jnp.ndarray,  # [N, D] bf16 exact copy for refinement
+    *,
+    k: int,
+    metric: str = "ip",
+    tile_n: int = 4096,
+    sq_norms: jnp.ndarray | None = None,
+    scales: jnp.ndarray | None = None,
+    n_total: int = 0,
+    k_pad: int = 32,
+    group_rows: int = 64,
+    merge_segs: int = 1,
+    interpret: bool = False,
+):
+    """Quantized sweep + exact refinement (the faiss ``IndexRefineFlat``
+    design): the int8 store rides the HBM bus for the full sweep at half
+    the bf16 bytes, keeping a ``k_pad``-deep candidate pool (deeper is
+    ~free: the running buffer pads to 128 lanes either way), then the
+    candidates alone — ``Q x k_pad`` rows, ~0.1%% of the sweep's traffic —
+    are re-scored against the exact bf16 copy and the top ``k`` returned.
+
+    Trades HBM *capacity* (int8 + bf16 copies resident = 1.5x bf16) for
+    *bandwidth* (sweep reads int8 only), and restores recall@k to the bf16
+    store's: int8 rounding at d=768 costs ~0.95 recall@10 on the flat
+    sweep (measured, MEASURE_r3 dense_int8_segs1) because top-of-ranking
+    score gaps are smaller than the quantization noise — but the true
+    top-k virtually always sits inside the int8 top-32, so the refine pass
+    recovers it. Returns (scores [Q, k], indices [Q, k]); -1 slots (fewer
+    than k valid docs) keep score -inf (ip) / +inf (l2).
+    """
+    assert k <= k_pad
+    _, cand = dense_topk_pallas(
+        queries, embeddings, k=k_pad, metric=metric, tile_n=tile_n,
+        sq_norms=sq_norms, scales=scales, n_total=n_total,
+        group_rows=group_rows, merge_segs=merge_segs, k_pad=k_pad,
+        interpret=interpret,
+    )
+    valid = cand >= 0
+    rows = rerank_emb[jnp.maximum(cand, 0)]  # [Q, R, D] candidate gather
+    dot = jnp.einsum(
+        "qd,qrd->qr", queries.astype(rerank_emb.dtype), rows,
+        preferred_element_type=jnp.float32,
+    )
+    if metric == "l2":
+        sq = jnp.sum(
+            rows.astype(jnp.float32) * rows.astype(jnp.float32), axis=-1
+        )
+        key = jnp.where(valid, 2.0 * dot - sq, -jnp.inf)  # descending rank
+    else:
+        key = jnp.where(valid, dot, -jnp.inf)
+    vals, pos = jax.lax.top_k(key, k)
+    idx = jnp.take_along_axis(cand, pos, axis=-1)
+    idx = jnp.where(vals > -jnp.inf, idx, -1)
+    if metric == "l2":
+        q_sq = jnp.sum(
+            queries.astype(jnp.float32) ** 2, axis=-1, keepdims=True
+        )
+        vals = -vals + q_sq  # true squared L2 distance, ascending
     return vals, idx

@@ -50,7 +50,8 @@ QT = 8  # queries per tile: one sublane group
 
 
 def _kernel(desc_ref, q_ref, emb_ref, ids_ref, sqn_ref, scl_ref,
-            out_v_ref, out_i_ref, vals, idxs, *, k, metric, int8_store):
+            out_v_ref, out_i_ref, vals, idxs, *, k, metric, int8_store,
+            merge):
     bi = pl.program_id(1)
     n_blocks = pl.num_programs(1)
 
@@ -80,12 +81,20 @@ def _kernel(desc_ref, q_ref, emb_ref, ids_ref, sqn_ref, scl_ref,
     # still cheaply bounds the insert rounds per block
     row_max = jnp.max(scores, axis=-1)  # [QT]
 
-    @pl.when(jnp.any(row_max > vals[:, k - 1]))
-    def _():
-        ids_b = jnp.broadcast_to(ids_row, scores.shape)
-        new_vals, new_idx = topk_merge_tile(scores, ids_b, vals[:], idxs[:], k)
-        vals[:] = new_vals
-        idxs[:] = new_idx
+    if merge:
+        @pl.when(jnp.any(row_max > vals[:, k - 1]))
+        def _():
+            ids_b = jnp.broadcast_to(ids_row, scores.shape)
+            new_vals, new_idx = topk_merge_tile(
+                scores, ids_b, vals[:], idxs[:], k
+            )
+            vals[:] = new_vals
+            idxs[:] = new_idx
+    else:
+        # profiling floor (merge=False): keep the DMA + matmul + row-max
+        # critical path live by folding the block max into slot 0 — what
+        # remains is the gather/score cost the merge rides on
+        vals[:, 0] = jnp.maximum(vals[:, 0], row_max)
 
     @pl.when(bi == n_blocks - 1)
     def _():
@@ -158,7 +167,7 @@ def ivf_topk_xla(
 
 @functools.partial(
     jax.jit,
-    static_argnames=("k", "metric", "block", "interpret"),
+    static_argnames=("k", "metric", "block", "interpret", "merge"),
 )
 def ivf_topk_pallas(
     queries: jnp.ndarray,  # [T*QT, D] tile-padded queries
@@ -172,6 +181,8 @@ def ivf_topk_pallas(
     sq_norms: jnp.ndarray | None = None,  # [8, NB*block] f32 (l2)
     scales: jnp.ndarray | None = None,  # [8, NB*block] f32 (int8 store)
     interpret: bool = False,
+    merge: bool = True,  # False: profiling floor — gather + matmul +
+    # row-max only (out_v slot 0 carries the running max; out_i stays -1)
 ):
     """Returns (scores [T*QT, k], ids [T*QT, k]) over the probed blocks.
 
@@ -237,7 +248,7 @@ def ivf_topk_pallas(
         ],
     )
     kernel = functools.partial(
-        _kernel, k=k, metric=metric, int8_store=int8_store
+        _kernel, k=k, metric=metric, int8_store=int8_store, merge=merge
     )
     out_v, out_i = pl.pallas_call(
         kernel,

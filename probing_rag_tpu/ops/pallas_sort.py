@@ -238,6 +238,16 @@ def sort_pairs_pallas_wide(
     if k_start & (k_start - 1) or k_start < 2:
         raise ValueError(f"k_start must be a power of two >= 2, got {k_start}")
     b = p // lane_width
+    if b < 8:
+        # Mosaic's block rule: the sublane dim of a block must be divisible
+        # by 8 or equal the whole array's — a (4, 8192) block over a
+        # (Q*4, 8192) array aborts lowering (caught by scripts/tpu_smoke.py
+        # on widths 16k/32k, reachable when the caller shrinks max_pad).
+        # Shrink the lane view so every row splits into exactly 8 sub-rows;
+        # p >= 2*lane_width here, so lane_width stays >= 2048 — far below
+        # the ~16k-lane dynamic-roll regression.
+        lane_width = p // 8
+        b = 8
     kr = keys.reshape(q * b, lane_width)
     vr = vals.reshape(q * b, lane_width)
     grid = (q,)

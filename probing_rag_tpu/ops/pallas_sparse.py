@@ -378,296 +378,142 @@ def postings_gather_pallas(
 
 def _assemble_kernel(src_ref, rlen_ref, wt_ref, doc_hbm, imp_hbm,
                      out_doc, out_imp, win_doc, win_imp, stage_doc, stage_imp,
-                     sems, *, tq, sentinel, weighted):
-    """One grid step assembles one query row of COMPACTLY packed short-term
-    postings: per term, a 2-block window DMA from the compact store, a
-    bit-decomposed roll to the row's current fill position, and a masked
-    select into a 4-block VMEM staging buffer that flushes full 1024-blocks
-    to the output row. Replaces the XLA per-element gather (~70 ns/element
-    measured) for the over-cap fallback's short tail with ~3 DMAs + ~100
-    vector ops per term. Terms must be shorter than one block (the bitonic
-    store's ``min_len`` upper-bounds short terms at 256 < 1024).
+                     sems, *, tq, sentinel, weighted, pad, rows):
+    """One grid step assembles ``rows`` query rows of COMPACTLY packed
+    short-term postings: per term, a 2-block window DMA from the compact
+    store, a bit-decomposed roll to the row's current fill position, and a
+    masked select into a 2-block VMEM staging buffer that flushes full
+    1024-blocks to the output row. Replaces the XLA per-element gather
+    (~70 ns/element measured) for the over-cap fallback's short tail with
+    ~3 DMAs + ~100 vector ops per term. Terms must be shorter than one
+    block (the bitonic store's ``min_len`` upper-bounds short terms at
+    256 < 1024).
+
+    Memref layout follows _bitonic_gather_kernel: the output block is
+    (1, 1, rows*pad) — rows packed along the LANE dim of one sublane —
+    so every flush is a 2-D (1, len) -> (1, len) copy at 1024-aligned
+    lane offsets. Mosaic rejects the two sublane-major alternatives:
+    a (1, pad) block over a (Q, pad) array fails the block-divisibility
+    rule, and a 1-sublane DMA slice of an (8, W) scratch fails tiling
+    ("Slice shape along dimension 0 must be aligned to tiling (8)") —
+    both crashed the round-3 headline bench (logs/measure_bm25.err).
 
     ``weighted`` applies the per-(query, term) dedup weight at select time
     (prefetched as int32 bit patterns — SMEM scalars are 32-bit; bitcast
     back to f32 in-kernel)."""
-    qi = pl.program_id(0)
+    base = pl.program_id(0) * rows  # hoisted: see _bitonic_gather_kernel
     # staging width: one 2-block window is enough roll headroom — fill
     # and per-term L are both < _ALIGN, so fill+L <= 2*_ALIGN-2 and the
     # rotate never wraps (and one fewer roll pass than a 4-block stage)
     W = 2 * _ALIGN
     lane = jax.lax.broadcasted_iota(jnp.int32, (1, W), 1)
 
-    stage_doc[:] = jnp.full((1, W), sentinel, jnp.int32)
-    stage_imp[:] = jnp.zeros((1, W), jnp.float32)
+    def row(local, carry_outer):
+        qi = base + local
+        row0 = local * pad  # this row's flat lane offset in the out block
 
-    def term(t, carry):
-        fill, nblk = carry
-        L = rlen_ref[t, qi]
+        stage_doc[:] = jnp.full((1, W), sentinel, jnp.int32)
+        stage_imp[:] = jnp.zeros((1, W), jnp.float32)
 
-        @pl.when(L > 0)
-        def _():
-            start = src_ref[t, qi]
-            win = (start // _ALIGN) * _ALIGN
-            off = start - win
-            wo = pl.multiple_of(win, _ALIGN)
+        def flush_block(nblk, n_lanes):
+            dd = pl.multiple_of(row0 + nblk * _ALIGN, _ALIGN)
             c1 = pltpu.make_async_copy(
-                doc_hbm.at[pl.ds(0, 1), pl.ds(wo, 2 * _ALIGN)],
-                win_doc.at[pl.ds(0, 1), pl.ds(0, 2 * _ALIGN)],
+                stage_doc.at[pl.ds(0, 1), pl.ds(0, n_lanes)],
+                out_doc.at[0, pl.ds(0, 1), pl.ds(dd, n_lanes)],
                 sems.at[0],
             )
             c2 = pltpu.make_async_copy(
-                imp_hbm.at[pl.ds(0, 1), pl.ds(wo, 2 * _ALIGN)],
-                win_imp.at[pl.ds(0, 1), pl.ds(0, 2 * _ALIGN)],
+                stage_imp.at[pl.ds(0, 1), pl.ds(0, n_lanes)],
+                out_imp.at[0, pl.ds(0, 1), pl.ds(dd, n_lanes)],
                 sems.at[1],
             )
             c1.start()
             c2.start()
             c1.wait()
             c2.wait()
-            # roll the window so the term's data starts at lane ``fill``
-            # (static-amount rolls gated by the dynamic shift's bits — the
-            # reliable form of a dynamic rotate, as in the bitonic gather)
-            xd = win_doc[:]
-            xi = win_imp[:]
-            sh = (fill - off) % W
-            bits = (W - 1).bit_length()
-            for b in range(bits):
-                bit = ((sh >> b) & 1) == 1
-                amt = 1 << b
-                xd = jnp.where(bit, pltpu.roll(xd, amt, axis=1), xd)
-                xi = jnp.where(bit, pltpu.roll(xi, amt, axis=1), xi)
-            mask = (lane >= fill) & (lane < fill + L)
-            if weighted:
-                w = jax.lax.bitcast_convert_type(
-                    wt_ref[t, qi], jnp.float32
+
+        def term(t, carry):
+            fill, nblk = carry
+            L = rlen_ref[t, qi]
+
+            @pl.when(L > 0)
+            def _():
+                start = src_ref[t, qi]
+                win = (start // _ALIGN) * _ALIGN
+                off = start - win
+                wo = pl.multiple_of(win, _ALIGN)
+                c1 = pltpu.make_async_copy(
+                    doc_hbm.at[pl.ds(0, 1), pl.ds(wo, 2 * _ALIGN)],
+                    win_doc.at[pl.ds(0, 1), pl.ds(0, 2 * _ALIGN)],
+                    sems.at[0],
                 )
-                xi = xi * w
-            stage_doc[:] = jnp.where(mask, xd, stage_doc[:])
-            stage_imp[:] = jnp.where(mask, xi, stage_imp[:])
-
-        fill2 = fill + L
-        flushed = fill2 >= _ALIGN
-
-        @pl.when(flushed)
-        def _():
-            dd = pl.multiple_of(nblk * _ALIGN, _ALIGN)
-            c1 = pltpu.make_async_copy(
-                stage_doc.at[pl.ds(0, 1), pl.ds(0, _ALIGN)],
-                out_doc.at[pl.ds(0, 1), pl.ds(dd, _ALIGN)],
-                sems.at[0],
-            )
-            c2 = pltpu.make_async_copy(
-                stage_imp.at[pl.ds(0, 1), pl.ds(0, _ALIGN)],
-                out_imp.at[pl.ds(0, 1), pl.ds(dd, _ALIGN)],
-                sems.at[1],
-            )
-            c1.start()
-            c2.start()
-            c1.wait()
-            c2.wait()
-            # shift the staging buffer left one block; refill the vacated
-            # tail with sentinels
-            sd = pltpu.roll(stage_doc[:], W - _ALIGN, axis=1)
-            si = pltpu.roll(stage_imp[:], W - _ALIGN, axis=1)
-            tail = lane >= W - _ALIGN
-            stage_doc[:] = jnp.where(tail, sentinel, sd)
-            stage_imp[:] = jnp.where(tail, 0.0, si)
-
-        fill2 = jnp.where(flushed, fill2 - _ALIGN, fill2)
-        return fill2, nblk + flushed.astype(jnp.int32)
-
-    fill, nblk = jax.lax.fori_loop(
-        0, tq, term, (jnp.int32(0), jnp.int32(0))
-    )
-
-    @pl.when(fill > 0)
-    def _():
-        # final partial block: stage already sentinel-padded past ``fill``
-        dd = pl.multiple_of(nblk * _ALIGN, _ALIGN)
-        c1 = pltpu.make_async_copy(
-            stage_doc.at[pl.ds(0, 1), pl.ds(0, _ALIGN)],
-            out_doc.at[pl.ds(0, 1), pl.ds(dd, _ALIGN)],
-            sems.at[0],
-        )
-        c2 = pltpu.make_async_copy(
-            stage_imp.at[pl.ds(0, 1), pl.ds(0, _ALIGN)],
-            out_imp.at[pl.ds(0, 1), pl.ds(dd, _ALIGN)],
-            sems.at[1],
-        )
-        c1.start()
-        c2.start()
-        c1.wait()
-        c2.wait()
-
-
-def _assemble_rows_kernel(src_ref, rlen_ref, wt_ref, doc_hbm, imp_hbm,
-                          out_doc, out_imp, win_doc, win_imp,
-                          stage_doc, stage_imp, sems,
-                          *, tq, sentinel, weighted, rows):
-    """Sublane-packed variant of ``_assemble_kernel``: one grid step
-    assembles ``rows`` query rows at once. Per-row scalar state (fill lane,
-    flushed-block count) rides the fori_loop carry as ``2*rows`` scalars;
-    the wide roll/select work runs on (rows, W) arrays so the VPU's 8
-    sublanes are occupied instead of 1, and the per-term window DMAs of all
-    rows are started before any is waited on (latency overlapped). The
-    (rows, 1) per-row gate vectors for the bit-decomposed rolls are built
-    from the scalar carries with ``rows`` tiny selects — Mosaic has no cheap
-    vector-lane extract, so scalars stay scalars and vectors are built, not
-    read back."""
-    qi = pl.program_id(0)
-    W = 2 * _ALIGN  # see _assemble_kernel: 2 blocks suffice, never wraps
-    lane = jax.lax.broadcasted_iota(jnp.int32, (rows, W), 1)
-    row_iota = jax.lax.broadcasted_iota(jnp.int32, (rows, 1), 0)
-
-    stage_doc[:] = jnp.full((rows, W), sentinel, jnp.int32)
-    stage_imp[:] = jnp.zeros((rows, W), jnp.float32)
-
-    def _vec(scalars, dtype=jnp.int32):
-        # (rows, 1) vector from per-row scalars via select-accumulate
-        v = jnp.zeros((rows, 1), dtype)
-        for r, s in enumerate(scalars):
-            v = jnp.where(row_iota == r, s.astype(dtype), v)
-        return v
-
-    def term(t, carry):
-        fills, nblks = carry[:rows], carry[rows:]
-        Ls, offs, shs, wbits, copies = [], [], [], [], []
-        for r in range(rows):
-            qcol = qi * rows + r
-            L = rlen_ref[t, qcol]
-            start = src_ref[t, qcol]
-            win = (start // _ALIGN) * _ALIGN
-            off = start - win
-            Ls.append(L)
-            offs.append(off)
-            shs.append((fills[r] - off) % W)
-            wbits.append(wt_ref[t, qcol])
-            wo = pl.multiple_of(win, _ALIGN)
-            c1 = pltpu.make_async_copy(
-                doc_hbm.at[pl.ds(0, 1), pl.ds(wo, 2 * _ALIGN)],
-                win_doc.at[pl.ds(r, 1), pl.ds(0, 2 * _ALIGN)],
-                sems.at[0],
-            )
-            c2 = pltpu.make_async_copy(
-                imp_hbm.at[pl.ds(0, 1), pl.ds(wo, 2 * _ALIGN)],
-                win_imp.at[pl.ds(r, 1), pl.ds(0, 2 * _ALIGN)],
-                sems.at[1],
-            )
-
-            @pl.when(L > 0)
-            def _(c1=c1, c2=c2):
+                c2 = pltpu.make_async_copy(
+                    imp_hbm.at[pl.ds(0, 1), pl.ds(wo, 2 * _ALIGN)],
+                    win_imp.at[pl.ds(0, 1), pl.ds(0, 2 * _ALIGN)],
+                    sems.at[1],
+                )
                 c1.start()
                 c2.start()
-
-            copies.append((L, c1, c2))
-        for L, c1, c2 in copies:
-
-            @pl.when(L > 0)
-            def _(c1=c1, c2=c2):
                 c1.wait()
                 c2.wait()
+                # roll the window so the term's data starts at lane ``fill``
+                # (static-amount rolls gated by the dynamic shift's bits —
+                # the reliable form of a dynamic rotate, as in the bitonic
+                # gather)
+                xd = win_doc[:]
+                xi = win_imp[:]
+                sh = (fill - off) % W
+                bits = (W - 1).bit_length()
+                for b in range(bits):
+                    bit = ((sh >> b) & 1) == 1
+                    amt = 1 << b
+                    xd = jnp.where(bit, pltpu.roll(xd, amt, axis=1), xd)
+                    xi = jnp.where(bit, pltpu.roll(xi, amt, axis=1), xi)
+                mask = (lane >= fill) & (lane < fill + L)
+                if weighted:
+                    # Mosaic's tpu.bitcast takes vectors only — a scalar
+                    # i32->f32 bitcast fails TPU verification (this, not
+                    # the layout, crashed the r3/r4 headline bench:
+                    # logs/measure_bm25.err). Splat the SMEM bit pattern
+                    # across the lane dim first; interpret mode accepted
+                    # the scalar form, which is why tests missed it.
+                    w = jax.lax.bitcast_convert_type(
+                        jnp.full((1, W), wt_ref[t, qi], jnp.int32),
+                        jnp.float32,
+                    )
+                    xi = xi * w
+                stage_doc[:] = jnp.where(mask, xd, stage_doc[:])
+                stage_imp[:] = jnp.where(mask, xi, stage_imp[:])
 
-        fill_v = _vec(fills)
-        L_v = _vec(Ls)
-        sh_v = _vec(shs)
-        xd = win_doc[:]
-        xi = win_imp[:]
-        bits = (W - 1).bit_length()
-        for b in range(bits):
-            bit = ((sh_v >> b) & 1) == 1
-            amt = 1 << b
-            xd = jnp.where(bit, pltpu.roll(xd, amt, axis=1), xd)
-            xi = jnp.where(bit, pltpu.roll(xi, amt, axis=1), xi)
-        mask = (lane >= fill_v) & (lane < fill_v + L_v)
-        if weighted:
-            w_v = jax.lax.bitcast_convert_type(_vec(wbits), jnp.float32)
-            xi = xi * w_v
-        stage_doc[:] = jnp.where(mask, xd, stage_doc[:])
-        stage_imp[:] = jnp.where(mask, xi, stage_imp[:])
-
-        # flush every row whose partial block filled up: start all row
-        # copies, wait, then do ONE vectorized stage shift gated per row
-        fill2s = [fills[r] + Ls[r] for r in range(rows)]
-        flushes = []
-        for r in range(rows):
-            flushed = fill2s[r] >= _ALIGN
-            dd = pl.multiple_of(nblks[r] * _ALIGN, _ALIGN)
-            c1 = pltpu.make_async_copy(
-                stage_doc.at[pl.ds(r, 1), pl.ds(0, _ALIGN)],
-                out_doc.at[pl.ds(r, 1), pl.ds(dd, _ALIGN)],
-                sems.at[0],
-            )
-            c2 = pltpu.make_async_copy(
-                stage_imp.at[pl.ds(r, 1), pl.ds(0, _ALIGN)],
-                out_imp.at[pl.ds(r, 1), pl.ds(dd, _ALIGN)],
-                sems.at[1],
-            )
+            fill2 = fill + L
+            flushed = fill2 >= _ALIGN
 
             @pl.when(flushed)
-            def _(c1=c1, c2=c2):
-                c1.start()
-                c2.start()
+            def _():
+                flush_block(nblk, _ALIGN)
+                # shift the staging buffer left one block; refill the
+                # vacated tail with sentinels
+                sd = pltpu.roll(stage_doc[:], W - _ALIGN, axis=1)
+                si = pltpu.roll(stage_imp[:], W - _ALIGN, axis=1)
+                tail = lane >= W - _ALIGN
+                stage_doc[:] = jnp.where(tail, sentinel, sd)
+                stage_imp[:] = jnp.where(tail, 0.0, si)
 
-            flushes.append((flushed, c1, c2))
-        for flushed, c1, c2 in flushes:
+            fill2 = jnp.where(flushed, fill2 - _ALIGN, fill2)
+            return fill2, nblk + flushed.astype(jnp.int32)
 
-            @pl.when(flushed)
-            def _(c1=c1, c2=c2):
-                c1.wait()
-                c2.wait()
-
-        flush_v = _vec([f.astype(jnp.int32) for f, _, _ in flushes]) == 1
-        sd = pltpu.roll(stage_doc[:], W - _ALIGN, axis=1)
-        si = pltpu.roll(stage_imp[:], W - _ALIGN, axis=1)
-        tail = lane >= W - _ALIGN
-        stage_doc[:] = jnp.where(
-            flush_v, jnp.where(tail, sentinel, sd), stage_doc[:]
+        fill, nblk = jax.lax.fori_loop(
+            0, tq, term, (jnp.int32(0), jnp.int32(0))
         )
-        stage_imp[:] = jnp.where(
-            flush_v, jnp.where(tail, 0.0, si), stage_imp[:]
-        )
-
-        new_fills = [
-            jnp.where(f, v - _ALIGN, v)
-            for v, (f, _, _) in zip(fill2s, flushes)
-        ]
-        new_nblks = [
-            n + f.astype(jnp.int32)
-            for n, (f, _, _) in zip(nblks, flushes)
-        ]
-        return tuple(new_fills) + tuple(new_nblks)
-
-    carry = jax.lax.fori_loop(
-        0, tq, term, (jnp.int32(0),) * rows + (jnp.int32(0),) * rows
-    )
-    fills, nblks = carry[:rows], carry[rows:]
-    finals = []
-    for r in range(rows):
-        dd = pl.multiple_of(nblks[r] * _ALIGN, _ALIGN)
-        c1 = pltpu.make_async_copy(
-            stage_doc.at[pl.ds(r, 1), pl.ds(0, _ALIGN)],
-            out_doc.at[pl.ds(r, 1), pl.ds(dd, _ALIGN)],
-            sems.at[0],
-        )
-        c2 = pltpu.make_async_copy(
-            stage_imp.at[pl.ds(r, 1), pl.ds(0, _ALIGN)],
-            out_imp.at[pl.ds(r, 1), pl.ds(dd, _ALIGN)],
-            sems.at[1],
-        )
-
-        @pl.when(fills[r] > 0)
-        def _(c1=c1, c2=c2):
-            c1.start()
-            c2.start()
-
-        finals.append((fills[r], c1, c2))
-    for fill, c1, c2 in finals:
 
         @pl.when(fill > 0)
-        def _(c1=c1, c2=c2):
-            c1.wait()
-            c2.wait()
+        def _():
+            # final partial block: stage already sentinel-padded past fill
+            flush_block(nblk, _ALIGN)
+
+        return carry_outer
+
+    jax.lax.fori_loop(0, rows, row, 0)
 
 
 @functools.partial(
@@ -689,58 +535,60 @@ def postings_assemble_pallas(
     ops.sparse.postings_gather, weights pre-applied) as DMA windows + VMEM
     rolls — see _assemble_kernel. ``pad`` must be a 1024-multiple >= the
     largest row total (the flush writes whole blocks). ``row_tile`` > 1
-    assembles that many query rows per grid step (Q must divide evenly) —
-    the sublane-packed kernel keeps all 8 VPU sublanes busy and overlaps
-    the rows' window DMAs (see _assemble_rows_kernel)."""
+    assembles that many query rows per grid step in the lane-major
+    (1, 1, row_tile*pad) block layout (Q is zero-row padded up to a
+    multiple; padded rows write nothing and the sentinel-fix below covers
+    them)."""
     if pad % _ALIGN:
         raise ValueError(f"assemble pad must be a {_ALIGN}-multiple, got {pad}")
-    q, tq = src.shape
-    if q % row_tile:
-        raise ValueError(f"Q={q} not divisible by row_tile={row_tile}")
+    q_in, tq = src.shape
+    rt = row_tile
+    q = -(-q_in // rt) * rt
+    if q != q_in:  # zero rows: L=0 for every term -> the row never flushes
+        src = jnp.pad(src, ((0, q - q_in), (0, 0)))
+        rlen = jnp.pad(rlen, ((0, q - q_in), (0, 0)))
+        if wt_bits is not None:
+            wt_bits = jnp.pad(wt_bits, ((0, q - q_in), (0, 0)))
     weighted = wt_bits is not None
     # prefetch operands as [TQ, Q]: SMEM lane padding (see bm25_search_bitonic)
     pre = [src.T, rlen.T]
     pre.append(wt_bits.T if weighted else jnp.zeros((tq, q), jnp.int32))
-    rt = row_tile
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=3,
         grid=(q // rt,),
         in_specs=[pl.BlockSpec(memory_space=pltpu.HBM)] * 2,
         out_specs=[
-            pl.BlockSpec((rt, pad), lambda qi, *_: (qi, 0),
+            pl.BlockSpec((1, 1, rt * pad), lambda qi, *_: (qi, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((rt, pad), lambda qi, *_: (qi, 0),
+            pl.BlockSpec((1, 1, rt * pad), lambda qi, *_: (qi, 0, 0),
                          memory_space=pltpu.VMEM),
         ],
         scratch_shapes=[
-            pltpu.VMEM((rt, 2 * _ALIGN), jnp.int32),
-            pltpu.VMEM((rt, 2 * _ALIGN), jnp.float32),
-            pltpu.VMEM((rt, 2 * _ALIGN), jnp.int32),
-            pltpu.VMEM((rt, 2 * _ALIGN), jnp.float32),
+            pltpu.VMEM((1, 2 * _ALIGN), jnp.int32),
+            pltpu.VMEM((1, 2 * _ALIGN), jnp.float32),
+            pltpu.VMEM((1, 2 * _ALIGN), jnp.int32),
+            pltpu.VMEM((1, 2 * _ALIGN), jnp.float32),
             pltpu.SemaphoreType.DMA((2,)),
         ],
     )
-    if rt == 1:
-        kernel = functools.partial(
-            _assemble_kernel, tq=tq, sentinel=sentinel, weighted=weighted,
-        )
-    else:
-        kernel = functools.partial(
-            _assemble_rows_kernel, tq=tq, sentinel=sentinel,
-            weighted=weighted, rows=rt,
-        )
+    kernel = functools.partial(
+        _assemble_kernel, tq=tq, sentinel=sentinel, weighted=weighted,
+        pad=pad, rows=rt,
+    )
     out_doc, out_imp = pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
         out_shape=[
-            jax.ShapeDtypeStruct((q, pad), jnp.int32),
-            jax.ShapeDtypeStruct((q, pad), jnp.float32),
+            jax.ShapeDtypeStruct((q // rt, 1, rt * pad), jnp.int32),
+            jax.ShapeDtypeStruct((q // rt, 1, rt * pad), jnp.float32),
         ],
         interpret=interpret,
         compiler_params=pltpu.CompilerParams(has_side_effects=True),
     )(*pre, doc_c, imp_c)
+    out_doc = out_doc.reshape(q, pad)[:q_in]
+    out_imp = out_imp.reshape(q, pad)[:q_in]
     # sentinel-fix the unwritten row tails (blocks past the final flush)
-    total = jnp.sum(rlen, axis=1, dtype=jnp.int32)[:, None]
+    total = jnp.sum(rlen[:q_in], axis=1, dtype=jnp.int32)[:, None]
     lane = jnp.arange(pad, dtype=jnp.int32)[None, :]
     valid = lane < total
     return (

@@ -986,14 +986,16 @@ def _short_tail_gather(
             None if qweights is None
             else jax.lax.bitcast_convert_type(qweights, jnp.int32)
         )
-        # sublane-pack 8 query rows per grid step when the batch divides
-        # evenly (engine batches are pow2 >= 8): 8x VPU occupancy and the
-        # rows' window DMAs overlap
-        q = short_src.shape[0]
-        rt = 8 if q % 8 == 0 else 1
+        # 8 rows per grid step in the lane-major (1, 1, 8*pad) block
+        # layout (the wrapper zero-pads Q up). Round 3's sublane-major
+        # variants both failed Mosaic lowering on real TPU and crashed the
+        # headline bench at warmup (logs/measure_bm25.err): a (1, pad)
+        # block over a (Q, pad) array breaks the block-divisibility rule,
+        # and 1-sublane DMA slices of an (8, W) scratch break (8, 128)
+        # tiling. Only interpret mode accepted them.
         return postings_assemble_pallas(
             doc_c, imp_c, short_src, short_rlen, wt_bits,
-            pad=pad, sentinel=sentinel_doc, row_tile=rt, interpret=interpret,
+            pad=pad, sentinel=sentinel_doc, row_tile=8, interpret=interpret,
         )
     from probing_rag_tpu.ops.sparse import postings_gather
 

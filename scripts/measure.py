@@ -49,9 +49,13 @@ PLAN = [
     ("e2e_int8", {"BENCH_E2E_INT8": "1"}, ["python", "bench_e2e.py"], 3600),
     ("e2e_int4", {"BENCH_E2E_INT4": "1"}, ["python", "bench_e2e.py"], 3600),
     ("e2e_dense", {"BENCH_E2E_RETR": "dense"}, ["python", "bench_e2e.py"], 3600),
-    # 7. IVF small-batch serving — the regime IVF exists for (q=8, q=1)
+    # 7. IVF small-batch serving — the regime IVF exists for (q=8, q=1),
+    #    plus the q=64 clustered row with the new kernel/XLA profile and
+    #    the honest uniform-corpus recall curve (VERDICT r3 #3/#6)
     ("ivf_q8", {"BENCH_IVF_Q": "8"}, ["python", "bench_ivf.py"], 3600),
     ("ivf_q1", {"BENCH_IVF_Q": "1"}, ["python", "bench_ivf.py"], 3600),
+    ("ivf_q64", {}, ["python", "bench_ivf.py"], 3600),
+    ("ivf_uniform", {"BENCH_IVF_CORPUS": "uniform"}, ["python", "bench_ivf.py"], 3600),
     # 8. training-pipeline phases 2-3 at Gemma-2B scale
     ("dataset_build", {}, ["python", "bench_dataset.py"], 3600),
     ("prober_train", {}, ["python", "bench_train.py"], 3600),

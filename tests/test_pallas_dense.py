@@ -186,3 +186,80 @@ def test_lane_segment_merge_matches_xla_op(merge_segs):
     )
     np.testing.assert_allclose(np.asarray(v1), np.asarray(v2), rtol=1e-5)
     np.testing.assert_array_equal(np.asarray(i1), np.asarray(i2))
+
+
+@pytest.mark.parametrize("metric", ["ip", "l2"])
+def test_int8_rerank_recovers_exact_ranking(metric):
+    """dense_topk_rerank (int8 sweep + bf16 refine): final top-k must match
+    the f32 brute-force oracle exactly on data whose top-k gaps exceed bf16
+    rounding — the property the plain int8 sweep measurably loses
+    (recall@10 = 0.95, MEASURE_r3 dense_int8_segs1)."""
+    from probing_rag_tpu.ops.pallas_dense import (
+        dense_topk_rerank, prepare_dense_store,
+    )
+
+    rng = np.random.default_rng(11)
+    emb = rng.normal(size=(700, 64)).astype(np.float32)
+    q = rng.normal(size=(9, 64)).astype(np.float32)
+    store, sqn, scl, n = prepare_dense_store(
+        jnp.asarray(emb), tile_n=256, metric=metric, store_dtype=jnp.int8
+    )
+    v, idx = dense_topk_rerank(
+        jnp.asarray(q), store, jnp.asarray(emb, jnp.bfloat16), k=5,
+        metric=metric, sq_norms=sqn, scales=scl, n_total=n,
+        tile_n=256, k_pad=16, interpret=INTERPRET,
+    )
+    if metric == "ip":
+        scores = q @ emb.T
+        order = np.argsort(-scores, axis=-1)[:, :5]
+    else:
+        scores = ((q[:, None, :] - emb[None]) ** 2).sum(-1)
+        order = np.argsort(scores, axis=-1)[:, :5]
+    # bf16 refine: indices exact (gaps >> bf16 eps on gaussian d=64 data),
+    # scores within bf16 rounding of the f32 oracle
+    np.testing.assert_array_equal(np.asarray(idx), order)
+    got = np.take_along_axis(scores, order, axis=-1)
+    np.testing.assert_allclose(np.asarray(v), got, rtol=2e-2, atol=2e-2)
+
+
+def test_int8_rerank_small_corpus_padding():
+    """Fewer docs than k_pad: unfilled slots must come back as -1 with the
+    ranking of the real docs preserved."""
+    from probing_rag_tpu.ops.pallas_dense import (
+        dense_topk_rerank, prepare_dense_store,
+    )
+
+    rng = np.random.default_rng(12)
+    emb = rng.normal(size=(10, 64)).astype(np.float32)
+    q = rng.normal(size=(3, 64)).astype(np.float32)
+    store, sqn, scl, n = prepare_dense_store(
+        jnp.asarray(emb), tile_n=256, metric="ip", store_dtype=jnp.int8
+    )
+    v, idx = dense_topk_rerank(
+        jnp.asarray(q), store, jnp.asarray(emb, jnp.bfloat16), k=16,
+        metric="ip", scales=scl, n_total=n, tile_n=256, k_pad=32,
+        interpret=INTERPRET,
+    )
+    idx = np.asarray(idx)
+    assert np.all(idx[:, 10:] == -1)
+    order = np.argsort(-(q @ emb.T), axis=-1)
+    np.testing.assert_array_equal(idx[:, :10], order)
+
+
+def test_dense_engine_int8_rerank_recall():
+    """Engine-level: int8+rerank (the default) must return the f32 top-k
+    exactly; rerank=False keeps the raw SQ8 sweep ranking."""
+    from probing_rag_tpu.retrieval.dense import DenseEngine, DenseIndex
+
+    rng = np.random.default_rng(13)
+    emb = rng.normal(size=(300, 32)).astype(np.float32)
+    index = DenseIndex(emb, metric="ip")
+    er = DenseEngine(index, store_dtype=jnp.int8, use_pallas=True)
+    assert er._rerank and er._rerank_emb is not None
+    e_raw = DenseEngine(index, store_dtype=jnp.int8, use_pallas=True,
+                        rerank=False)
+    assert not e_raw._rerank and e_raw._rerank_emb is None
+    q = rng.normal(size=(7, 32)).astype(np.float32)
+    rr = er.search_embeddings(q, k=5)
+    order = np.argsort(-(q @ emb.T), axis=-1)[:, :5]
+    np.testing.assert_array_equal(rr.doc_indices, order)
