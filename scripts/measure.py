@@ -42,7 +42,12 @@ PLAN = [
     # 4. int8 (SQ8) store — after the merge fix it should finally pay
     ("dense_int8_segs1", {"BENCH_DENSE_INT8": "1", "BENCH_DENSE_SEGS": "1"}, ["python", "bench_dense.py"], 1800),
     ("dense_int8_segs4", {"BENCH_DENSE_INT8": "1", "BENCH_DENSE_SEGS": "4"}, ["python", "bench_dense.py"], 1800),
-    # 5. int4 decode (crashed at b32 in r3)
+    # 5. decode quantization ladder: bf16 / int8 / int8+kv8 / int4+kv8 at
+    #    b8 and b32 — the PARITY.md decode claims previously had no
+    #    artifact of record at all (they were builder-observed)
+    ("decode_bf16_b32", {"BENCH_DECODE_BATCH": "32"}, ["python", "bench_decode.py"], 3600),
+    ("decode_int8_b32", {"BENCH_DECODE_INT8": "1", "BENCH_DECODE_BATCH": "32"}, ["python", "bench_decode.py"], 3600),
+    ("decode_int8kv8_b32", {"BENCH_DECODE_INT8": "1", "BENCH_DECODE_KV_INT8": "1", "BENCH_DECODE_BATCH": "32"}, ["python", "bench_decode.py"], 3600),
     ("decode_int4_b8", {"BENCH_DECODE_INT4": "1", "BENCH_DECODE_KV_INT8": "1"}, ["python", "bench_decode.py"], 3600),
     ("decode_int4_b32", {"BENCH_DECODE_INT4": "1", "BENCH_DECODE_KV_INT8": "1", "BENCH_DECODE_BATCH": "32"}, ["python", "bench_decode.py"], 3600),
     # 6. e2e quantized variants
