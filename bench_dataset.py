@@ -114,8 +114,13 @@ def main():
     warmup_s = time.time() - t0
     phase.clear()
 
-    # settling pass (untimed): absorb the post-warmup tunnel stall
-    extract_cot_dataset(build("none"), questions[:BATCH], answers[:BATCH], "nq")
+    # settling pass (untimed): absorb the post-warmup tunnel stall AND
+    # compile every BM25 posting-tile bucket the timed pass will hit — the
+    # batch-2 warmup above compiles the decode variants but NOT the
+    # batch-32 retrieval buckets (the r4 session measured 93.6s of
+    # "retrieval" that was really two ~46s bucket compiles; e2e-bench
+    # steady state for the same engine/shape is ~0.4s/call)
+    extract_cot_dataset(build("simple"), questions, answers, "nq")
     phase.clear()
 
     rows = 0

@@ -40,6 +40,7 @@ from probing_rag_tpu.models.gemma import (
     Params,
     forward,
     init_kv_cache,
+    unpack_int4_params,
 )
 from probing_rag_tpu.models.sampling import SamplingConfig, select_token
 
@@ -117,6 +118,11 @@ def decode_greedy(
     sampling: SamplingConfig = SamplingConfig(),
     kv_int8: bool = False,
 ):
+    # Unpack boundary-format int4 weights ONCE, outside the while_loop: the
+    # loop closes over the unpacked S4 arrays, so every decode step reads
+    # int4-width HBM while the host boundary only ever carries uint8
+    # (native S4 jit args crash the TPU runtime here — gemma._pack_int4).
+    params = unpack_int4_params(params)
     b, t = prompt_tokens.shape
     total = t + max_new_tokens
     kv = init_kv_cache(

@@ -200,6 +200,54 @@ def rms_norm(
 _INT4_DEQUANT_ROWS = 1024
 
 
+def _pack_int4(q: jnp.ndarray) -> jnp.ndarray:
+    """Nibble-pack int8 values in [-8, 7] into uint8 pairs along the last
+    axis: byte j holds columns (2j, 2j+1) as (lo, hi) nibbles biased by +8.
+
+    Why packed at all: native ``jnp.int4`` arrays crash at every host->jit
+    boundary on the TPU runtime in this environment — the runtime reports
+    ``sub_byte_element_size_in_bits=0`` on S4 buffers while jit expects 4,
+    so argument relayout recurses until a ``RecursionError: Recursively
+    calling jit`` (reproduced: MEASURE_r4.jsonl decode_int4_b8 row). S4 is
+    fine *inside* a compiled program, so quantized params cross the
+    boundary as uint8 and are unpacked to S4 once per jitted call
+    (hoisted out of the decode while_loop: the per-step HBM read stays at
+    int4 width)."""
+    if q.shape[-1] % 2:
+        raise ValueError(f"int4 pack needs an even last dim, got {q.shape}")
+    u = (q.astype(jnp.int8) + 8).astype(jnp.uint8)
+    return u[..., 0::2] | (u[..., 1::2] << 4)
+
+
+def _unpack_int4(qp: jnp.ndarray) -> jnp.ndarray:
+    """Inverse of :func:`_pack_int4`: uint8 [..., F/2] -> int4 [..., F]."""
+    lo = (qp & jnp.uint8(0xF)).astype(jnp.int8) - 8
+    hi = (qp >> 4).astype(jnp.int8) - 8
+    q = jnp.stack([lo, hi], axis=-1).reshape(qp.shape[:-1] + (qp.shape[-1] * 2,))
+    return q.astype(jnp.int4)
+
+
+def unpack_int4_params(params: Params) -> Params:
+    """Rewrite boundary-format int4 leaves ``{"qp": uint8, ...}`` to the
+    compute format ``{"q": int4, ...}``. Idempotent (leaves without "qp"
+    pass through), cheap relative to decode (one elementwise pass over the
+    weights per jitted call, loop-invariant inside ``decode_greedy``)."""
+
+    def fix(w):
+        if isinstance(w, dict) and "qp" in w:
+            w = dict(w)
+            w["q"] = _unpack_int4(w.pop("qp"))
+        return w
+
+    out = dict(params)
+    out["embed"] = fix(out["embed"])
+    if "lm_head" in out:
+        out["lm_head"] = fix(out["lm_head"])
+    if isinstance(out.get("layers"), dict):
+        out["layers"] = {k: fix(v) for k, v in out["layers"].items()}
+    return out
+
+
 def _default_group_size(params: Params, cap: int = 128) -> int:
     """Largest group <= ``cap`` dividing EVERY grouped reduction dim: d_model
     (wq/w_gate/w_up and a tied or untied head), n_heads*head_dim (wo), and
@@ -235,7 +283,11 @@ def quantize_lm_params(
     (per-logit column scale).
 
     ``bits=4``: the layer matmul families switch to *sub-channel* int4 —
-    ``{"q": int4 [D, F], "gs": f32 [D/group_size, F]}`` with one scale per
+    boundary format ``{"qp": uint8 [D, F/2] nibble-packed, "gs": f32
+    [D/group_size, F]}`` (unpacked to ``{"q": int4 [D, F]}`` inside each
+    jitted call by :func:`unpack_int4_params`; native S4 host->jit args
+    crash this environment's TPU runtime — see :func:`_pack_int4`) with
+    one scale per
     ``group_size`` slice of the reduction dim (the standard w4a16 recipe;
     per-channel int4 is too coarse for real weights). The forward keeps the
     scales OUTSIDE the dot by splitting the reduction into a batched dot
@@ -274,8 +326,10 @@ def quantize_lm_params(
             w32 = w.astype(jnp.float32)
             s = jnp.max(jnp.abs(w32), axis=axis, keepdims=True) / qmax
             s = jnp.where(s == 0.0, 1.0, s)
-            q = jnp.clip(jnp.round(w32 / s), -qmax, qmax).astype(qdt)
-            return {"q": q, "s": s}
+            q = jnp.clip(jnp.round(w32 / s), -qmax, qmax).astype(jnp.int8)
+            if nbits == 4:  # boundary format: nibble-packed (see _pack_int4)
+                return {"qp": _pack_int4(q), "s": s}
+            return {"q": q.astype(qdt), "s": s}
 
         return _q(jnp.asarray(w))
 
@@ -291,8 +345,9 @@ def quantize_lm_params(
             wg = w32.reshape(*lead, d // group_size, group_size, f)
             s = jnp.max(jnp.abs(wg), axis=-2, keepdims=True) / 7.0
             s = jnp.where(s == 0.0, 1.0, s)
-            q = jnp.clip(jnp.round(wg / s), -7, 7).astype(jnp.int4)
-            return {"q": q.reshape(*lead, d, f), "gs": s[..., 0, :]}
+            q = jnp.clip(jnp.round(wg / s), -7, 7).astype(jnp.int8)
+            # boundary format: nibble-packed uint8 (see _pack_int4)
+            return {"qp": _pack_int4(q.reshape(*lead, d, f)), "gs": s[..., 0, :]}
 
         return _q(jnp.asarray(w))
 
@@ -477,6 +532,7 @@ def forward(
     pad slots invalid in ``attn_valid`` — masking always uses buffer indices,
     rotation uses ``positions``.
     """
+    params = unpack_int4_params(params)  # no-op unless boundary-format int4
     b, t = tokens.shape
     emb = params["embed"]
     if isinstance(emb, dict):  # int8: row dequant at lookup (tiny)

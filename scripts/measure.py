@@ -42,6 +42,9 @@ PLAN = [
     # 4. int8 (SQ8) store — after the merge fix it should finally pay
     ("dense_int8_segs1", {"BENCH_DENSE_INT8": "1", "BENCH_DENSE_SEGS": "1"}, ["python", "bench_dense.py"], 1800),
     ("dense_int8_segs4", {"BENCH_DENSE_INT8": "1", "BENCH_DENSE_SEGS": "4"}, ["python", "bench_dense.py"], 1800),
+    # 4b. int8 + exact bf16 rerank (faiss IndexRefineFlat design): the raw
+    #     SQ8 sweep measured recall 0.95 — this is the recall-recovery row
+    ("dense_int8_rerank", {"BENCH_DENSE_INT8": "1", "BENCH_DENSE_RERANK": "1", "BENCH_DENSE_SEGS": "1"}, ["python", "bench_dense.py"], 1800),
     # 5. decode quantization ladder: bf16 / int8 / int8+kv8 / int4+kv8 at
     #    b8 and b32 — the PARITY.md decode claims previously had no
     #    artifact of record at all (they were builder-observed)
@@ -110,6 +113,9 @@ def main():
     ap.add_argument("--only", default="", help="comma-separated bench names")
     ap.add_argument("--skip-errors", action="store_true",
                     help="do not retry benches that previously errored")
+    ap.add_argument("--force", action="store_true",
+                    help="re-run --only benches even if already captured "
+                         "(replaces their rows)")
     ap.add_argument("--list", action="store_true")
     args = ap.parse_args()
 
@@ -128,8 +134,11 @@ def main():
         if only and name not in only:
             continue
         if name in done_ok:
-            print(f"[measure] skip {name} (already captured)", file=sys.stderr)
-            continue
+            if args.force and only:
+                retry.add(name)
+            else:
+                print(f"[measure] skip {name} (already captured)", file=sys.stderr)
+                continue
         if name in done_err and args.skip_errors:
             print(f"[measure] skip {name} (previous error, --skip-errors)", file=sys.stderr)
             continue

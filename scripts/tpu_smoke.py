@@ -117,6 +117,35 @@ def smoke_dense(merge_segs, int8, rerank=False):
     assert inter >= (0.99 if (rerank or not int8) else 0.8), inter
 
 
+def smoke_int4_decode():
+    """decode_greedy with grouped-int4 weights at tiny geometry — the r4
+    measurement-session crash site (native S4 host->jit args recursed in
+    the TPU runtime, MEASURE_r4 decode_int4_b8; quantized params now cross
+    the boundary nibble-packed as uint8, gemma._pack_int4)."""
+    import dataclasses
+
+    from probing_rag_tpu.models.decode import StopTables, decode_greedy
+    from probing_rag_tpu.models.gemma import (
+        CaptureSpec, GemmaConfig, init_params, quantize_lm_params,
+    )
+
+    cfg = dataclasses.replace(GemmaConfig.tiny(512), compute_dtype=jnp.bfloat16)
+    params = quantize_lm_params(
+        init_params(cfg, jax.random.PRNGKey(0), dtype=jnp.bfloat16), bits=4)
+    rng = np.random.default_rng(7)
+    tokens = jnp.asarray(rng.integers(3, cfg.vocab_size, (2, 16)), jnp.int32)
+    valid = jnp.ones((2, 16), bool)
+    stop = StopTables.disabled(cfg.vocab_size)
+    zeros = jnp.asarray(stop.contains_dbl_nl)
+    out = decode_greedy(
+        params, tokens, valid, zeros, zeros, zeros, cfg=cfg,
+        capture=CaptureSpec.for_probing(cfg), max_new_tokens=8, eos_id=-1,
+        kv_int8=True,
+    )
+    toks = np.asarray(out[0])
+    assert toks.shape == (2, 8) and np.all(toks >= 0)
+
+
 def smoke_bm25_fallback():
     """The composed over-cap fallback search path (hybrid gather incl. the
     assemble kernel + wide sort) on a skewed corpus, vs the exact XLA
@@ -182,6 +211,7 @@ def main():
     check("dense int8 rerank", lambda: smoke_dense(1, True, rerank=True))
     check("bm25 over-cap fallback", smoke_bm25_fallback)
     check("ivf probed search", smoke_ivf)
+    check("int4 decode boundary", smoke_int4_decode)
 
     if FAILURES:
         print(f"\n{len(FAILURES)} FAILED: {FAILURES}")

@@ -197,11 +197,15 @@ def test_int8_quantization_mistral_untied_head():
 
 
 def test_int4_grouped_quantization_formats_and_rtn_bound():
-    """Grouped w4a16 (bits=4): layer matmuls become {"q": int4 [D, F],
-    "gs": f32 [D/group, F]}; the embedding stays per-row int8 by default.
-    Round-to-nearest correctness: every reconstructed weight is within half
-    a quantization step (gs/2) of the original — the exact RTN property."""
-    from probing_rag_tpu.models.gemma import init_params, quantize_lm_params
+    """Grouped w4a16 (bits=4): layer matmuls become the boundary format
+    {"qp": uint8 [D, F/2] nibble-packed, "gs": f32 [D/group, F]} (native S4
+    jit args crash the TPU runtime — gemma._pack_int4), unpacked to
+    {"q": int4 [D, F]} inside jitted calls; the embedding stays per-row
+    int8 by default. Round-to-nearest correctness: every reconstructed
+    weight is within half a quantization step (gs/2) of the original —
+    the exact RTN property."""
+    from probing_rag_tpu.models.gemma import (
+        init_params, quantize_lm_params, unpack_int4_params)
 
     cfg = CFG
     params = init_params(cfg, jax.random.PRNGKey(0))
@@ -209,20 +213,28 @@ def test_int4_grouped_quantization_formats_and_rtn_bound():
     q4 = quantize_lm_params(params, bits=4, group_size=g)
     wq = q4["layers"]["wq"]
     d, f = params["layers"]["wq"].shape[-2:]
-    assert wq["q"].dtype == jnp.int4 and wq["q"].shape == params["layers"]["wq"].shape
+    assert wq["qp"].dtype == jnp.uint8
+    assert wq["qp"].shape == (cfg.n_layers, d, f // 2)
     assert wq["gs"].shape == (cfg.n_layers, d // g, f)
     assert q4["embed"]["q"].dtype == jnp.int8  # sensitive: per-row int8 default
     assert q4["embed"]["s"].shape == (cfg.vocab_size, 1)
 
+    up = unpack_int4_params(q4)
+    uq = up["layers"]["wq"]["q"]
+    assert uq.dtype == jnp.int4 and uq.shape == params["layers"]["wq"].shape
+    assert "qp" not in up["layers"]["wq"]
+    assert unpack_int4_params(up)["layers"]["wq"]["q"].dtype == jnp.int4  # idempotent
+
     w = np.asarray(params["layers"]["w_up"], np.float32)  # [L, D, F]
-    q = np.asarray(q4["layers"]["w_up"]["q"], np.float32)
+    q = np.asarray(up["layers"]["w_up"]["q"], np.float32)
     gs = np.asarray(q4["layers"]["w_up"]["gs"])  # [L, D/g, F]
     step = np.repeat(gs, g, axis=1)  # per-element scale
     recon = q.reshape(w.shape) * step
     assert np.all(np.abs(recon - w) <= 0.5 * step + 1e-6)
 
     q4e = quantize_lm_params(params, bits=4, group_size=g, embed_bits=4)
-    assert q4e["embed"]["q"].dtype == jnp.int4
+    assert q4e["embed"]["qp"].dtype == jnp.uint8
+    assert unpack_int4_params(q4e)["embed"]["q"].dtype == jnp.int4
 
     with pytest.raises(ValueError):
         quantize_lm_params(params, bits=3)
@@ -272,7 +284,7 @@ def test_int4_quantization_mistral_untied_head():
     cfg = _mistral_tiny_cfg()
     params = init_params(cfg, jax.random.PRNGKey(1))
     q4 = quantize_lm_params(params, bits=4, group_size=16)
-    assert q4["lm_head"]["q"].dtype == jnp.int4
+    assert q4["lm_head"]["qp"].dtype == jnp.uint8
     assert q4["lm_head"]["gs"].shape[0] == params["lm_head"].shape[0] // 16
     tokens = jnp.asarray([[3, 1, 4, 1, 5]], jnp.int32)
     ref, _, _ = forward(params, tokens, cfg)
