@@ -27,6 +27,9 @@ D = int(os.environ.get("BENCH_DENSE_D", 768))
 K = 10
 TILE_N = int(os.environ.get("BENCH_DENSE_TILE", 4096))
 MERGE_SEGS = int(os.environ.get("BENCH_DENSE_SEGS", 1))
+MERGE_MODE = os.environ.get("BENCH_DENSE_MERGE", "carry")  # carry | nocarry
+GROUP_ROWS = int(os.environ.get("BENCH_DENSE_GROUP_ROWS", 64))
+MXU_INT8 = os.environ.get("BENCH_DENSE_MXU_INT8", "") == "1"  # int8 MXU dot
 N_PASSES = 100  # ~3 ms/batch: a long timed region keeps fetch noise <5%
 # the BASELINE target is stated for BM25; for dense we report against the
 # HBM bandwidth bound (v5e ~820 GB/s): time >= N*D*2 bytes / BW per batch
@@ -53,8 +56,8 @@ def main():
     emb32 = rng.normal(size=(N, D)).astype(np.float32)
     int8 = os.environ.get("BENCH_DENSE_INT8", "") == "1"
     rerank = os.environ.get("BENCH_DENSE_RERANK", "") == "1"
-    if rerank and not int8:
-        sys.exit("BENCH_DENSE_RERANK needs BENCH_DENSE_INT8=1")
+    if (rerank or MXU_INT8) and not int8:
+        sys.exit("BENCH_DENSE_RERANK / BENCH_DENSE_MXU_INT8 need BENCH_DENSE_INT8=1")
     store, sqn, scl, n = prepare_dense_store(
         jnp.asarray(emb32, np.float32 if int8 else jnp.bfloat16),
         tile_n=TILE_N, metric="ip",
@@ -74,10 +77,13 @@ def main():
             return dense_topk_rerank(
                 q, store, rer_emb, k=K, sq_norms=sqn, scales=scl,
                 n_total=n, tile_n=TILE_N, merge_segs=MERGE_SEGS,
+                merge_mode=MERGE_MODE, group_rows=GROUP_ROWS,
+                mxu_int8=MXU_INT8,
             )
         return dense_topk_pallas(
             q, store, k=K, sq_norms=sqn, scales=scl, n_total=n,
             tile_n=TILE_N, merge_segs=MERGE_SEGS,
+            merge_mode=MERGE_MODE, group_rows=GROUP_ROWS, mxu_int8=MXU_INT8,
         )
 
     t0 = time.time()
@@ -147,6 +153,9 @@ def main():
                     "k": K,
                     "tile_n": TILE_N,
                     "merge_segs": MERGE_SEGS,
+                    "merge_mode": MERGE_MODE,
+                    "group_rows": GROUP_ROWS,
+                    "mxu_int8": MXU_INT8,
                     "store_dtype": "int8" if int8 else "bfloat16",
                     "per_batch_ms": round(per_batch * 1e3, 2),
                     "emb_read_gbps": round(read_gbps, 1),

@@ -118,9 +118,73 @@ def topk_merge_tile(scores, idx_source, run_vals, run_idx, k, thresh_k=None):
     return run_vals, run_idx
 
 
+def topk_merge_tile_nocarry(scores, idx_base, run_vals, run_idx, k,
+                            thresh_k=None):
+    """Threshold-descent variant of :func:`topk_merge_tile`: same contract,
+    but the while_loop never carries (or rewrites) the [QB, TN] score
+    block. ``topk_merge_tile`` masks the extracted element into a fresh
+    copy of ``scores`` every round — a [QB, TN] f32 carry that Mosaic
+    round-trips through VMEM (~1 MB per round at [64, 4096]). Here the
+    carry is only the cursor ``(cur_s [QB,1], cur_l [QB,1])`` plus the
+    small running buffers: each round inserts the cursor element and then
+    re-finds the strictly-next element in lexicographic (score desc, lane
+    asc) order by re-reading the loop-invariant ``scores`` closure. Exact:
+    the lex order is a total order (lane ids are unique), so descent
+    enumerates candidates in exactly the order the masking version does.
+
+    ``idx_base`` is the global id of lane 0 (a scalar; dense columns are
+    contiguous) — recorded ids are ``idx_base + lane``."""
+    qb, tn = scores.shape
+    tk = k if thresh_k is None else thresh_k
+    lane = jax.lax.broadcasted_iota(jnp.int32, (qb, tn), 1)
+    kcol = jax.lax.broadcasted_iota(jnp.int32, (qb, run_vals.shape[-1]), 1)
+
+    def first_cursor():
+        cur_s = jnp.max(scores, axis=-1, keepdims=True)
+        cur_l = jnp.min(
+            jnp.where(scores == cur_s, lane, tn), axis=-1, keepdims=True)
+        return cur_s, cur_l
+
+    def cond(carry):
+        cur_s, _, run_vals, _ = carry
+        return jnp.any(cur_s[:, 0] > run_vals[:, tk - 1])
+
+    def body(carry):
+        cur_s, cur_l, run_vals, run_idx = carry
+        live = (cur_s[:, 0] > run_vals[:, tk - 1])[:, None]
+        pos = jnp.sum(
+            (run_vals > cur_s).astype(jnp.int32), axis=-1, keepdims=True)
+        insert = (kcol == pos) & live
+        shift_right = (kcol > pos) & live
+        prev_vals = jnp.concatenate(
+            [jnp.full((qb, 1), -jnp.inf, run_vals.dtype), run_vals[:, :-1]],
+            axis=-1)
+        prev_idx = jnp.concatenate(
+            [jnp.full((qb, 1), -1, run_idx.dtype), run_idx[:, :-1]], axis=-1)
+        cur_id = idx_base + cur_l
+        new_vals = jnp.where(
+            insert, cur_s, jnp.where(shift_right, prev_vals, run_vals))
+        new_idx = jnp.where(
+            insert, cur_id, jnp.where(shift_right, prev_idx, run_idx))
+        # strictly-next in (score desc, lane asc) lex order — scores is
+        # read-only here, so rows that stopped qualifying do idle lanes'
+        # worth of VPU work but no VMEM writes
+        after = (scores < cur_s) | ((scores == cur_s) & (lane > cur_l))
+        cand = jnp.where(after, scores, -jnp.inf)
+        nxt_s = jnp.max(cand, axis=-1, keepdims=True)
+        nxt_l = jnp.min(
+            jnp.where(cand == nxt_s, lane, tn), axis=-1, keepdims=True)
+        return nxt_s, nxt_l, new_vals, new_idx
+
+    cur_s, cur_l = first_cursor()
+    _, _, run_vals, run_idx = jax.lax.while_loop(
+        cond, body, (cur_s, cur_l, run_vals, run_idx))
+    return run_vals, run_idx
+
+
 def _kernel(q_ref, emb_ref, sqn_ref, scl_ref, out_v_ref, out_i_ref, vals,
             idxs, *, k, metric, n_total, tile_n, group_rows, merge_segs,
-            int8_store):
+            int8_store, merge_mode, mxu_int8):
     ni = pl.program_id(1)
     n_tiles = pl.num_programs(1)
 
@@ -130,17 +194,28 @@ def _kernel(q_ref, emb_ref, sqn_ref, scl_ref, out_v_ref, out_i_ref, vals,
         idxs[:] = jnp.full_like(idxs, -1)
 
     emb = emb_ref[:]
-    if int8_store:
-        # the sweep is HBM-read bound: the tile rides the bus as int8
-        # (half the bf16 bytes) and is dequantized HERE, in VMEM, to bf16
-        # for the MXU; the per-vector scale multiplies the f32 scores once
-        # (int8 -> bf16 is exact for |v| <= 127)
-        emb = emb.astype(jnp.bfloat16)
-    scores = jnp.dot(
-        q_ref[:], emb.T, preferred_element_type=jnp.float32
-    )  # [QB, TN]
-    if int8_store:
-        scores = scores * scl_ref[0:1, :]
+    if int8_store and mxu_int8:
+        # full-int8 MXU path: queries arrive pre-quantized (per-row int8;
+        # the row scale factors out of the row's ranking and is applied to
+        # the returned values OUTSIDE the kernel), the dot runs on the
+        # MXU's int8xint8->int32 path (2x the bf16 MAC rate on v5e), and
+        # only the per-DOC scale — which does affect ranking — multiplies
+        # the scores here
+        scores = jnp.dot(
+            q_ref[:], emb.T, preferred_element_type=jnp.int32
+        ).astype(jnp.float32) * scl_ref[0:1, :]
+    else:
+        if int8_store:
+            # the sweep is HBM-read bound: the tile rides the bus as int8
+            # (half the bf16 bytes) and is dequantized HERE, in VMEM, to
+            # bf16 for the MXU; the per-vector scale multiplies the f32
+            # scores once (int8 -> bf16 is exact for |v| <= 127)
+            emb = emb.astype(jnp.bfloat16)
+        scores = jnp.dot(
+            q_ref[:], emb.T, preferred_element_type=jnp.float32
+        )  # [QB, TN]
+        if int8_store:
+            scores = scores * scl_ref[0:1, :]
     if metric == "l2":
         # rank by -(||d||^2 - 2 q.d); caller re-adds ||q||^2
         scores = 2.0 * scores - sqn_ref[0:1, :]
@@ -198,15 +273,21 @@ def _kernel(q_ref, emb_ref, sqn_ref, scl_ref, out_v_ref, out_i_ref, vals,
                 jnp.int32, (gq, sw), 1
             )
 
-            def merge(seg=seg, seg_col=seg_col, g=g):
+            def merge(seg=seg, seg_col=seg_col, g=g, s0=s0):
                 # pad columns exist only in the final (partial) tile; a
                 # pad lane may spuriously trip the gates there — masked
                 # before the merge, so it inserts nothing
                 s = jnp.where(seg_col < n_total, seg, -jnp.inf)
-                new_vals, new_idx = topk_merge_tile(
-                    s, seg_col, vals[g : g + gq, :], idxs[g : g + gq, :],
-                    k,
-                )
+                if merge_mode == "nocarry":
+                    new_vals, new_idx = topk_merge_tile_nocarry(
+                        s, base + s0, vals[g : g + gq, :],
+                        idxs[g : g + gq, :], k,
+                    )
+                else:
+                    new_vals, new_idx = topk_merge_tile(
+                        s, seg_col, vals[g : g + gq, :],
+                        idxs[g : g + gq, :], k,
+                    )
                 vals[g : g + gq, :] = new_vals
                 idxs[g : g + gq, :] = new_idx
 
@@ -282,7 +363,7 @@ def prepare_dense_store(
     jax.jit,
     static_argnames=(
         "k", "metric", "tile_n", "tile_q", "interpret", "n_total",
-        "group_rows", "merge_segs", "k_pad",
+        "group_rows", "merge_segs", "k_pad", "merge_mode", "mxu_int8",
     ),
 )
 def dense_topk_pallas(
@@ -302,6 +383,12 @@ def dense_topk_pallas(
     k_pad: int = 0,  # running-buffer width (0 = K_PAD); the rerank path
     # asks for a deeper candidate pool — lanes pad to 128, so wider
     # buffers cost no extra vregs up to 128
+    merge_mode: str = "carry",  # "carry" (topk_merge_tile) or "nocarry"
+    # (threshold-descent; no [QB, TN] while-loop carry)
+    mxu_int8: bool = False,  # int8 stores only: quantize queries per-row
+    # and run the sweep dot on the MXU's int8xint8->int32 path (2x the
+    # bf16 MAC rate); ip metric only — the per-row query scale factors out
+    # of ranking and is applied to the returned values
     interpret: bool = False,
 ):
     """Returns (scores [Q, k], indices [Q, k]); same contract as
@@ -324,7 +411,22 @@ def dense_topk_pallas(
             "int8 embeddings need the per-vector scales from "
             "prepare_dense_store(store_dtype='int8')"
         )
-    if embeddings.dtype == jnp.bfloat16 or int8_store:
+    if merge_mode not in ("carry", "nocarry"):
+        raise ValueError(f"unknown merge_mode {merge_mode!r}")
+    q_row_scale = None
+    if mxu_int8:
+        if not int8_store or metric != "ip":
+            raise ValueError("mxu_int8 needs an int8 store and metric='ip'")
+        # per-row symmetric query quantization; the row scale multiplies
+        # every score in the row equally, so ranking is unaffected and the
+        # scale is applied to the returned values after the kernel
+        qmax = jnp.max(jnp.abs(queries.astype(jnp.float32)), axis=-1)
+        q_row_scale = jnp.where(qmax > 0, qmax / 127.0, 1.0)  # [Q]
+        queries = jnp.clip(
+            jnp.round(queries.astype(jnp.float32) / q_row_scale[:, None]),
+            -127, 127,
+        ).astype(jnp.int8)
+    elif embeddings.dtype == jnp.bfloat16 or int8_store:
         # pure-bf16 MXU matmul (f32 accumulate): a mixed f32 x bf16 dot
         # falls on the multi-pass f32 MXU path (~4x slower, measured); the
         # int8 store dequantizes tiles to bf16 in-kernel
@@ -383,6 +485,7 @@ def dense_topk_pallas(
     kernel = functools.partial(
         _kernel, k=k, metric=metric, n_total=n, tile_n=tile_n,
         group_rows=group_rows, merge_segs=merge_segs, int8_store=int8_store,
+        merge_mode=merge_mode, mxu_int8=mxu_int8,
     )
     out_v, out_i = pl.pallas_call(
         kernel,
@@ -414,6 +517,8 @@ def dense_topk_pallas(
 
     vals = out_v[:q, :k]
     idx = out_i[:q, :k]
+    if q_row_scale is not None:
+        vals = vals * q_row_scale[:q, None]
     if metric == "l2":
         q_sq = jnp.sum(queries[:q].astype(jnp.float32) ** 2, axis=-1, keepdims=True)
         vals = -vals + q_sq
@@ -424,7 +529,7 @@ def dense_topk_pallas(
     jax.jit,
     static_argnames=(
         "k", "metric", "tile_n", "n_total", "k_pad", "group_rows",
-        "merge_segs", "interpret",
+        "merge_segs", "merge_mode", "mxu_int8", "interpret",
     ),
 )
 def dense_topk_rerank(
@@ -441,6 +546,8 @@ def dense_topk_rerank(
     k_pad: int = 32,
     group_rows: int = 64,
     merge_segs: int = 1,
+    merge_mode: str = "carry",
+    mxu_int8: bool = False,
     interpret: bool = False,
 ):
     """Quantized sweep + exact refinement (the faiss ``IndexRefineFlat``
@@ -464,7 +571,7 @@ def dense_topk_rerank(
         queries, embeddings, k=k_pad, metric=metric, tile_n=tile_n,
         sq_norms=sq_norms, scales=scales, n_total=n_total,
         group_rows=group_rows, merge_segs=merge_segs, k_pad=k_pad,
-        interpret=interpret,
+        merge_mode=merge_mode, mxu_int8=mxu_int8, interpret=interpret,
     )
     valid = cand >= 0
     rows = rerank_emb[jnp.maximum(cand, 0)]  # [Q, R, D] candidate gather

@@ -64,6 +64,7 @@ def test_published_tables_shape():
             assert len(row) == 6  # six datasets
 
 
+@pytest.mark.slow
 def test_prober_offline_eval_on_trained_probers():
     lm = init_params(CFG, jax.random.PRNGKey(0))
     tok = ByteTokenizer(CFG.vocab_size)
@@ -84,6 +85,7 @@ def test_prober_offline_eval_on_trained_probers():
     assert res.site_accuracy.max() > 0.7
 
 
+@pytest.mark.slow
 def test_figure_rendering_and_report(tmp_path):
     """C22 figure suite on fixture data: KDE projection, layer x position
     heatmap, and the assembled markdown report."""

@@ -76,6 +76,7 @@ def test_forward_with_attn_shapes(stack):
     assert abs(p[0, -1]) < 1e-6
 
 
+@pytest.mark.slow
 def test_traced_generate(stack):
     lm, tok, _, _ = stack
     trace = traced_generate(lm, CFG, tok, "Question: who?\nAnswer:", 8)
@@ -115,6 +116,7 @@ def test_dragin_modifier_clean_text(stack):
     assert hall is False and text == "alpha beta."
 
 
+@pytest.mark.slow
 def test_fixlength_inference_runs(stack):
     lm, tok, engine, store = stack
     bc = BaselineConfig(generate_max_length=16, max_rounds=2)
@@ -125,6 +127,7 @@ def test_fixlength_inference_runs(stack):
         assert rag.counter.retrieve >= 1
 
 
+@pytest.mark.slow
 def test_dragin_inference_runs(stack):
     lm, tok, engine, store = stack
     bc = BaselineConfig(generate_max_length=16, max_rounds=2,
@@ -135,6 +138,7 @@ def test_dragin_inference_runs(stack):
     assert rag.counter.generate >= 1
 
 
+@pytest.mark.slow
 def test_flare_inference_runs(stack):
     lm, tok, engine, store = stack
     bc = BaselineConfig(generate_max_length=16, max_rounds=2, flare_threshold=0.99)
@@ -143,6 +147,7 @@ def test_flare_inference_runs(stack):
     assert isinstance(out, str)
 
 
+@pytest.mark.slow
 def test_llm_classifier_gate(stack):
     from probing_rag_tpu.pipeline.baselines import LLMClassifierGate
 

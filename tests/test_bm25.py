@@ -110,6 +110,7 @@ def test_fewer_hits_than_k():
     assert result.doc_indices[0, 0] == 2
 
 
+@pytest.mark.slow
 def test_save_load_roundtrip(tmp_path):
     index = BM25Index.build(CORPUS, BM25Config())
     index.save(tmp_path / "idx")
@@ -150,6 +151,7 @@ def test_zero_idf_terms_still_match():
     np.testing.assert_allclose(res.scores[0], 0.0, atol=1e-7)
 
 
+@pytest.mark.slow
 def test_engine_pallas_fused_path_matches_xla():
     rng = np.random.default_rng(7)
     vocab = [f"w{i}" for i in range(100)]
@@ -168,6 +170,7 @@ def test_engine_pallas_fused_path_matches_xla():
                 np.testing.assert_allclose(dense[d1], dense[d2], rtol=1e-4)
 
 
+@pytest.mark.slow
 def test_mega_batch_matches_bucketed():
     rng = np.random.default_rng(11)
     vocab = [f"w{i}" for i in range(150)]
@@ -187,6 +190,7 @@ def test_mega_batch_matches_bucketed():
                 np.testing.assert_allclose(dense[d1], dense[d2], rtol=1e-4)
 
 
+@pytest.mark.slow
 def test_mega_batch_overflow_path():
     # a plan with tiny capacities forces escalation + overflow fallback
     rng = np.random.default_rng(12)
@@ -202,6 +206,7 @@ def test_mega_batch_overflow_path():
     np.testing.assert_allclose(r1.scores, r2.scores, rtol=1e-4, atol=1e-6)
 
 
+@pytest.mark.slow
 def test_search_stream_matches_bucketed():
     """The O(buckets)-dispatch scanned stream path returns the same answers
     as the per-tile bucketed path (and hence the oracle)."""

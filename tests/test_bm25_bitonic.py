@@ -81,6 +81,7 @@ def test_bitonic_search_matches_oracle(zipf_index):
                 assert oracle[d] == pytest.approx(s, abs=5e-4)
 
 
+@pytest.mark.slow
 def test_bitonic_duplicate_term_counts_twice(zipf_index):
     idx, _ = zipf_index
     eng = BM25Engine(idx, mode="bitonic", interpret=True)
@@ -90,6 +91,7 @@ def test_bitonic_duplicate_term_counts_twice(zipf_index):
     assert np.allclose(double.scores[0], 2 * single.scores[0], atol=1e-4)
 
 
+@pytest.mark.slow
 def test_bitonic_overcap_query_exact_via_fallback(zipf_index):
     """Queries whose slot total exceeds the bitonic row cap must be EXACT
     (routed to the XLA fallback over the compact copy), not term-trimmed
@@ -110,6 +112,7 @@ def test_bitonic_overcap_query_exact_via_fallback(zipf_index):
         assert d >= 0 and oracle[d] == pytest.approx(s, rel=1e-4, abs=1e-3)
 
 
+@pytest.mark.slow
 def test_bitonic_single_highdf_term_returns_hits(zipf_index):
     """A single-term query on a term whose aligned slot exceeds max_pad used
     to return ZERO hits (the term was unscorable in bitonic mode). Now it
@@ -218,6 +221,7 @@ def test_weight_blocks_matches_loop_reference():
     np.testing.assert_array_equal(got, exp)
 
 
+@pytest.mark.slow
 def test_bitonic_dedup_heavy_duplicates_match_oracle(zipf_index):
     """Repeated terms are planned once with occurrence-count weights (exact
     dedup); scores must match the per-occurrence oracle on both the bitonic
@@ -240,6 +244,7 @@ def test_bitonic_dedup_heavy_duplicates_match_oracle(zipf_index):
         )
 
 
+@pytest.mark.slow
 def test_bitonic_dedup_shrinks_planned_totals(zipf_index):
     """Dedup must reduce the planned slot total (the whole point: smaller
     sort widths and fewer over-cap fallbacks on repetitive query text)."""
@@ -264,6 +269,7 @@ def _dedup_args(lists):
     return u, w
 
 
+@pytest.mark.slow
 def test_overcap_many_short_terms_assembly_path(zipf_index):
     """Over-cap queries whose short tail is big enough for the VMEM
     assembly gather (pad_short >= 1024): exact vs the oracle, with and

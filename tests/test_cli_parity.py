@@ -10,6 +10,7 @@ from pathlib import Path
 import pytest
 
 
+@pytest.mark.slow
 def test_rag_run_quantize_int4_smoke(tmp_path):
     """`rag-run --quantize int4` must work on the smoke path: the CLI
     quantizes the (tiny random) LM with a group size clamped to d_model and

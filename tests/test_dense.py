@@ -4,6 +4,7 @@ oracle, SURVEY.md §4), L2 vs IP metrics, encoder shape/masking."""
 import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 from probing_rag_tpu.models.encoder import (
     EncoderConfig,
@@ -61,6 +62,7 @@ def test_dense_engine_roundtrip(tmp_path):
     assert list(res.doc_indices[:, 0]) == [3, 77]
 
 
+@pytest.mark.slow
 def test_encoder_forward_mask_and_pooling():
     cfg = EncoderConfig.tiny()
     cfg = EncoderConfig(

@@ -16,6 +16,7 @@ import dataclasses
 import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 from probing_rag_tpu.data.corpus import DocStore
 from probing_rag_tpu.models.decode import StopTables, generate
@@ -31,6 +32,7 @@ def _prompt(q: str) -> str:
     return f"Q: {q}\nA:"
 
 
+@pytest.mark.slow
 def test_trained_gate_separates_learned_classes():
     lm = init_params(CFG, jax.random.PRNGKey(0))
     tok = ByteTokenizer(CFG.vocab_size)

@@ -10,6 +10,7 @@ import pytest
 sys.path.insert(0, str(Path(__file__).parent.parent))
 
 
+@pytest.mark.slow
 def test_entry_compiles():
     import __graft_entry__ as g
 

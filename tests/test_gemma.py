@@ -30,6 +30,7 @@ def params():
     return init_params(CFG, jax.random.PRNGKey(0))
 
 
+@pytest.mark.slow
 def test_forward_shapes_and_captures(params):
     tokens = jnp.arange(12, dtype=jnp.int32).reshape(2, 6) % CFG.vocab_size
     capture = CaptureSpec(((1, "resid_mid"), (2, "resid_post")))
@@ -39,6 +40,7 @@ def test_forward_shapes_and_captures(params):
     assert not np.allclose(np.asarray(caps[0]), np.asarray(caps[1]))
 
 
+@pytest.mark.slow
 def test_resid_sites_are_consistent(params):
     # resid_post of layer l == resid_mid of layer l + mlp branch; check the
     # stream actually differs between sites and layers feed forward.
@@ -51,6 +53,7 @@ def test_resid_sites_are_consistent(params):
     assert not np.allclose(post0, mid1)
 
 
+@pytest.mark.slow
 def test_kv_cache_matches_full_forward(params):
     tokens = jax.random.randint(jax.random.PRNGKey(1), (2, 10), 0, CFG.vocab_size)
     full_logits, _, _ = forward(params, tokens, CFG)
@@ -72,6 +75,7 @@ def test_kv_cache_matches_full_forward(params):
     )
 
 
+@pytest.mark.slow
 def test_int8_kv_cache_bounded_logit_drift(params):
     """int8 KV cache (per-token-per-head scales, dequant fused into the
     attention read) must track the f32-cache logits closely and keep the
@@ -94,6 +98,7 @@ def test_int8_kv_cache_bounded_logit_drift(params):
     np.testing.assert_array_equal(np.argmax(ref, -1), np.argmax(inc, -1))
 
 
+@pytest.mark.slow
 def test_left_padding_invariance(params):
     ids = jax.random.randint(jax.random.PRNGKey(2), (1, 7), 0, CFG.vocab_size)
     logits_plain, _, _ = forward(params, ids, CFG)
@@ -166,6 +171,7 @@ def test_decode_matches_reference_simulation(params):
     assert texts[0].startswith(prompt)
 
 
+@pytest.mark.slow
 def test_decode_batch_rows_match_single(params):
     tok = ByteTokenizer(CFG.vocab_size)
     prompts = ["alpha beta", "some longer different prompt here"]
@@ -196,6 +202,7 @@ def test_gemma_2b_config_matches_reference_geometry():
     assert cfg.d_model == 2048 and cfg.n_layers == 18
 
 
+@pytest.mark.slow
 def test_gqa_config_forward_and_cache():
     # Mistral-family geometry: grouped-query attention (n_kv_heads > 1)
     cfg = dataclasses.replace(

@@ -43,6 +43,7 @@ def _synthetic_gemma_ckpt(tmp_path, cfg):
     return t
 
 
+@pytest.mark.slow
 def test_gemma_loader_roundtrip(tmp_path):
     raw = _synthetic_gemma_ckpt(tmp_path, CFG)
     params = load_gemma_params(tmp_path, CFG)
@@ -69,6 +70,7 @@ def test_gemma_loader_geometry_mismatch_raises(tmp_path):
         load_gemma_params(tmp_path, wrong)
 
 
+@pytest.mark.slow
 def test_encoder_loader_roundtrip(tmp_path):
     cfg = dataclasses.replace(EncoderConfig.tiny(), compute_dtype=jnp.float32)
     rng = np.random.default_rng(1)
@@ -108,6 +110,7 @@ def _mistral_tiny_cfg():
 
 
 @pytest.mark.parametrize("family", ["gemma", "mistral"])
+@pytest.mark.slow
 def test_logit_parity_against_hf_transformers(tmp_path, family):
     """End-to-end numeric parity with the HF torch implementation the
     reference runs on (exp_rag.py:302 via transformer_lens): a tiny random
@@ -154,6 +157,7 @@ def test_logit_parity_against_hf_transformers(tmp_path, family):
     np.testing.assert_allclose(np.asarray(ours), ref, rtol=2e-3, atol=2e-3)
 
 
+@pytest.mark.slow
 def test_int8_quantized_forward_bounds_logit_drift():
     """Per-channel int8 weights: HBM payload shrinks ~2x (decode is
     weight-bandwidth-bound) while logits stay within a small drift bound."""
@@ -181,6 +185,7 @@ def test_int8_quantized_forward_bounds_logit_drift():
     assert agree >= 0.85, agree
 
 
+@pytest.mark.slow
 def test_int8_quantization_mistral_untied_head():
     from probing_rag_tpu.models.gemma import init_params, quantize_lm_params
 
@@ -196,6 +201,7 @@ def test_int8_quantization_mistral_untied_head():
     )
 
 
+@pytest.mark.slow
 def test_int4_grouped_quantization_formats_and_rtn_bound():
     """Grouped w4a16 (bits=4): layer matmuls become the boundary format
     {"qp": uint8 [D, F/2] nibble-packed, "gs": f32 [D/group, F]} (native S4
@@ -250,6 +256,7 @@ def test_int4_grouped_quantization_formats_and_rtn_bound():
     assert q4d["layers"]["w_down"]["gs"].shape[1] == cfg.d_ff // 64
 
 
+@pytest.mark.slow
 def test_int4_forward_drift_bounded_and_branches_agree(monkeypatch):
     """int4 logits drift more than int8 (15 levels vs 255) but stay bounded;
     and the two matmul implementations — grouped batched dot (decode rows)
@@ -278,6 +285,7 @@ def test_int4_forward_drift_bounded_and_branches_agree(monkeypatch):
     np.testing.assert_allclose(grouped, dequant, rtol=0.02, atol=0.05 * spread)
 
 
+@pytest.mark.slow
 def test_int4_quantization_mistral_untied_head():
     from probing_rag_tpu.models.gemma import init_params, quantize_lm_params
 
@@ -293,6 +301,7 @@ def test_int4_quantization_mistral_untied_head():
     assert np.sqrt(((got - ref) ** 2).mean()) < 0.6 * ref.std()
 
 
+@pytest.mark.slow
 def test_int4_decode_loop_runs_with_int8_kv():
     """The grouped-int4 matmul must trace inside the decode while_loop with
     the int8 KV cache (the full serving quantization stack) and keep the

@@ -156,6 +156,7 @@ def test_probe_recall_on_clustered_data():
     assert (res.doc_indices[:, 0] == qids).mean() >= 0.9
 
 
+@pytest.mark.slow
 def test_cli_index_build_dense_ivf(tmp_path):
     """--dense --dense-ivf must leave a loadable IVF store next to the flat
     one, covering every doc the flat index covers."""

@@ -29,6 +29,7 @@ WORDS = [
 
 
 @needs_native
+@pytest.mark.slow
 def test_porter_stemmer_matches_nltk_original():
     from nltk.stem import PorterStemmer
 

@@ -126,6 +126,7 @@ def test_int8_store_requires_scales():
         )
 
 
+@pytest.mark.slow
 def test_dense_engine_int8_store():
     """DenseEngine(store_dtype=int8) end to end: top-1 must match the f32
     engine on well-separated data, and the XLA fallback must refuse int8."""
@@ -150,6 +151,7 @@ def test_dense_engine_int8_store():
 
 
 @pytest.mark.parametrize("group_rows", [16, 32, 0])
+@pytest.mark.slow
 def test_group_split_merge_matches_xla_op(group_rows):
     """The per-group gated merge (group_rows < query block) must rank
     identically to the whole-block merge and the XLA oracle — covers
@@ -169,6 +171,7 @@ def test_group_split_merge_matches_xla_op(group_rows):
 
 
 @pytest.mark.parametrize("merge_segs", [2, 4])
+@pytest.mark.slow
 def test_lane_segment_merge_matches_xla_op(merge_segs):
     """The lane-segment-split merge (merge_segs > 1) must rank identically
     to the single-span merge: segments see a rising k-th threshold as
@@ -263,3 +266,88 @@ def test_dense_engine_int8_rerank_recall():
     rr = er.search_embeddings(q, k=5)
     order = np.argsort(-(q @ emb.T), axis=-1)[:, :5]
     np.testing.assert_array_equal(rr.doc_indices, order)
+
+
+@pytest.mark.parametrize("group_rows", [0, 32])
+def test_nocarry_merge_matches_xla_op(group_rows):
+    """merge_mode="nocarry" (threshold-descent; no [QB, TN] while-loop
+    carry) must rank identically to the carry merge and the XLA oracle —
+    covers duplicate scores (lex tie-break by lane), partial final tiles,
+    and multi-group gating."""
+    rng = np.random.default_rng(7)
+    emb = rng.normal(size=(900, 32)).astype(np.float32)
+    emb[17] = emb[530]  # exact duplicate scores across tiles
+    emb[100] = emb[101]  # exact duplicate scores within a tile
+    q = rng.normal(size=(96, 32)).astype(np.float32)
+    v1, i1 = matmul_topk(
+        jnp.asarray(q), jnp.asarray(emb), k=5, metric="ip", tile_n=256
+    )
+    v2, i2 = dense_topk_pallas(
+        jnp.asarray(q), jnp.asarray(emb), k=5, metric="ip",
+        tile_n=256, tile_q=96, group_rows=group_rows, merge_mode="nocarry",
+        interpret=INTERPRET,
+    )
+    np.testing.assert_allclose(np.asarray(v1), np.asarray(v2), rtol=1e-5)
+    # duplicate-score rows may legitimately order the tied pair either way;
+    # compare as ranked score lists plus set equality of indices
+    got, want = np.asarray(i2), np.asarray(i1)
+    scores = q @ emb.T
+    for r in range(q.shape[0]):
+        np.testing.assert_allclose(
+            scores[r][got[r]], scores[r][want[r]], rtol=1e-5)
+
+
+def test_nocarry_merge_with_segments_matches_oracle():
+    rng = np.random.default_rng(8)
+    emb = rng.normal(size=(700, 32)).astype(np.float32)
+    q = rng.normal(size=(16, 32)).astype(np.float32)
+    v1, i1 = matmul_topk(
+        jnp.asarray(q), jnp.asarray(emb), k=5, metric="ip", tile_n=256
+    )
+    v2, i2 = dense_topk_pallas(
+        jnp.asarray(q), jnp.asarray(emb), k=5, metric="ip",
+        tile_n=256, tile_q=16, merge_segs=2, merge_mode="nocarry",
+        interpret=INTERPRET,
+    )
+    np.testing.assert_allclose(np.asarray(v1), np.asarray(v2), rtol=1e-5)
+    np.testing.assert_array_equal(np.asarray(i1), np.asarray(i2))
+
+
+def test_mxu_int8_sweep_matches_int8_oracle():
+    """mxu_int8: int8 queries x int8 store on the int32 MXU path. Ranking
+    must match the host int8xint8 oracle exactly, and returned values must
+    carry the per-row query scale."""
+    from probing_rag_tpu.ops.pallas_dense import prepare_dense_store
+
+    rng = np.random.default_rng(9)
+    emb = rng.normal(size=(700, 64)).astype(np.float32)
+    q = rng.normal(size=(9, 64)).astype(np.float32)
+    store, _, scl, n = prepare_dense_store(
+        jnp.asarray(emb), tile_n=256, metric="ip", store_dtype=jnp.int8)
+    vals, idx = dense_topk_pallas(
+        jnp.asarray(q), store, k=5, metric="ip", scales=scl, n_total=n,
+        tile_n=256, tile_q=8, mxu_int8=True, interpret=INTERPRET,
+    )
+    # host oracle of the same quantized computation
+    qmax = np.abs(q).max(-1)
+    qs = np.where(qmax > 0, qmax / 127.0, 1.0)
+    qq = np.clip(np.round(q / qs[:, None]), -127, 127).astype(np.int32)
+    eq = np.asarray(store[:n]).astype(np.int32)
+    es = np.asarray(scl)[0, :n]
+    oracle = (qq @ eq.T).astype(np.float32) * es[None, :] * qs[:, None]
+    order = np.argsort(-oracle, axis=-1)[:, :5]
+    np.testing.assert_array_equal(np.asarray(idx), order)
+    for r in range(9):
+        np.testing.assert_allclose(
+            np.asarray(vals[r]), oracle[r][order[r]], rtol=1e-5)
+
+
+def test_mxu_int8_requires_int8_store():
+    rng = np.random.default_rng(10)
+    emb = jnp.asarray(rng.normal(size=(256, 32)), jnp.bfloat16)
+    q = jnp.asarray(rng.normal(size=(8, 32)), jnp.float32)
+    with pytest.raises(ValueError):
+        dense_topk_pallas(
+            q, emb, k=5, metric="ip", tile_n=256, tile_q=8, mxu_int8=True,
+            interpret=INTERPRET,
+        )

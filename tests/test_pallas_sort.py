@@ -16,6 +16,7 @@ from probing_rag_tpu.ops.pallas_sort import (
 
 @pytest.mark.parametrize("q,p", [(4, 256), (8, 1024), (3, 512), (9, 128)])
 @pytest.mark.parametrize("unroll", [True, False])
+@pytest.mark.slow
 def test_sort_pairs_matches_numpy(q, p, unroll):
     rng = np.random.default_rng(q * 1000 + p)
     k = rng.integers(0, 500, (q, p)).astype(np.int32)
@@ -48,6 +49,7 @@ def test_sort_pairs_with_sentinel_padding():
     "q,p,w", [(3, 2048, 256), (2, 4096, 512), (5, 1024, 128)]
 )
 @pytest.mark.parametrize("unroll", [True, False])
+@pytest.mark.slow
 def test_sort_pairs_wide_matches_numpy(q, p, w, unroll):
     rng = np.random.default_rng(q * 1000 + p + w)
     k = rng.integers(0, 700, (q, p)).astype(np.int32)
@@ -64,6 +66,7 @@ def test_sort_pairs_wide_matches_numpy(q, p, w, unroll):
         assert a == b
 
 
+@pytest.mark.slow
 def test_sort_pairs_wide_narrow_delegates():
     # p <= lane_width routes to the single-tile kernel
     rng = np.random.default_rng(7)
@@ -110,6 +113,7 @@ def test_sort_pairs_k_stop_establishes_block_alternation():
 
 
 @pytest.mark.parametrize("wide", [False, True])
+@pytest.mark.slow
 def test_sort_kernels_k_start_resumes_partial_network(wide):
     """Rows preconditioned to the post-stage-B state (every B-block sorted,
     alternating) sort fully with k_start=2B — in both the single-tile and

@@ -27,6 +27,7 @@ def _random_sorted_postings(rng, q, p, n_docs, run_max=6):
 
 
 @pytest.mark.parametrize("seed", [0, 1, 2])
+@pytest.mark.slow
 def test_segment_topk_pallas_matches_xla(seed):
     rng = np.random.default_rng(seed)
     q, p, n_docs, k = 7, 1500, 40, 5  # non-multiples of the tile sizes
@@ -54,6 +55,7 @@ def test_segment_topk_pallas_matches_xla(seed):
                 )
 
 
+@pytest.mark.slow
 def test_segment_sum_exact_at_large_prefix_sums():
     """Run totals must NOT be computed as differences of a row-long f32
     cumsum: at production widths the prefix sum reaches ~1e5 where an f32
@@ -112,6 +114,7 @@ def test_segment_topk_runs_spanning_tiles():
     np.testing.assert_allclose(float(v[1, 1]), 256.0, rtol=1e-5)
 
 
+@pytest.mark.slow
 def test_fused_search_matches_split():
     rng = np.random.default_rng(3)
     nnz, n_docs, t = 20_000, 500, 200
@@ -193,6 +196,7 @@ def test_postings_gather_pallas_alternated_blocks():
 
 @pytest.mark.parametrize("row_tile", [1, 4, 8])
 @pytest.mark.parametrize("weighted", [False, True])
+@pytest.mark.slow
 def test_postings_assemble_matches_xla_gather(weighted, row_tile):
     """Compact VMEM-assembly short-term gather vs ops.sparse.postings_gather
     (same slot order, same sentinel tail, weights pre-applied), single-row
@@ -247,6 +251,7 @@ def test_postings_assemble_matches_xla_gather(weighted, row_tile):
 
 
 @pytest.mark.parametrize("row_tile", [1, 3, 6])
+@pytest.mark.slow
 def test_postings_assemble_block_boundary_lens(row_tile):
     """Kernel contract edges: term lengths at/near the 1024 per-term bound
     and fills landing exactly on block boundaries (flush-path corners the

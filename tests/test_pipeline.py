@@ -44,6 +44,7 @@ def _pipeline(setup, **kw):
     return AdaptiveRAGPipeline(lm, CFG, tok, engine, store, probers, rag)
 
 
+@pytest.mark.slow
 def test_none_method(setup):
     pipe = _pipeline(setup, retr_method="none")
     res = pipe.run(["who is the president?", "what is the capital of france?"])
@@ -53,6 +54,7 @@ def test_none_method(setup):
         assert q in p  # prediction text includes the prompt (reference shape)
 
 
+@pytest.mark.slow
 def test_simple_method(setup):
     pipe = _pipeline(setup, retr_method="simple")
     res = pipe.run(["capital of france"])
@@ -60,6 +62,7 @@ def test_simple_method(setup):
     assert "passage 1:" in res.pred_list[0]
 
 
+@pytest.mark.slow
 def test_probing_method_forced_stop(setup):
     # threshold -> -inf forces the gate to stop immediately: no retrieval
     pipe = _pipeline(setup, retr_method="probing", threshold=-1e6)
@@ -68,6 +71,7 @@ def test_probing_method_forced_stop(setup):
     assert all(s is not None for s in res.gate_scores)
 
 
+@pytest.mark.slow
 def test_probing_method_kv_int8(setup):
     """RAGConfig(kv_int8=True) threads the int8 KV cache through the
     pipeline's generate calls; the loop semantics must be unchanged."""
@@ -78,6 +82,7 @@ def test_probing_method_kv_int8(setup):
     assert "capital of france" in res.pred_list[0]
 
 
+@pytest.mark.slow
 def test_probing_method_forced_retrieve(setup):
     # threshold -> +inf forces retrieval every round: hard cap applies
     pipe = _pipeline(setup, retr_method="probing", threshold=1e6)
@@ -103,6 +108,7 @@ def test_probing_batch_sizes_dont_change_results(setup):
     assert res1.retr_count_list == res3.retr_count_list
 
 
+@pytest.mark.slow
 def test_run_resumable_skips_completed_chunks(setup, tmp_path):
     pipe = _pipeline(setup, retr_method="none")
     qs = [f"question {i}?" for i in range(5)]
@@ -121,6 +127,7 @@ def test_run_resumable_skips_completed_chunks(setup, tmp_path):
     assert r3.pred_list == r1.pred_list
 
 
+@pytest.mark.slow
 def test_pipeline_with_dense_retriever(setup):
     """The dense engine drops into the same pipeline slot as BM25
     (exp_rag.py's --is_sparse toggle)."""
@@ -149,6 +156,7 @@ def test_pipeline_with_dense_retriever(setup):
     assert "passage 1:" in res.pred_list[0]
 
 
+@pytest.mark.slow
 def test_pipeline_with_ivf_retriever(setup):
     """The IVF engine satisfies the same retriever contract (search(texts,
     k) -> .doc_indices) as BM25/flat dense — probed search composes with
@@ -178,6 +186,7 @@ def test_pipeline_with_ivf_retriever(setup):
     assert "passage 1:" in res.pred_list[0]
 
 
+@pytest.mark.slow
 def test_run_resumable_persists_gate_scores(setup, tmp_path):
     """A resumed probing eval must reproduce the gate diagnostics the
     analysis suite consumes (VERDICT r1: run_resumable dropped them)."""

@@ -6,6 +6,7 @@ import dataclasses
 import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 from probing_rag_tpu.models.gemma import GemmaConfig, init_params
 from probing_rag_tpu.models.tokenizer import ByteTokenizer
@@ -66,6 +67,7 @@ def test_pooling_mean_vs_sum():
     np.testing.assert_allclose(np.asarray(mean[0]), expected_mean)
 
 
+@pytest.mark.slow
 def test_gate_decision_threshold_semantics():
     # Construct probers whose output is controlled via the input:
     # use real probers but check the decision rule holds on their scores.
@@ -85,6 +87,7 @@ def test_gate_decision_threshold_semantics():
     assert not np.asarray(retrieve_lo).any()
 
 
+@pytest.mark.slow
 def test_gate_ablation_drops_probers():
     stack = jax.tree.map(
         lambda *xs: jnp.stack(xs),
@@ -97,6 +100,7 @@ def test_gate_ablation_drops_probers():
     assert np.asarray(s_abl).max() <= 2.0 + 1e-5
 
 
+@pytest.mark.slow
 def test_train_probers_learns_separable_labels():
     """End-to-end: frozen tiny LM + vmapped prober training on a dataset
     whose label is decodable from the text (distinct token patterns)."""
@@ -119,6 +123,7 @@ def test_train_probers_learns_separable_labels():
     assert max(dev_acc) > 0.9, f"probers failed to fit separable data: {dev_acc}"
 
 
+@pytest.mark.slow
 def test_probe_loss_bce_branch_matches_torch():
     """1-logit probers take the reference's sigmoid+BCE branch
     (utils.py:132-137); parity against torch.nn.BCELoss."""
@@ -147,6 +152,7 @@ def test_probe_loss_bce_branch_with_weights():
     assert np.isfinite(loss) and loss < 0.2
 
 
+@pytest.mark.slow
 def test_one_logit_probe_trains():
     """A 1-logit ImprovedProbe (output_size=1) flows through init + loss."""
     from probing_rag_tpu.prober.model import improved_probe_forward, init_improved_probe

@@ -6,6 +6,7 @@ import dataclasses
 import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 from probing_rag_tpu.models.decode import generate
 from probing_rag_tpu.models.gemma import GemmaConfig, init_params
@@ -50,6 +51,7 @@ def test_temperature_zero_limit_is_sharp():
     assert seen == {1}
 
 
+@pytest.mark.slow
 def test_sampled_generate_runs_and_is_seeded():
     params = init_params(CFG, jax.random.PRNGKey(0))
     tok = ByteTokenizer(CFG.vocab_size)

@@ -37,6 +37,7 @@ def test_lm_forward_nan_clean(debug_nans):
     jax.block_until_ready(logits)  # debug_nans raises here if any NaN appeared
 
 
+@pytest.mark.slow
 def test_prober_train_step_nan_clean(debug_nans):
     from probing_rag_tpu.prober.train import (
         ProberTrainConfig, init_prober_stack, make_optimizer, prober_train_step,
@@ -64,6 +65,7 @@ def test_prober_train_step_nan_clean(debug_nans):
     assert np.isfinite(np.asarray(losses)).all()
 
 
+@pytest.mark.slow
 def test_pallas_kernel_interpret_sweep(debug_nans):
     """Every Pallas kernel executes in interpreter mode with NaN checking on:
     DMA gather, fused search, segment+top-k, dense matmul+top-k."""

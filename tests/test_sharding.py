@@ -76,6 +76,7 @@ def test_sharded_dense_equals_single_device(eight_devices):
         np.testing.assert_array_equal(np.asarray(i1), np.asarray(i2))
 
 
+@pytest.mark.slow
 def test_sharded_dense_pallas_route_and_int8(eight_devices):
     """The per-shard Pallas route (the single-chip flagship kernel under
     shard_map) must match the XLA route, and an int8 sharded store must
@@ -131,6 +132,7 @@ def test_sharded_dense_negative_scores_uneven_split(eight_devices):
     np.testing.assert_array_equal(np.asarray(i1), np.asarray(i2))
 
 
+@pytest.mark.slow
 def test_tp_sharded_lm_forward_matches_unsharded(eight_devices):
     mesh = make_mesh((2, 4), eight_devices)
     params = init_params(CFG, jax.random.PRNGKey(0))
@@ -152,6 +154,7 @@ def test_tp_sharded_lm_forward_matches_unsharded(eight_devices):
     )
 
 
+@pytest.mark.slow
 def test_tp_sharded_int4_forward_matches_unsharded(eight_devices):
     """Grouped-int4 leaves ({"q", "gs"}) inherit the weight's TP rule; the
     grouped batched dot must survive GSPMD partitioning (the gs group axis
@@ -174,6 +177,7 @@ def test_tp_sharded_int4_forward_matches_unsharded(eight_devices):
         np.asarray(ref_logits), np.asarray(logits), rtol=1e-4, atol=1e-4)
 
 
+@pytest.mark.slow
 def test_sharded_bm25_pallas_path_equals_single_device(eight_devices, corpus):
     mesh = make_mesh((4, 2), eight_devices)
     index = BM25Index.build(corpus, PLAIN)
@@ -315,6 +319,7 @@ def test_plan_bitonic_shards_matches_loop_reference(eight_devices, corpus):
     np.testing.assert_array_equal(totals, exp_totals)
 
 
+@pytest.mark.slow
 def test_sharded_bm25_bitonic_overcap_exact(eight_devices, corpus):
     """Queries over the bitonic row cap on any shard route to the exact
     sharded fallback (globally consistent term set, round-2 advisor finding)
@@ -368,6 +373,7 @@ def test_sharded_bm25_dedup_duplicates_match_single_and_oracle(
             ), (cap, i)
 
 
+@pytest.mark.slow
 def test_sharded_overcap_buckets_split_by_width(eight_devices, corpus):
     """Over-cap queries of very different sizes must land in different
     (pad_big, pad_short) buckets (light queries don't pay the heaviest
@@ -412,6 +418,7 @@ def test_sharded_ivf_layout_partitions_blocks(eight_devices):
 
 
 @pytest.mark.parametrize("metric", ["ip", "l2"])
+@pytest.mark.slow
 def test_sharded_ivf_equals_single_device(eight_devices, metric):
     """Cell-sharded IVF over the 8-device mesh must rank exactly like the
     single-device IVFEngine: same probe plan, same candidate set, so the
@@ -442,6 +449,7 @@ def test_sharded_ivf_equals_single_device(eight_devices, metric):
         np.testing.assert_allclose(s2, s1, rtol=1e-4, atol=1e-4)
 
 
+@pytest.mark.slow
 def test_sharded_ivf_int8_matches_single_device_int8(eight_devices):
     from probing_rag_tpu.parallel.sharded_ivf import ShardedIVFEngine
     from probing_rag_tpu.retrieval.ivf import IVFDenseIndex, IVFEngine
@@ -458,6 +466,7 @@ def test_sharded_ivf_int8_matches_single_device_int8(eight_devices):
 
 
 @pytest.mark.parametrize("kv_int8", [False, True])
+@pytest.mark.slow
 def test_tp_sharded_decode_matches_unsharded(eight_devices, kv_int8):
     """The cached decode loop (while_loop + in-place KV cache + fused
     capture) must produce the same tokens and pooled captures with
@@ -493,6 +502,7 @@ def test_tp_sharded_decode_matches_unsharded(eight_devices, kv_int8):
     )
 
 
+@pytest.mark.slow
 def test_tp_sharded_int4_decode_matches_unsharded(eight_devices):
     """The full serving quantization stack under TP: grouped-int4 weights +
     int8 KV cache inside the cached decode while_loop on the mesh must

@@ -12,6 +12,7 @@ from probing_rag_tpu.utils.checkpoint import load_pytree, save_pytree
 from probing_rag_tpu.utils.logging import JsonlWriter
 
 
+@pytest.mark.slow
 def test_pytree_roundtrip_with_template(tmp_path):
     tc = ProberTrainConfig(layers=(1, 2), positions=("resid_post",))
     stack = init_prober_stack(tc, 32, jax.random.PRNGKey(0))
