@@ -27,8 +27,8 @@ D = int(os.environ.get("BENCH_DENSE_D", 768))
 K = 10
 TILE_N = int(os.environ.get("BENCH_DENSE_TILE", 4096))
 MERGE_SEGS = int(os.environ.get("BENCH_DENSE_SEGS", 1))
-MERGE_MODE = os.environ.get("BENCH_DENSE_MERGE", "carry")  # carry | nocarry
-GROUP_ROWS = int(os.environ.get("BENCH_DENSE_GROUP_ROWS", 64))
+MERGE_MODE = os.environ.get("BENCH_DENSE_MERGE", "nocarry")  # carry | nocarry
+GROUP_ROWS = int(os.environ.get("BENCH_DENSE_GROUP_ROWS", 0))
 MXU_INT8 = os.environ.get("BENCH_DENSE_MXU_INT8", "") == "1"  # int8 MXU dot
 N_PASSES = 100  # ~3 ms/batch: a long timed region keeps fetch noise <5%
 # the BASELINE target is stated for BM25; for dense we report against the

@@ -378,13 +378,16 @@ def dense_topk_pallas(
     sq_norms: jnp.ndarray | None = None,  # [8, N_pad] from prepare_dense_store
     scales: jnp.ndarray | None = None,  # [8, N_pad] f32 for int8 stores
     n_total: int = 0,  # true doc count when embeddings are pre-padded
-    group_rows: int = 64,  # merge-gate granularity (0 = whole query block)
-    merge_segs: int = 1,  # lane-segment split of the gated merge (1 = off)
+    group_rows: int = 0,  # merge-gate granularity (0 = whole query block;
+    # chip-measured best with the nocarry merge — scripts/bench_merge_variants.py)
+    merge_segs: int = 1,  # lane-segment split of the gated merge (1 = off;
+    # 4/8 chip-measured WORSE than flat, MEASURE_r4 dense_bf16_segs4/8)
     k_pad: int = 0,  # running-buffer width (0 = K_PAD); the rerank path
     # asks for a deeper candidate pool — lanes pad to 128, so wider
     # buffers cost no extra vregs up to 128
-    merge_mode: str = "carry",  # "carry" (topk_merge_tile) or "nocarry"
-    # (threshold-descent; no [QB, TN] while-loop carry)
+    merge_mode: str = "nocarry",  # "nocarry" (threshold-descent, no
+    # [QB, TN] while-loop carry; chip-measured ~12% faster at the
+    # production shape) or "carry" (topk_merge_tile)
     mxu_int8: bool = False,  # int8 stores only: quantize queries per-row
     # and run the sweep dot on the MXU's int8xint8->int32 path (2x the
     # bf16 MAC rate); ip metric only — the per-row query scale factors out
@@ -544,9 +547,9 @@ def dense_topk_rerank(
     scales: jnp.ndarray | None = None,
     n_total: int = 0,
     k_pad: int = 32,
-    group_rows: int = 64,
+    group_rows: int = 0,
     merge_segs: int = 1,
-    merge_mode: str = "carry",
+    merge_mode: str = "nocarry",
     mxu_int8: bool = False,
     interpret: bool = False,
 ):

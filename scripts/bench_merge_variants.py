@@ -59,10 +59,11 @@ def main():
     qd = jax.device_put(jnp.asarray(q))
     oracle = np.argsort(-(q @ emb.T), axis=-1)[:, :K]
 
-    def run_variant(name, **kw):
+    def run_variant(name, tile_n=4096, st=None, **kw):
         try:
             fn = lambda: dense_topk_pallas(  # noqa: E731
-                qd, store, k=K, n_total=n, tile_n=4096, **kw)
+                qd, st if st is not None else store, k=K, n_total=n,
+                tile_n=tile_n, **kw)
             v, idx = fn()
             idx.block_until_ready()
             # settle + time
@@ -91,6 +92,16 @@ def main():
     if os.environ.get("BENCH_MERGE_NOCARRY", "0") == "1":
         for gr in (32, 64, 128, 0):
             run_variant(f"nocarry gr={gr}", group_rows=gr, merge_mode="nocarry")
+    if os.environ.get("BENCH_MERGE_TILES", "0") == "1":
+        # tile_n sweep under the winning merge mode: the 8192 tile
+        # historically lost 5x to while-loop carry spill, which nocarry
+        # removes; 2048 halves the per-gate width
+        for tn in (2048, 8192, 16384):
+            st, _, _, ntn = prepare_dense_store(
+                jnp.asarray(emb, jnp.bfloat16), tile_n=tn, metric="ip")
+            run_variant(f"nocarry tile_n={tn}", tile_n=tn, st=st,
+                        group_rows=0, merge_mode="nocarry")
+            del st
     if os.environ.get("BENCH_MERGE_I8MXU", "0") == "1":
         from probing_rag_tpu.ops.pallas_dense import dense_topk_rerank
 
@@ -132,3 +143,4 @@ def main():
 
 if __name__ == "__main__":
     main()
+
