@@ -71,8 +71,12 @@ def zipf_tokens(rng, n, a=1.3, lo=180):
     between benches again)."""
     out = []
     need = n
+    # cap each draw at 256M so the oversampled int64 batch stays ~2 GB —
+    # a single need/0.17 draw at wiki scale (21M docs x 60 tokens) would
+    # be a ~59 GB allocation
+    max_draw = 256_000_000
     while need > 0:
-        z = rng.zipf(a, size=int(need / 0.17) + 1024)
+        z = rng.zipf(a, size=min(int(need / 0.17) + 1024, max_draw))
         z = z[z >= lo]
         out.append(z[:need])
         need -= len(out[-1])

@@ -39,6 +39,10 @@ PLAN = [
     ("dense_bf16_segs1", {"BENCH_DENSE_SEGS": "1"}, ["python", "bench_dense.py"], 1800),
     ("dense_bf16_segs4", {"BENCH_DENSE_SEGS": "4"}, ["python", "bench_dense.py"], 1800),
     ("dense_bf16_segs8", {"BENCH_DENSE_SEGS": "8"}, ["python", "bench_dense.py"], 1800),
+    # 3b. bandwidth-bound regime: at q=64 the insert merge thins ~4x and
+    #     the sweep should sit near the HBM read bound (q=256 is
+    #     MXU-compute + merge bound; pct_of_hbm_bound undersells it there)
+    ("dense_bf16_q64", {"BENCH_DENSE_Q": "64"}, ["python", "bench_dense.py"], 1800),
     # 4. int8 (SQ8) store — after the merge fix it should finally pay
     ("dense_int8_segs1", {"BENCH_DENSE_INT8": "1", "BENCH_DENSE_SEGS": "1"}, ["python", "bench_dense.py"], 1800),
     ("dense_int8_segs4", {"BENCH_DENSE_INT8": "1", "BENCH_DENSE_SEGS": "4"}, ["python", "bench_dense.py"], 1800),
