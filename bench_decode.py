@@ -23,6 +23,10 @@ if INT8 and INT4:
     # both — poisoning the int8-vs-int4 comparison this bench exists for
     sys.exit("set only one of BENCH_DECODE_INT8 / BENCH_DECODE_INT4")
 KV_INT8 = os.environ.get("BENCH_DECODE_KV_INT8", "0") == "1"
+# w8a8 prefill row threshold (0 = off). Only meaningful with INT8: the
+# prompt forward (rows = B * prompt_len) crosses it, decode steps
+# (rows = B) never do, so the decode loop keeps the exact w8a16 form.
+ACT8 = int(os.environ.get("BENCH_DECODE_ACT8", "0"))
 CAPTURE = os.environ.get("BENCH_DECODE_CAPTURE", "1") == "1"
 TINY = os.environ.get("BENCH_DECODE_TINY", "0") == "1"
 
@@ -57,6 +61,10 @@ def main():
         # int8 halves the HBM weight payload; int4 (grouped w4a16, embed
         # int8) halves the layer-weight payload again
         params = quantize_lm_params(params, bits=4 if INT4 else 8)
+    if ACT8 and INT8:
+        import dataclasses
+
+        cfg = dataclasses.replace(cfg, act_int8_rows=ACT8)
     capture = CaptureSpec.for_probing(cfg) if CAPTURE else CaptureSpec()
 
     rng = np.random.default_rng(0)
@@ -114,6 +122,7 @@ def main():
             {
                 "metric": "gemma2b_decode_tokens_per_sec_per_chip"
                 + ("_int8" if INT8 else "") + ("_int4" if INT4 else "")
+                + ("_a8" if ACT8 and INT8 else "")
                 + ("_kvint8" if KV_INT8 else "")
                 # smoke runs must never share a metric key with real ones
                 + ("_tiny" if TINY else ""),

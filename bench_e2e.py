@@ -184,6 +184,14 @@ def main():
         from probing_rag_tpu.models.gemma import quantize_lm_params
 
         params = quantize_lm_params(params, bits=4 if int4 else 8)
+    # w8a8 prefill: int8 weights only (int4 keeps the grouped w4a16 form).
+    # 512 rows = far above any decode step (rows = batch <= 64) and far
+    # below the smallest prefill (batch 32 x 1024 tokens = 32768 rows).
+    act8 = int(os.environ.get("BENCH_E2E_ACT8", "0"))
+    if act8 and int8:
+        import dataclasses
+
+        cfg = dataclasses.replace(cfg, act_int8_rows=act8)
     tok = HashWordTokenizer(cfg.vocab_size)
     tc = ProberTrainConfig(layers=cfg.probe_layers, positions=("resid_post",))
     probers = init_prober_stack(tc, cfg.d_model, jax.random.PRNGKey(1))
@@ -275,8 +283,9 @@ def main():
                     "model": ("tiny (smoke)" if os.environ.get("BENCH_E2E_TINY") == "1"
                               else "gemma-2b (random "
                               + ("int4 weights + int8 KV)" if int4
-                                 else "int8 weights + int8 KV)" if int8
-                                 else "bf16)")),
+                                 else "int8 weights + int8 KV"
+                                 + (" + w8a8 prefill)" if act8 else ")")
+                                 if int8 else "bf16)")),
                     "retriever": retr,
                     "n_queries": N_QUERIES,
                     "batch": BATCH,

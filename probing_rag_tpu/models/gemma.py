@@ -58,6 +58,15 @@ class GemmaConfig:
     mlp_activation: str = "gelu"  # GeGLU "gelu" vs SwiGLU "silu"
     scale_embeddings: bool = True  # sqrt(d_model) input-embedding scaling
     tied_head: bool = True  # LM head == embed.T vs separate params["lm_head"]
+    # w8a8 prefill: when >0 and the weight is per-channel int8, matmuls whose
+    # activation row count (prod of leading dims) reaches this threshold run
+    # int8 x int8 on the MXU (per-row activation scales applied outside the
+    # dot) — v5e doubles the MAC rate for s8 x s8, and prefill is MXU-bound
+    # (PARITY.md decode forensics: ~164 TFLOP at batch 32 x 1024 tokens vs a
+    # decode step already at the HBM weight-read bound). Decode (rows =
+    # batch) stays below any sane threshold and keeps the exact w8a16 path.
+    # 0 = disabled (default: quality-parity serving).
+    act_int8_rows: int = 0
 
     @classmethod
     def gemma_2b(cls) -> "GemmaConfig":
@@ -368,10 +377,29 @@ def quantize_lm_params(
     return out
 
 
-def _mm(x: jnp.ndarray, w, dt) -> jnp.ndarray:
+def _quant_acts(x: jnp.ndarray) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Per-row symmetric int8 activation quantization: [..., D] ->
+    (int8 values, f32 scales [..., 1]). The row max is computed in f32 so a
+    bf16 activation spike does not overflow the scale."""
+    s = jnp.max(jnp.abs(x.astype(jnp.float32)), axis=-1, keepdims=True) / 127.0
+    s = jnp.where(s == 0.0, 1.0, s)
+    q = jnp.clip(jnp.round(x.astype(jnp.float32) / s), -127, 127).astype(jnp.int8)
+    return q, s
+
+
+def _mm(x: jnp.ndarray, w, dt, act8_rows: int = 0) -> jnp.ndarray:
     """x @ w with transparent int8 support: the int8->compute-dtype convert
     is fused into the matmul's weight load; the per-output-column scale is a
     cheap elementwise multiply on the (much smaller) activation output.
+
+    ``act8_rows`` (from ``GemmaConfig.act_int8_rows``): above this many
+    activation rows a per-channel-int8 weight runs the w8a8 path — the
+    activations are quantized per row and the dot runs s8 x s8 -> s32 on
+    the MXU at 2x the bf16 MAC rate; both scales (per-row activation,
+    per-output-channel weight) are rank-1 and applied outside the dot, so
+    the factorization is exact up to the activation rounding. Prefill
+    (rows = B*T) crosses the threshold; decode (rows = B) never does, so
+    the weight-bandwidth-bound loop keeps the drift-free w8a16 form.
 
     (A Pallas variant lives in ops/pallas_matmul.py; measured 2-10x off the
     weight-bandwidth bound at decode shapes on v5e, so the fused-convert XLA
@@ -400,6 +428,17 @@ def _mm(x: jnp.ndarray, w, dt) -> jnp.ndarray:
             part = jnp.einsum("...kg,kgf->...kf", xg, q.reshape(k, g, f).astype(dt))
             return jnp.einsum(
                 "...kf,kf->...f", part.astype(jnp.float32), gs).astype(dt)
+        rows = int(np.prod(x.shape[:-1]))
+        if act8_rows and rows >= act8_rows:
+            xq, xs = _quant_acts(x)
+            out = jax.lax.dot_general(
+                xq, w["q"],
+                (((xq.ndim - 1,), (0,)), ((), ())),
+                preferred_element_type=jnp.int32,
+            )
+            return (
+                out.astype(jnp.float32) * xs * w["s"].astype(jnp.float32)
+            ).astype(dt)
         return (x @ w["q"].astype(dt)) * w["s"].astype(dt)
     return x @ w.astype(dt)
 
@@ -461,10 +500,11 @@ def _block(
     dt = cfg.compute_dtype
     h, kvh, hd = cfg.n_heads, cfg.n_kv_heads, cfg.head_dim
 
+    a8 = cfg.act_int8_rows
     attn_in = rms_norm(x, lp["attn_norm"], cfg.norm_eps, cfg.norm_plus_one).astype(dt)
-    q = _mm(attn_in, lp["wq"], dt).reshape(b, t, h, hd)
-    k = _mm(attn_in, lp["wk"], dt).reshape(b, t, kvh, hd)
-    v = _mm(attn_in, lp["wv"], dt).reshape(b, t, kvh, hd)
+    q = _mm(attn_in, lp["wq"], dt, a8).reshape(b, t, h, hd)
+    k = _mm(attn_in, lp["wk"], dt, a8).reshape(b, t, kvh, hd)
+    v = _mm(attn_in, lp["wv"], dt, a8).reshape(b, t, kvh, hd)
     q = rope(q, positions, cfg.rope_theta)
     k = rope(k, positions, cfg.rope_theta)
 
@@ -492,7 +532,7 @@ def _block(
 
     attn, probs = _attention(q, k.astype(dt), v.astype(dt), mask, return_attn_probs)
     del k, v
-    attn_out = _mm(attn.astype(dt), lp["wo"], dt).astype(cfg.resid_dtype)
+    attn_out = _mm(attn.astype(dt), lp["wo"], dt, a8).astype(cfg.resid_dtype)
     resid_mid = x + attn_out
 
     mlp_in = rms_norm(
@@ -503,9 +543,9 @@ def _block(
         if cfg.mlp_activation == "gelu"
         else jax.nn.silu
     )
-    gate = act(_mm(mlp_in, lp["w_gate"], dt))
-    up = _mm(mlp_in, lp["w_up"], dt)
-    mlp_out = _mm(gate * up, lp["w_down"], dt).astype(cfg.resid_dtype)
+    gate = act(_mm(mlp_in, lp["w_gate"], dt, a8))
+    up = _mm(mlp_in, lp["w_up"], dt, a8)
+    mlp_out = _mm(gate * up, lp["w_down"], dt, a8).astype(cfg.resid_dtype)
     resid_post = resid_mid + mlp_out
     return resid_mid, resid_post, (ck, cv, ks, vs), probs
 
@@ -608,7 +648,7 @@ def forward(
         else:
             logits = x.astype(dt) @ emb.astype(dt).T
     else:
-        logits = _mm(x.astype(dt), params["lm_head"], dt)
+        logits = _mm(x.astype(dt), params["lm_head"], dt, cfg.act_int8_rows)
     logits = logits.astype(jnp.float32)
 
     new_cache = None

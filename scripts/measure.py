@@ -55,10 +55,14 @@ PLAN = [
     ("decode_bf16_b32", {"BENCH_DECODE_BATCH": "32"}, ["python", "bench_decode.py"], 3600),
     ("decode_int8_b32", {"BENCH_DECODE_INT8": "1", "BENCH_DECODE_BATCH": "32"}, ["python", "bench_decode.py"], 3600),
     ("decode_int8kv8_b32", {"BENCH_DECODE_INT8": "1", "BENCH_DECODE_KV_INT8": "1", "BENCH_DECODE_BATCH": "32"}, ["python", "bench_decode.py"], 3600),
+    # 5b. w8a8 prefill: int8 x int8 MXU matmuls above the activation-row
+    #     threshold (prefill only; decode steps keep the exact w8a16 form)
+    ("decode_int8a8_b32", {"BENCH_DECODE_INT8": "1", "BENCH_DECODE_KV_INT8": "1", "BENCH_DECODE_ACT8": "512", "BENCH_DECODE_BATCH": "32"}, ["python", "bench_decode.py"], 3600),
     ("decode_int4_b8", {"BENCH_DECODE_INT4": "1", "BENCH_DECODE_KV_INT8": "1"}, ["python", "bench_decode.py"], 3600),
     ("decode_int4_b32", {"BENCH_DECODE_INT4": "1", "BENCH_DECODE_KV_INT8": "1", "BENCH_DECODE_BATCH": "32"}, ["python", "bench_decode.py"], 3600),
     # 6. e2e quantized variants
     ("e2e_int8", {"BENCH_E2E_INT8": "1"}, ["python", "bench_e2e.py"], 3600),
+    ("e2e_int8a8", {"BENCH_E2E_INT8": "1", "BENCH_E2E_ACT8": "512"}, ["python", "bench_e2e.py"], 3600),
     ("e2e_int4", {"BENCH_E2E_INT4": "1"}, ["python", "bench_e2e.py"], 3600),
     ("e2e_dense", {"BENCH_E2E_RETR": "dense"}, ["python", "bench_e2e.py"], 3600),
     # 7. IVF small-batch serving — the regime IVF exists for (q=8, q=1),

@@ -146,6 +146,37 @@ def smoke_int4_decode():
     assert toks.shape == (2, 8) and np.all(toks >= 0)
 
 
+def smoke_w8a8_prefill():
+    """decode_greedy with int8 weights and the w8a8 prefill path active
+    (act_int8_rows below the prompt's row count): the s8 x s8 -> s32
+    dot_general must lower and run on the chip, and the decode steps
+    (rows = batch, below threshold) must keep producing valid tokens."""
+    import dataclasses
+
+    from probing_rag_tpu.models.decode import StopTables, decode_greedy
+    from probing_rag_tpu.models.gemma import (
+        CaptureSpec, GemmaConfig, init_params, quantize_lm_params,
+    )
+
+    cfg = dataclasses.replace(
+        GemmaConfig.tiny(512), compute_dtype=jnp.bfloat16, act_int8_rows=8)
+    params = quantize_lm_params(
+        init_params(cfg, jax.random.PRNGKey(0), dtype=jnp.bfloat16), bits=8)
+    rng = np.random.default_rng(11)
+    tokens = jnp.asarray(rng.integers(3, cfg.vocab_size, (2, 16)), jnp.int32)
+    valid = jnp.ones((2, 16), bool)
+    stop = StopTables.disabled(cfg.vocab_size)
+    zeros = jnp.asarray(stop.contains_dbl_nl)
+    out = decode_greedy(
+        params, tokens, valid, zeros, zeros, zeros, cfg=cfg,
+        capture=CaptureSpec.for_probing(cfg), max_new_tokens=8, eos_id=-1,
+        kv_int8=True,
+    )
+    toks = np.asarray(out[0])
+    assert toks.shape == (2, 8) and np.all(toks >= 0)
+    assert np.all(np.isfinite(np.asarray(out[2], np.float32)))
+
+
 def smoke_bm25_fallback():
     """The composed over-cap fallback search path (hybrid gather incl. the
     assemble kernel + wide sort) on a skewed corpus, vs the exact XLA
@@ -212,6 +243,7 @@ def main():
     check("bm25 over-cap fallback", smoke_bm25_fallback)
     check("ivf probed search", smoke_ivf)
     check("int4 decode boundary", smoke_int4_decode)
+    check("w8a8 prefill boundary", smoke_w8a8_prefill)
 
     if FAILURES:
         print(f"\n{len(FAILURES)} FAILED: {FAILURES}")

@@ -186,6 +186,41 @@ def test_int8_quantized_forward_bounds_logit_drift():
 
 
 @pytest.mark.slow
+def test_w8a8_prefill_gating_and_drift():
+    """``act_int8_rows``: above the row threshold, per-channel-int8 weights
+    run int8 x int8 on the MXU with per-row activation scales applied
+    outside the dot (the w8a8 prefill path — v5e doubles the s8 MAC rate
+    and prefill is MXU-bound). Below the threshold (decode: rows = batch)
+    the path must be BIT-IDENTICAL to the drift-free w8a16 form — the gate
+    is the quality contract for the serving decode loop."""
+    from probing_rag_tpu.models.gemma import init_params, quantize_lm_params
+
+    cfg = CFG
+    params = init_params(cfg, jax.random.PRNGKey(0))
+    qparams = quantize_lm_params(params)
+    tokens = jnp.asarray(
+        np.random.default_rng(7).integers(0, cfg.vocab_size, (2, 16)), jnp.int32
+    )  # 32 activation rows
+
+    w8a16, _, _ = forward(qparams, tokens, cfg)  # act_int8_rows=0: disabled
+    gated_off, _, _ = forward(
+        qparams, tokens, dataclasses.replace(cfg, act_int8_rows=64))
+    np.testing.assert_array_equal(np.asarray(gated_off), np.asarray(w8a16))
+
+    a8, _, _ = forward(qparams, tokens, dataclasses.replace(cfg, act_int8_rows=1))
+    a8, w8a16 = np.asarray(a8), np.asarray(w8a16)
+    assert not np.array_equal(a8, w8a16)  # the s8 x s8 path actually ran
+    # activation rounding adds drift on top of weight rounding; both stay
+    # small next to the logit spread (same bound family as the w8a16 test)
+    ref = np.asarray(forward(params, tokens, cfg)[0])
+    spread = ref.std()
+    assert np.sqrt(((a8 - w8a16) ** 2).mean()) < 0.05 * spread
+    assert np.sqrt(((a8 - ref) ** 2).mean()) < 0.08 * spread
+    agree = (ref.argmax(-1) == a8.argmax(-1)).mean()
+    assert agree >= 0.85, agree
+
+
+@pytest.mark.slow
 def test_int8_quantization_mistral_untied_head():
     from probing_rag_tpu.models.gemma import init_params, quantize_lm_params
 

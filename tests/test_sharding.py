@@ -178,6 +178,39 @@ def test_tp_sharded_int4_forward_matches_unsharded(eight_devices):
 
 
 @pytest.mark.slow
+def test_tp_sharded_w8a8_forward_matches_unsharded(eight_devices):
+    """w8a8 prefill under TP: the s8 x s8 -> s32 dot must survive GSPMD
+    partitioning. The int32 partials psum exactly and the per-row
+    activation max is order-independent, but psum reassociation in earlier
+    layers can perturb an activation sitting exactly on a .5 rounding
+    boundary — one int8 step flips and propagates (measured: one of four
+    batch rows off by up to 8% of logit spread, the rest at 4e-7). The
+    contract is therefore drift-bounded, not bit-exact: rms within the
+    w8a16-vs-w8a8 drift budget of the unsharded w8a8 forward."""
+    import dataclasses
+
+    from probing_rag_tpu.models.gemma import quantize_lm_params
+
+    cfg = dataclasses.replace(CFG, act_int8_rows=1)  # 32 rows: always w8a8
+    mesh = make_mesh((2, 4), eight_devices)
+    params = quantize_lm_params(init_params(cfg, jax.random.PRNGKey(0)))
+    tokens = jax.random.randint(jax.random.PRNGKey(1), (4, 8), 0, cfg.vocab_size)
+    ref_logits, _, _ = forward(params, tokens, cfg)
+
+    sharded_params = shard_lm_params(params, mesh)
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    tokens_sharded = jax.device_put(tokens, NamedSharding(mesh, P("dp", None)))
+    logits, _, _ = jax.jit(lambda p, t: forward(p, t, cfg))(
+        sharded_params, tokens_sharded)
+    ref, got = np.asarray(ref_logits), np.asarray(logits)
+    spread = ref.std()
+    assert np.sqrt(((got - ref) ** 2).mean()) < 0.01 * spread
+    assert np.abs(got - ref).max() < 0.15 * spread
+    assert (ref.argmax(-1) == got.argmax(-1)).mean() >= 0.9
+
+
+@pytest.mark.slow
 def test_sharded_bm25_pallas_path_equals_single_device(eight_devices, corpus):
     mesh = make_mesh((4, 2), eight_devices)
     index = BM25Index.build(corpus, PLAIN)
