@@ -46,6 +46,7 @@ def _load_model(args):
             if "mistral" in args.model_id.lower()
             else GemmaConfig.gemma_2b()
         )
+        cfg = _apply_act8(cfg, args)
         params = load_gemma_params(Path(args.checkpoint), cfg)
         params = jax.tree.map(lambda x: jnp.asarray(x, jnp.bfloat16), params)
         if args.tokenizer:
@@ -64,8 +65,18 @@ def _load_model(args):
         file=sys.stderr,
     )
     cfg = dataclasses.replace(GemmaConfig.tiny(), compute_dtype=jnp.float32)
+    cfg = _apply_act8(cfg, args)
     params = init_params(cfg, jax.random.PRNGKey(args.seed))
     return _maybe_quantize(params, args), cfg, ByteTokenizer(cfg.vocab_size)
+
+
+def _apply_act8(cfg, args):
+    """w8a8 prefill threshold: only meaningful with --quantize int8 (the
+    per-channel int8 leaves are what the s8 x s8 MXU path consumes)."""
+    rows = int(getattr(args, "act_int8_rows", 0) or 0)
+    if rows and getattr(args, "quantize", "none") == "int8":
+        return dataclasses.replace(cfg, act_int8_rows=rows)
+    return cfg
 
 
 def _maybe_quantize(params, args):
@@ -579,6 +590,13 @@ def build_parser() -> argparse.ArgumentParser:
                         "(per-channel) halves decode HBM traffic; int4 "
                         "(grouped w4a16, embeddings stay int8) halves the "
                         "layer weights again")
+        sp.add_argument("--act-int8-rows", type=int, default=0,
+                        dest="act_int8_rows",
+                        help="with --quantize int8: activation-row "
+                        "threshold above which matmuls run w8a8 on the "
+                        "MXU (prefill; decode steps stay w8a16). 512 is "
+                        "the measured serving setting (+26%% decode "
+                        "ladder, +15%% e2e; MEASURE_r4 decode_int8a8_b32)")
         sp.add_argument("--dense", action="store_true", help="dense retrieval")
         sp.add_argument("--dense-int8", action="store_true",
                         help="int8 (SQ8) dense store: half the HBM bytes "
