@@ -77,6 +77,18 @@ def main():
     else:
         cfg = GemmaConfig.gemma_2b()
         params = init_params(cfg, jax.random.PRNGKey(0), dtype=jnp.bfloat16)
+    # serving-stack variant: int8 weights (+ w8a8 prefill threshold) — the
+    # dataset-construction phase is generation-dominated, so the e2e
+    # serving levers apply to the training pipeline too
+    if os.environ.get("BENCH_DATASET_INT8", "0") == "1":
+        import dataclasses
+
+        from probing_rag_tpu.models.gemma import quantize_lm_params
+
+        params = quantize_lm_params(params, bits=8)
+        act8 = int(os.environ.get("BENCH_DATASET_ACT8", "0"))
+        if act8:
+            cfg = dataclasses.replace(cfg, act_int8_rows=act8)
     tok = HashWordTokenizer(cfg.vocab_size)
 
     qz = _zipf_tokens(rng, N_QUERIES * 4).reshape(N_QUERIES, 4)
@@ -137,12 +149,22 @@ def main():
         json.dumps(
             {
                 "metric": "dataset_build_examples_per_sec_per_chip"
+                + ("_int8" if os.environ.get("BENCH_DATASET_INT8") == "1" else "")
+                + ("_a8" if os.environ.get("BENCH_DATASET_INT8") == "1"
+                   and os.environ.get("BENCH_DATASET_ACT8", "0") != "0" else "")
                 + ("_tiny" if TINY else ""),
                 "value": round(rows / total_s, 3),
                 "unit": "examples/s",
                 "vs_baseline": None,
                 "detail": {
-                    "model": "tiny (smoke)" if TINY else "gemma-2b (random bf16)",
+                    "model": ("tiny (smoke)" if TINY
+                              else "gemma-2b (random "
+                              + ("int8 + w8a8 prefill)"
+                                 if os.environ.get("BENCH_DATASET_INT8") == "1"
+                                 and os.environ.get("BENCH_DATASET_ACT8", "0") != "0"
+                                 else "int8)"
+                                 if os.environ.get("BENCH_DATASET_INT8") == "1"
+                                 else "bf16)")),
                     "methods": ["none", "simple"],
                     "n_queries_per_method": N_QUERIES,
                     "labeled_rows": rows,

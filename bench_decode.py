@@ -29,6 +29,11 @@ KV_INT8 = os.environ.get("BENCH_DECODE_KV_INT8", "0") == "1"
 ACT8 = int(os.environ.get("BENCH_DECODE_ACT8", "0"))
 CAPTURE = os.environ.get("BENCH_DECODE_CAPTURE", "1") == "1"
 TINY = os.environ.get("BENCH_DECODE_TINY", "0") == "1"
+# gemma2b (default) | mistral7b — the reference's optional second model
+# family (utils.py:295-297). 7B bf16 (14.5 GB) exceeds one v5e's HBM, so
+# the mistral path inits leafwise straight into the int8 serving format
+# (gemma.init_quantized_lm_params); requires INT8.
+MODEL = os.environ.get("BENCH_DECODE_MODEL", "gemma2b")
 
 
 def main():
@@ -52,15 +57,28 @@ def main():
         cfg = dataclasses.replace(
             GemmaConfig.tiny(4096), compute_dtype=jnp.float32)
         params = init_params(cfg, jax.random.PRNGKey(0))
+        if INT8 or INT4:
+            from probing_rag_tpu.models.gemma import quantize_lm_params
+
+            params = quantize_lm_params(params, bits=4 if INT4 else 8)
+    elif MODEL == "mistral7b":
+        if not INT8:
+            sys.exit("mistral7b needs BENCH_DECODE_INT8: the bf16 tree "
+                     "(14.5 GB) does not fit one v5e chip's HBM")
+        from probing_rag_tpu.models.gemma import init_quantized_lm_params
+
+        cfg = GemmaConfig.mistral_7b()
+        # leafwise init+quantize on device: peak HBM = int8 tree + 1 bf16 leaf
+        params = init_quantized_lm_params(cfg, jax.random.PRNGKey(0))
     else:
         cfg = GemmaConfig.gemma_2b()
         params = init_params(cfg, jax.random.PRNGKey(0), dtype=jnp.bfloat16)
-    if INT8 or INT4:
-        from probing_rag_tpu.models.gemma import quantize_lm_params
+        if INT8 or INT4:
+            from probing_rag_tpu.models.gemma import quantize_lm_params
 
-        # int8 halves the HBM weight payload; int4 (grouped w4a16, embed
-        # int8) halves the layer-weight payload again
-        params = quantize_lm_params(params, bits=4 if INT4 else 8)
+            # int8 halves the HBM weight payload; int4 (grouped w4a16,
+            # embed int8) halves the layer-weight payload again
+            params = quantize_lm_params(params, bits=4 if INT4 else 8)
     if ACT8 and INT8:
         import dataclasses
 
@@ -120,7 +138,9 @@ def main():
     print(
         json.dumps(
             {
-                "metric": "gemma2b_decode_tokens_per_sec_per_chip"
+                "metric": ("mistral7b" if MODEL == "mistral7b" and not TINY
+                           else "gemma2b")
+                + "_decode_tokens_per_sec_per_chip"
                 + ("_int8" if INT8 else "") + ("_int4" if INT4 else "")
                 + ("_a8" if ACT8 and INT8 else "")
                 + ("_kvint8" if KV_INT8 else "")
@@ -130,7 +150,9 @@ def main():
                 "unit": "tokens/s",
                 "vs_baseline": None,
                 "detail": {
-                    "model": "tiny (smoke)" if TINY else "gemma-2b (random)",
+                    "model": ("tiny (smoke)" if TINY
+                              else "mistral-7b (random)"
+                              if MODEL == "mistral7b" else "gemma-2b (random)"),
                     "batch": BATCH,
                     "prompt_len": PROMPT_LEN,
                     "max_new": MAX_NEW,

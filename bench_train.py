@@ -55,6 +55,22 @@ def main():
         cfg = GemmaConfig.gemma_2b()
         params = init_params(cfg, jax.random.PRNGKey(0), dtype=jnp.bfloat16)
         tc = ProberTrainConfig(batch_size=BATCH, max_len=MAX_LEN)  # 6 layers x 2 sites
+    # throughput OPTION: int8 frozen LM (+ w8a8 at [B*1536] rows — the
+    # capture forward is prefill-shaped, MXU-bound). Quantizing the frozen
+    # LM changes the activations the probers train on; bf16 capture stays
+    # the quality-default (the reference trains on full-precision
+    # activations, train.py:260-266) — this row measures what the serving
+    # stack buys IF a user accepts quantized capture.
+    INT8 = os.environ.get("BENCH_TRAIN_INT8", "0") == "1"
+    if INT8:
+        import dataclasses
+
+        from probing_rag_tpu.models.gemma import quantize_lm_params
+
+        params = quantize_lm_params(params, bits=8)
+        act8 = int(os.environ.get("BENCH_TRAIN_ACT8", "0"))
+        if act8:
+            cfg = dataclasses.replace(cfg, act_int8_rows=act8)
 
     capture = CaptureSpec(tc.sites)
     optimizer = make_optimizer(tc)
@@ -146,12 +162,19 @@ def main():
         json.dumps(
             {
                 "metric": "prober_train_examples_per_sec_per_chip"
+                + ("_int8" if INT8 else "")
+                + ("_a8" if INT8
+                   and os.environ.get("BENCH_TRAIN_ACT8", "0") != "0" else "")
                 + ("_tiny" if TINY else ""),
                 "value": round(examples_per_sec, 2),
                 "unit": "examples/s",
                 "vs_baseline": None,
                 "detail": {
-                    "model": "tiny (smoke)" if TINY else "gemma-2b (random bf16)",
+                    "model": ("tiny (smoke)" if TINY
+                              else "gemma-2b (random "
+                              + ("int8 + w8a8)" if INT8 and os.environ.get(
+                                  "BENCH_TRAIN_ACT8", "0") != "0"
+                                 else "int8)" if INT8 else "bf16)")),
                     "batch": BATCH,
                     "max_len": MAX_LEN,
                     "n_sites": len(tc.sites),

@@ -26,6 +26,7 @@ residual stream and norms stay f32 for parity-grade numerics.
 from __future__ import annotations
 
 from dataclasses import dataclass
+from functools import partial
 from typing import Any, Dict, Optional, Tuple
 
 import jax
@@ -179,6 +180,67 @@ def init_params(cfg: GemmaConfig, key: jax.Array, dtype: Any = jnp.float32) -> P
     }
     if not cfg.tied_head:
         params["lm_head"] = dense_init(keys[8], d, cfg.vocab_size)
+    return params
+
+
+def init_quantized_lm_params(
+    cfg: GemmaConfig, key: jax.Array, bits: int = 8
+) -> Params:
+    """Random init directly into the per-channel-int8 serving format,
+    one weight family at a time: each bf16 leaf is materialized, quantized
+    (identically to ``quantize_lm_params``: same keys, same shapes, same
+    rounding) and dropped before the next is built, so the peak HBM
+    footprint is the int8 tree plus ONE bf16 leaf. A bf16 Mistral-7B tree
+    alone (14.5 GB) overflows a single v5e chip's HBM — this is how the
+    7B decode bench gets random quantized weights on-device without a
+    host round trip or a 2x-resident quantize pass."""
+    if bits != 8:
+        raise ValueError("init_quantized_lm_params supports bits=8 only "
+                         "(int4 serving trees are small enough to take the "
+                         "quantize_lm_params path)")
+    keys = jax.random.split(key, 9)
+    d, h, kv, hd, f = cfg.d_model, cfg.n_heads, cfg.n_kv_heads, cfg.head_dim, cfg.d_ff
+    L = cfg.n_layers
+    dtype = jnp.bfloat16
+
+    def norm_init(*shape):
+        return (jnp.zeros if cfg.norm_plus_one else jnp.ones)(shape, dtype)
+
+    def dense_init(key, *shape):
+        fan_in = shape[-2] if len(shape) >= 2 else shape[0]
+        return (jax.random.normal(key, shape, dtype) / np.sqrt(fan_in)).astype(dtype)
+
+    @partial(jax.jit, static_argnames=("axis",))
+    def quant(w, axis):  # matches quantize_lm_params.quant at nbits=8
+        w32 = w.astype(jnp.float32)
+        s = jnp.max(jnp.abs(w32), axis=axis, keepdims=True) / 127.0
+        s = jnp.where(s == 0.0, 1.0, s)
+        q = jnp.clip(jnp.round(w32 / s), -127, 127).astype(jnp.int8)
+        return {"q": q, "s": s}
+
+    def dense_quant(key, axis, *shape):
+        w = dense_init(key, *shape)
+        out = quant(w, axis)
+        jax.block_until_ready(out["q"])  # free the bf16 leaf before the next
+        return out
+
+    params: Params = {
+        "embed": dense_quant(keys[0], -1, cfg.vocab_size, d),
+        "final_norm": norm_init(d),
+        "layers": {
+            "attn_norm": norm_init(L, d),
+            "wq": dense_quant(keys[1], -2, L, d, h * hd),
+            "wk": dense_quant(keys[2], -2, L, d, kv * hd),
+            "wv": dense_quant(keys[3], -2, L, d, kv * hd),
+            "wo": dense_quant(keys[4], -2, L, h * hd, d),
+            "mlp_norm": norm_init(L, d),
+            "w_gate": dense_quant(keys[5], -2, L, d, f),
+            "w_up": dense_quant(keys[6], -2, L, d, f),
+            "w_down": dense_quant(keys[7], -2, L, f, d),
+        },
+    }
+    if not cfg.tied_head:
+        params["lm_head"] = dense_quant(keys[8], -2, d, cfg.vocab_size)
     return params
 
 

@@ -75,6 +75,16 @@ PLAN = [
     # 8. training-pipeline phases 2-3 at Gemma-2B scale
     ("dataset_build", {}, ["python", "bench_dataset.py"], 3600),
     ("prober_train", {}, ["python", "bench_train.py"], 3600),
+    # 9. serving stack applied to the training pipeline (w8a8 option) and
+    #    the larger-batch decode ladder point
+    ("dataset_build_int8a8", {"BENCH_DATASET_INT8": "1", "BENCH_DATASET_ACT8": "512"}, ["python", "bench_dataset.py"], 3600),
+    ("prober_train_int8a8", {"BENCH_TRAIN_INT8": "1", "BENCH_TRAIN_ACT8": "512"}, ["python", "bench_train.py"], 3600),
+    ("decode_int8a8_b64", {"BENCH_DECODE_INT8": "1", "BENCH_DECODE_KV_INT8": "1", "BENCH_DECODE_ACT8": "512", "BENCH_DECODE_BATCH": "64"}, ["python", "bench_decode.py"], 3600),
+    # 10. the reference's optional second model family at serving scale:
+    #     Mistral-7B int8 decode on ONE chip (leafwise quantized init —
+    #     the bf16 tree alone would overflow HBM)
+    ("decode_mistral7b_int8_b32", {"BENCH_DECODE_MODEL": "mistral7b", "BENCH_DECODE_INT8": "1", "BENCH_DECODE_KV_INT8": "1", "BENCH_DECODE_BATCH": "32"}, ["python", "bench_decode.py"], 3600),
+    ("decode_mistral7b_int8a8_b32", {"BENCH_DECODE_MODEL": "mistral7b", "BENCH_DECODE_INT8": "1", "BENCH_DECODE_KV_INT8": "1", "BENCH_DECODE_ACT8": "512", "BENCH_DECODE_BATCH": "32"}, ["python", "bench_decode.py"], 3600),
 ]
 
 

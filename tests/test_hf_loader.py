@@ -185,6 +185,25 @@ def test_int8_quantized_forward_bounds_logit_drift():
     assert agree >= 0.85, agree
 
 
+def test_init_quantized_lm_params_matches_quantize_of_init():
+    """Leafwise serving init (one bf16 leaf resident at a time — how the
+    7B bench fits a single chip) must produce the EXACT tree that
+    quantize_lm_params(init_params(...)) produces: same keys, same
+    rounding, bit-for-bit."""
+    from probing_rag_tpu.models.gemma import (
+        init_params, init_quantized_lm_params, quantize_lm_params)
+
+    for cfg in (CFG, _mistral_tiny_cfg()):
+        key = jax.random.PRNGKey(3)
+        ref = quantize_lm_params(init_params(cfg, key, dtype=jnp.bfloat16))
+        got = init_quantized_lm_params(cfg, key)
+        assert jax.tree.structure(ref) == jax.tree.structure(got)
+        for r, g in zip(jax.tree.leaves(ref), jax.tree.leaves(got)):
+            np.testing.assert_array_equal(np.asarray(r), np.asarray(g))
+    with pytest.raises(ValueError):
+        init_quantized_lm_params(CFG, jax.random.PRNGKey(0), bits=4)
+
+
 @pytest.mark.slow
 def test_w8a8_prefill_gating_and_drift():
     """``act_int8_rows``: above the row threshold, per-channel-int8 weights
