@@ -18,6 +18,9 @@ PROMPT_LEN = int(os.environ.get("BENCH_DECODE_PROMPT", 1024))
 MAX_NEW = int(os.environ.get("BENCH_DECODE_NEW", 150))
 INT8 = os.environ.get("BENCH_DECODE_INT8", "0") == "1"
 INT4 = os.environ.get("BENCH_DECODE_INT4", "0") == "1"  # grouped w4a16
+# grouped (default) | rank1 — rank1 factorizes the scale matrix so the
+# decode matmul is one fused-convert dot with true int4 HBM reads
+INT4_SCHEME = os.environ.get("BENCH_DECODE_INT4_SCHEME", "grouped")
 if INT8 and INT4:
     # a run with both set would measure int4 under a metric name claiming
     # both — poisoning the int8-vs-int4 comparison this bench exists for
@@ -60,16 +63,20 @@ def main():
         if INT8 or INT4:
             from probing_rag_tpu.models.gemma import quantize_lm_params
 
-            params = quantize_lm_params(params, bits=4 if INT4 else 8)
+            params = quantize_lm_params(
+                params, bits=4 if INT4 else 8, int4_scheme=INT4_SCHEME)
     elif MODEL == "mistral7b":
-        if not INT8:
-            sys.exit("mistral7b needs BENCH_DECODE_INT8: the bf16 tree "
-                     "(14.5 GB) does not fit one v5e chip's HBM")
+        if not (INT8 or INT4):
+            sys.exit("mistral7b needs BENCH_DECODE_INT8 or _INT4: the bf16 "
+                     "tree (14.5 GB) does not fit one v5e chip's HBM")
         from probing_rag_tpu.models.gemma import init_quantized_lm_params
 
         cfg = GemmaConfig.mistral_7b()
-        # leafwise init+quantize on device: peak HBM = int8 tree + 1 bf16 leaf
-        params = init_quantized_lm_params(cfg, jax.random.PRNGKey(0))
+        # leafwise init+quantize on device: peak HBM = quantized tree + 1
+        # bf16 leaf
+        params = init_quantized_lm_params(
+            cfg, jax.random.PRNGKey(0), bits=4 if INT4 else 8,
+            int4_scheme=INT4_SCHEME)
     else:
         cfg = GemmaConfig.gemma_2b()
         params = init_params(cfg, jax.random.PRNGKey(0), dtype=jnp.bfloat16)
@@ -78,11 +85,21 @@ def main():
 
             # int8 halves the HBM weight payload; int4 (grouped w4a16,
             # embed int8) halves the layer-weight payload again
-            params = quantize_lm_params(params, bits=4 if INT4 else 8)
+            params = quantize_lm_params(
+                params, bits=4 if INT4 else 8, int4_scheme=INT4_SCHEME)
     if ACT8 and INT8:
         import dataclasses
 
         cfg = dataclasses.replace(cfg, act_int8_rows=ACT8)
+    # chunked prefill attention (memory-exact, see GemmaConfig.attn_q_chunk):
+    # required at 7B — the unchunked [32, 8, 4, 1024, 1174] f32 score
+    # temporaries are 2 x 4.59 GB and OOM the chip under w8a8
+    QCHUNK = int(os.environ.get(
+        "BENCH_DECODE_QCHUNK", "128" if MODEL == "mistral7b" else "0"))
+    if QCHUNK:
+        import dataclasses
+
+        cfg = dataclasses.replace(cfg, attn_q_chunk=QCHUNK)
     capture = CaptureSpec.for_probing(cfg) if CAPTURE else CaptureSpec()
 
     rng = np.random.default_rng(0)
@@ -141,7 +158,9 @@ def main():
                 "metric": ("mistral7b" if MODEL == "mistral7b" and not TINY
                            else "gemma2b")
                 + "_decode_tokens_per_sec_per_chip"
-                + ("_int8" if INT8 else "") + ("_int4" if INT4 else "")
+                + ("_int8" if INT8 else "")
+                + (("_int4r1" if INT4_SCHEME == "rank1" else "_int4")
+                   if INT4 else "")
                 + ("_a8" if ACT8 and INT8 else "")
                 + ("_kvint8" if KV_INT8 else "")
                 # smoke runs must never share a metric key with real ones
@@ -158,6 +177,7 @@ def main():
                     "max_new": MAX_NEW,
                     "capture_sites": capture.n_sites,
                     "kv_int8": KV_INT8,
+                    "attn_q_chunk": QCHUNK,
                     "compile_s": round(compile_s, 1),
                     "per_batch_latency_s": round(elapsed, 2),
                     "fetch_baseline_s": round(fetch_baseline, 1),

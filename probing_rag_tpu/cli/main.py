@@ -85,7 +85,11 @@ def _maybe_quantize(params, args):
         return params
     from probing_rag_tpu.models.gemma import quantize_lm_params
 
-    return quantize_lm_params(params, bits=4 if mode == "int4" else 8)
+    return quantize_lm_params(
+        params,
+        bits=4 if mode == "int4" else 8,
+        int4_scheme=getattr(args, "int4_scheme", "grouped") or "grouped",
+    )
 
 
 def cmd_index_build(args):
@@ -590,6 +594,14 @@ def build_parser() -> argparse.ArgumentParser:
                         "(per-channel) halves decode HBM traffic; int4 "
                         "(grouped w4a16, embeddings stay int8) halves the "
                         "layer weights again")
+        sp.add_argument("--int4-scheme", default="grouped",
+                        dest="int4_scheme", choices=["grouped", "rank1"],
+                        help="with --quantize int4: 'grouped' keeps the "
+                        "full per-(group,channel) scale matrix (highest "
+                        "quality; decode measures slower than int8 on "
+                        "v5e), 'rank1' factorizes it as rs[k]*s[f] so the "
+                        "decode matmul is one fused-convert dot with true "
+                        "int4 HBM reads (the int4 speed scheme)")
         sp.add_argument("--act-int8-rows", type=int, default=0,
                         dest="act_int8_rows",
                         help="with --quantize int8: activation-row "

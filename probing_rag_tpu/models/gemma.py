@@ -68,6 +68,17 @@ class GemmaConfig:
     # batch) stays below any sane threshold and keeps the exact w8a16 path.
     # 0 = disabled (default: quality-parity serving).
     act_int8_rows: int = 0
+    # Chunked prefill attention: when >0 and the query length is a larger
+    # multiple of it, the attention maps over query chunks of this size so
+    # the f32 score/prob temporaries are bounded at [B, KV, G, chunk, S]
+    # instead of [B, KV, G, T, S]. At Mistral-7B prefill shape
+    # [32, 8, 4, 1024, 1174] the unchunked temporaries are 2 x 4.59 GB and
+    # OOM a 16 GB chip once w8a8 perturbs XLA's remat choices (measured:
+    # logs/measure_decode_mistral7b_int8a8_b32.err). Each chunk still sees
+    # the FULL key row, so the softmax is mathematically identical — this
+    # is memory chunking, not an online-softmax approximation. Decode
+    # steps (T=1) never chunk. 0 = off.
+    attn_q_chunk: int = 0
 
     @classmethod
     def gemma_2b(cls) -> "GemmaConfig":
@@ -184,20 +195,26 @@ def init_params(cfg: GemmaConfig, key: jax.Array, dtype: Any = jnp.float32) -> P
 
 
 def init_quantized_lm_params(
-    cfg: GemmaConfig, key: jax.Array, bits: int = 8
+    cfg: GemmaConfig,
+    key: jax.Array,
+    bits: int = 8,
+    group_size: Optional[int] = None,
+    int4_scheme: str = "grouped",
 ) -> Params:
-    """Random init directly into the per-channel-int8 serving format,
+    """Random init directly into the quantized serving format (int8
+    per-channel, or int4 grouped / rank-1 — see ``quantize_lm_params``),
     one weight family at a time: each bf16 leaf is materialized, quantized
     (identically to ``quantize_lm_params``: same keys, same shapes, same
     rounding) and dropped before the next is built, so the peak HBM
-    footprint is the int8 tree plus ONE bf16 leaf. A bf16 Mistral-7B tree
-    alone (14.5 GB) overflows a single v5e chip's HBM — this is how the
-    7B decode bench gets random quantized weights on-device without a
+    footprint is the quantized tree plus ONE bf16 leaf. A bf16 Mistral-7B
+    tree alone (14.5 GB) overflows a single v5e chip's HBM — this is how
+    the 7B decode bench gets random quantized weights on-device without a
     host round trip or a 2x-resident quantize pass."""
-    if bits != 8:
-        raise ValueError("init_quantized_lm_params supports bits=8 only "
-                         "(int4 serving trees are small enough to take the "
-                         "quantize_lm_params path)")
+    if bits not in (8, 4):
+        raise ValueError(f"bits must be 8 or 4, got {bits}")
+    if int4_scheme not in ("grouped", "rank1"):
+        raise ValueError(f"int4_scheme must be 'grouped' or 'rank1', "
+                         f"got {int4_scheme!r}")
     keys = jax.random.split(key, 9)
     d, h, kv, hd, f = cfg.d_model, cfg.n_heads, cfg.n_kv_heads, cfg.head_dim, cfg.d_ff
     L = cfg.n_layers
@@ -218,10 +235,29 @@ def init_quantized_lm_params(
         q = jnp.clip(jnp.round(w32 / s), -127, 127).astype(jnp.int8)
         return {"q": q, "s": s}
 
+    if bits == 4 and group_size is None:
+        # mirror _default_group_size on the cfg geometry (same dim set)
+        import math
+
+        gcd = math.gcd(cfg.d_model, cfg.n_heads * cfg.head_dim, cfg.d_ff)
+        group_size = min(128, gcd)
+        while gcd % group_size:
+            group_size -= 1
+
     def dense_quant(key, axis, *shape):
         w = dense_init(key, *shape)
-        out = quant(w, axis)
-        jax.block_until_ready(out["q"])  # free the bf16 leaf before the next
+        if bits == 4 and axis == -2:  # layer matmuls + untied head; the
+            # embedding (axis=-1) stays per-row int8 (quantize_lm_params'
+            # embed_bits default — it is quantization-sensitive)
+            if shape[-2] % group_size:
+                raise ValueError(f"group_size {group_size} must divide "
+                                 f"reduction dim {shape[-2]}")
+            out = (_quant_rank1_jit(w, group_size) if int4_scheme == "rank1"
+                   else _quant_grouped_jit(w, group_size))
+            jax.block_until_ready(out["qp"])
+        else:
+            out = quant(w, axis)
+            jax.block_until_ready(out["q"])  # free the bf16 leaf first
         return out
 
     params: Params = {
@@ -319,6 +355,63 @@ def unpack_int4_params(params: Params) -> Params:
     return out
 
 
+@partial(jax.jit, static_argnames=("group_size",))
+def _quant_grouped_jit(w: jnp.ndarray, group_size: int) -> Params:
+    """Sub-channel grouped int4: one f32 scale per (``group_size`` slice of
+    the reduction dim, output channel). Boundary format
+    ``{"qp": uint8 [.., D, F/2], "gs": f32 [.., D/group, F]}``."""
+    w32 = w.astype(jnp.float32)
+    *lead, d, f = w32.shape
+    wg = w32.reshape(*lead, d // group_size, group_size, f)
+    s = jnp.max(jnp.abs(wg), axis=-2, keepdims=True) / 7.0
+    s = jnp.where(s == 0.0, 1.0, s)
+    q = jnp.clip(jnp.round(wg / s), -7, 7).astype(jnp.int8)
+    return {"qp": _pack_int4(q.reshape(*lead, d, f)), "gs": s[..., 0, :]}
+
+
+@partial(jax.jit, static_argnames=("group_size",))
+def _quant_rank1_jit(w: jnp.ndarray, group_size: int) -> Params:
+    """Rank-1-factorized sub-channel int4 (the *serving-speed* int4 scheme).
+
+    The grouped scheme's per-(group, channel) scale matrix forces the
+    forward to batch the dot over groups, materializing a ``[rows, K, F]``
+    partial tensor per matmul — measured to make int4 decode SLOWER than
+    int8 on v5e (MEASURE_r4 decode_int4_b32 2,404 vs int8's 3,038 tok/s;
+    the down-proj partials alone roughly double the int4 weight traffic).
+    Here the scale matrix is constrained to rank 1: ``scale[k, f] =
+    rs[k] * s[f]``. The group factor ``rs`` folds into the ACTIVATIONS
+    (``x_k *= rs[k]``, a [rows, D] elementwise multiply — trivial next to
+    weight traffic) and the channel factor ``s`` applies to the output,
+    leaving ONE ordinary dot with the int4->dt convert fused into the
+    weight load: HBM weight reads stay int4 in the decode loop, with the
+    exact execution shape of the int8 path.
+
+    Fit: max-plus alternating minimization of the per-(group, channel)
+    max-abs matrix ``m`` — ``s[f] = max_k m[k,f]/rs[k]`` then ``rs[k] =
+    max_f m[k,f]/s[f]``, 3 rounds. After the final ``rs`` update,
+    ``rs[k]*s[f] >= m[k,f]`` everywhere, so no weight is clipped (the RTN
+    half-step bound holds elementwise). Quality sits between per-channel
+    int4 (rank-1 with rs == 1) and full grouped int4: per-channel outlier
+    structure — the dominant structure in real LLM weights — is captured
+    exactly; only independent per-(group, channel) variation is lost.
+
+    Boundary format ``{"qp": uint8 [.., D, F/2], "rs": f32 [.., K, 1],
+    "s": f32 [.., 1, F]}``.
+    """
+    w32 = w.astype(jnp.float32)
+    *lead, d, f = w32.shape
+    k = d // group_size
+    wg = w32.reshape(*lead, k, group_size, f)
+    m = jnp.maximum(jnp.max(jnp.abs(wg), axis=-2) / 7.0, 1e-12)  # [.., K, F]
+    rs = jnp.ones((*lead, k, 1), jnp.float32)
+    for _ in range(3):
+        s = jnp.max(m / rs, axis=-2, keepdims=True)  # [.., 1, F]
+        rs = jnp.max(m / s, axis=-1, keepdims=True)  # [.., K, 1]
+    scale4 = rs[..., None] * s[..., None, :, :]  # [.., K, 1, F] >= m
+    q = jnp.clip(jnp.round(wg / scale4), -7, 7).astype(jnp.int8)
+    return {"qp": _pack_int4(q.reshape(*lead, d, f)), "rs": rs, "s": s}
+
+
 def _default_group_size(params: Params, cap: int = 128) -> int:
     """Largest group <= ``cap`` dividing EVERY grouped reduction dim: d_model
     (wq/w_gate/w_up and a tied or untied head), n_heads*head_dim (wo), and
@@ -341,6 +434,7 @@ def quantize_lm_params(
     bits: int = 8,
     group_size: Optional[int] = None,
     embed_bits: Optional[int] = None,
+    int4_scheme: str = "grouped",
 ) -> Params:
     """Symmetric quantization of the seven matmul weight families plus the
     embedding table (the HBM-bandwidth payload of the decode loop).
@@ -372,12 +466,22 @@ def quantize_lm_params(
     grouped int4 like the layer weights. Scale overhead at group 128 is
     ~6% of the int4 payload.
 
+    ``int4_scheme`` (bits=4 only): ``"grouped"`` (default — the full
+    per-(group, channel) scale matrix; highest quality, but the decode
+    matmul must batch over groups and measures SLOWER than int8 on v5e)
+    or ``"rank1"`` (``scale[k,f] = rs[k]*s[f]`` with the group factor
+    folded into the activations — ONE fused-convert dot, true int4 HBM
+    reads in the decode loop; see :func:`_quant_rank1_jit`).
+
     ``group_size=None`` (default) picks the largest group <= 128 that
     divides every grouped reduction dim of THIS param tree (tiny test
     configs get a valid group automatically).
     """
     if bits not in (8, 4):
         raise ValueError(f"bits must be 8 or 4, got {bits}")
+    if int4_scheme not in ("grouped", "rank1"):
+        raise ValueError(f"int4_scheme must be 'grouped' or 'rank1', "
+                         f"got {int4_scheme!r}")
     embed_bits = 8 if embed_bits is None else embed_bits
     if bits == 8 and embed_bits != 8:
         raise ValueError("embed_bits only applies to bits=4")
@@ -405,22 +509,16 @@ def quantize_lm_params(
         return _q(jnp.asarray(w))
 
     def quant_grouped(w):
-        # [.., D, F] with per-(group, output-channel) scales along axis -2
-        @jax.jit
-        def _q(w):
-            w32 = w.astype(jnp.float32)
-            *lead, d, f = w32.shape
-            if d % group_size:
-                raise ValueError(
-                    f"group_size {group_size} must divide reduction dim {d}")
-            wg = w32.reshape(*lead, d // group_size, group_size, f)
-            s = jnp.max(jnp.abs(wg), axis=-2, keepdims=True) / 7.0
-            s = jnp.where(s == 0.0, 1.0, s)
-            q = jnp.clip(jnp.round(wg / s), -7, 7).astype(jnp.int8)
-            # boundary format: nibble-packed uint8 (see _pack_int4)
-            return {"qp": _pack_int4(q.reshape(*lead, d, f)), "gs": s[..., 0, :]}
-
-        return _q(jnp.asarray(w))
+        # [.., D, F] with sub-channel scales along axis -2: the full
+        # per-(group, channel) matrix or its rank-1 factorization
+        w = jnp.asarray(w)
+        if w.shape[-2] % group_size:
+            raise ValueError(
+                f"group_size {group_size} must divide reduction dim "
+                f"{w.shape[-2]}")
+        if int4_scheme == "rank1":
+            return _quant_rank1_jit(w, group_size)
+        return _quant_grouped_jit(w, group_size)
 
     out = dict(params)
     # [V, D], scale [V, 1]: per-row serves lookup AND tied head
@@ -477,6 +575,21 @@ def _mm(x: jnp.ndarray, w, dt, act8_rows: int = 0) -> jnp.ndarray:
     K, F] partials would outweigh a transient [D, F] copy, so the weight is
     dequantized in compute dtype instead."""
     if isinstance(w, dict):
+        if "rs" in w:  # rank-1 int4: q [D, F], rs [K, 1], s [1, F]
+            # the group scale folds into the activations (rows x D
+            # elementwise — trivial next to weight traffic) and the
+            # channel scale into the output, so this is ONE dot with the
+            # int4->dt convert fused into the weight load: HBM weight
+            # reads stay int4 at every row count, decode and prefill
+            # alike (no [rows, K, F] partials, nothing to hoist).
+            q, rs, s = w["q"], w["rs"], w["s"]
+            d, f = q.shape
+            k = rs.shape[0]
+            g = d // k
+            xs = (
+                x.astype(jnp.float32).reshape(x.shape[:-1] + (k, g)) * rs
+            ).reshape(x.shape).astype(dt)
+            return (xs @ q.astype(dt)) * s.astype(dt)
         if "gs" in w:  # grouped int4: q [D, F], gs [K, F], K = D / group
             q, gs = w["q"], w["gs"]
             d, f = q.shape
@@ -517,17 +630,14 @@ def rope(x: jnp.ndarray, positions: jnp.ndarray, theta: float) -> jnp.ndarray:
     return out.astype(x.dtype)
 
 
-def _attention(
-    q: jnp.ndarray,  # [B, T, H, hd]
+def _attn_core(
+    q: jnp.ndarray,  # [B, T, KV, G, hd]
     k: jnp.ndarray,  # [B, S, KV, hd]
     v: jnp.ndarray,  # [B, S, KV, hd]
     mask: jnp.ndarray,  # [B, 1, T, S] bool (True = attend)
-    return_probs: bool = False,
+    return_probs: bool,
 ):
-    b, t, h, hd = q.shape
-    kv = k.shape[2]
-    groups = h // kv
-    q = q.reshape(b, t, kv, groups, hd)
+    b, t, kv, groups, hd = q.shape
     scores = jnp.einsum("btkgh,bskh->bkgts", q, k, preferred_element_type=jnp.float32)
     scores = scores / np.sqrt(hd)
     scores = jnp.where(mask[:, :, None], scores, -1e30)  # mask: [B,1,T,S]->[B,1,1,T,S]
@@ -535,10 +645,40 @@ def _attention(
     out = jnp.einsum(
         "bkgts,bskh->btkgh", probs.astype(v.dtype), v, preferred_element_type=jnp.float32
     )
-    out = out.reshape(b, t, h * hd)
+    out = out.reshape(b, t, kv * groups * hd)
     if return_probs:
-        return out, probs.reshape(b, h, t, -1)  # [B, H, T, S]
+        return out, probs.reshape(b, kv * groups, t, -1)  # [B, H, T, S]
     return out, None
+
+
+def _attention(
+    q: jnp.ndarray,  # [B, T, H, hd]
+    k: jnp.ndarray,  # [B, S, KV, hd]
+    v: jnp.ndarray,  # [B, S, KV, hd]
+    mask: jnp.ndarray,  # [B, 1, T, S] bool (True = attend)
+    return_probs: bool = False,
+    q_chunk: int = 0,
+):
+    b, t, h, hd = q.shape
+    kv = k.shape[2]
+    groups = h // kv
+    q = q.reshape(b, t, kv, groups, hd)
+    if q_chunk and not return_probs and t > q_chunk and t % q_chunk == 0:
+        # map over query chunks: bounds the f32 score/prob temporaries at
+        # chunk/T of the full size (see GemmaConfig.attn_q_chunk). Every
+        # chunk attends over the FULL key row — mathematically identical
+        # to the unchunked softmax, not an online-softmax approximation.
+        nc = t // q_chunk
+        qc = jnp.moveaxis(q.reshape(b, nc, q_chunk, kv, groups, hd), 1, 0)
+        mc = jnp.moveaxis(mask.reshape(b, 1, nc, q_chunk, -1), 2, 0)
+
+        def one(args):
+            qq, mm = args
+            return _attn_core(qq, k, v, mm, False)[0]  # [B, q_chunk, H*hd]
+
+        out = jax.lax.map(one, (qc, mc))
+        return jnp.moveaxis(out, 0, 1).reshape(b, t, h * hd), None
+    return _attn_core(q, k, v, mask, return_probs)
 
 
 def _block(
@@ -592,7 +732,9 @@ def _block(
             k = ck[layer]
             v = cv[layer]
 
-    attn, probs = _attention(q, k.astype(dt), v.astype(dt), mask, return_attn_probs)
+    attn, probs = _attention(
+        q, k.astype(dt), v.astype(dt), mask, return_attn_probs,
+        q_chunk=cfg.attn_q_chunk)
     del k, v
     attn_out = _mm(attn.astype(dt), lp["wo"], dt, a8).astype(cfg.resid_dtype)
     resid_mid = x + attn_out

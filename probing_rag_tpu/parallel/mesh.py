@@ -68,7 +68,7 @@ def lm_param_shardings(params: Params, mesh: Mesh) -> Params:
 
     def spec_for(path, leaf) -> P:
         name = str(getattr(path[-1], "key", path[-1]))
-        if name in ("q", "qp", "s", "gs"):  # quantized leaf: inherit the weight's rule
+        if name in ("q", "qp", "s", "gs", "rs"):  # quantized leaf: inherit the weight's rule
             name = str(getattr(path[-2], "key", path[-2]))
         spec = rules.get(name, P())
         # scale tensors keep a size-1 axis where the weight has its input

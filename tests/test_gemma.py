@@ -54,6 +54,34 @@ def test_resid_sites_are_consistent(params):
 
 
 @pytest.mark.slow
+def test_chunked_prefill_attention_matches_unchunked(params):
+    """``attn_q_chunk`` maps the attention over query chunks to bound the
+    f32 score temporaries (the 7B-prefill OOM fix); each chunk attends
+    over the FULL key row, so logits and captures must match the unchunked
+    forward. Non-dividing or oversized chunks fall back to unchunked."""
+    tokens = jax.random.randint(jax.random.PRNGKey(3), (2, 16), 0, CFG.vocab_size)
+    capture = CaptureSpec.for_probing(CFG)
+    ref_l, _, ref_c = forward(params, tokens, CFG, capture=capture)
+    for chunk in (4, 8, 5, 16, 64):  # 5: non-dividing; 16/64: >= T
+        cfg_c = dataclasses.replace(CFG, attn_q_chunk=chunk)
+        got_l, _, got_c = forward(params, tokens, cfg_c, capture=capture)
+        np.testing.assert_allclose(
+            np.asarray(got_l), np.asarray(ref_l), rtol=1e-5, atol=1e-5)
+        np.testing.assert_allclose(
+            np.asarray(got_c), np.asarray(ref_c), rtol=1e-5, atol=1e-5)
+    # decode with a cache: prefill chunked, steps are T=1 (never chunked)
+    cfg_c = dataclasses.replace(CFG, attn_q_chunk=4)
+    stop = StopTables.disabled(CFG.vocab_size)
+    zeros = jnp.asarray(stop.contains_dbl_nl)
+    valid = jnp.ones(tokens.shape, bool)
+    ref = decode_greedy(params, tokens, valid, zeros, zeros, zeros,
+                        cfg=CFG, capture=capture, max_new_tokens=4, eos_id=-1)
+    got = decode_greedy(params, tokens, valid, zeros, zeros, zeros,
+                        cfg=cfg_c, capture=capture, max_new_tokens=4, eos_id=-1)
+    np.testing.assert_array_equal(np.asarray(ref[0]), np.asarray(got[0]))
+
+
+@pytest.mark.slow
 def test_kv_cache_matches_full_forward(params):
     tokens = jax.random.randint(jax.random.PRNGKey(1), (2, 10), 0, CFG.vocab_size)
     full_logits, _, _ = forward(params, tokens, CFG)

@@ -200,8 +200,24 @@ def test_init_quantized_lm_params_matches_quantize_of_init():
         assert jax.tree.structure(ref) == jax.tree.structure(got)
         for r, g in zip(jax.tree.leaves(ref), jax.tree.leaves(got)):
             np.testing.assert_array_equal(np.asarray(r), np.asarray(g))
+    # int4, both schemes: the leafwise path (how the 7B int4 bench fits one
+    # chip) must be bit-for-bit the quantize-of-init tree too
+    for scheme in ("grouped", "rank1"):
+        cfg = _mistral_tiny_cfg()
+        key = jax.random.PRNGKey(3)
+        ref = quantize_lm_params(
+            init_params(cfg, key, dtype=jnp.bfloat16),
+            bits=4, group_size=16, int4_scheme=scheme)
+        got = init_quantized_lm_params(
+            cfg, key, bits=4, group_size=16, int4_scheme=scheme)
+        assert jax.tree.structure(ref) == jax.tree.structure(got)
+        for r, g in zip(jax.tree.leaves(ref), jax.tree.leaves(got)):
+            np.testing.assert_array_equal(np.asarray(r), np.asarray(g))
     with pytest.raises(ValueError):
-        init_quantized_lm_params(CFG, jax.random.PRNGKey(0), bits=4)
+        init_quantized_lm_params(CFG, jax.random.PRNGKey(0), bits=3)
+    with pytest.raises(ValueError):
+        init_quantized_lm_params(
+            CFG, jax.random.PRNGKey(0), bits=4, int4_scheme="rank2")
 
 
 @pytest.mark.slow
@@ -337,6 +353,112 @@ def test_int4_forward_drift_bounded_and_branches_agree(monkeypatch):
     monkeypatch.setattr(G, "_INT4_DEQUANT_ROWS", 0)  # force the prefill branch
     dequant = np.asarray(forward(q4, tokens, cfg)[0])
     np.testing.assert_allclose(grouped, dequant, rtol=0.02, atol=0.05 * spread)
+
+
+@pytest.mark.slow
+def test_int4_rank1_quantization_format_and_coverage():
+    """Rank-1 int4 (``int4_scheme="rank1"``): the per-(group, channel)
+    scale matrix is constrained to ``rs[k] * s[f]`` so the decode matmul
+    is ONE fused-convert dot with true int4 HBM reads (grouped int4's
+    batched-over-groups dot measured SLOWER than int8 on v5e — MEASURE_r4
+    decode_int4_b32). The max-plus fit guarantees coverage: after the
+    final rs update, ``rs[k]*s[f] >= max|w|/7`` per (group, channel), so
+    nothing clips and the RTN half-step bound holds elementwise."""
+    from probing_rag_tpu.models.gemma import (
+        init_params, quantize_lm_params, unpack_int4_params)
+
+    cfg = CFG
+    params = init_params(cfg, jax.random.PRNGKey(0))
+    g = 16
+    q4 = quantize_lm_params(params, bits=4, group_size=g, int4_scheme="rank1")
+    wq = q4["layers"]["wq"]
+    d, f = params["layers"]["wq"].shape[-2:]
+    assert wq["qp"].dtype == jnp.uint8
+    assert wq["rs"].shape == (cfg.n_layers, d // g, 1)
+    assert wq["s"].shape == (cfg.n_layers, 1, f)
+    assert "gs" not in wq
+    assert q4["embed"]["q"].dtype == jnp.int8  # embed unaffected by scheme
+
+    up = unpack_int4_params(q4)
+    w = np.asarray(params["layers"]["w_up"], np.float32)  # [L, D, F]
+    q = np.asarray(up["layers"]["w_up"]["q"], np.float32)
+    rs = np.asarray(q4["layers"]["w_up"]["rs"])  # [L, K, 1]
+    s = np.asarray(q4["layers"]["w_up"]["s"])  # [L, 1, F]
+    assert np.abs(q).max() <= 7  # coverage: no wraparound, no clipping
+    step = np.repeat(rs * s, g, axis=1)  # [L, D, F] per-element scale
+    recon = q * step
+    assert np.all(np.abs(recon - w) <= 0.5 * step + 1e-6)
+
+    with pytest.raises(ValueError):
+        quantize_lm_params(params, bits=4, int4_scheme="rank2")
+
+
+@pytest.mark.slow
+def test_int4_rank1_forward_factorization_and_drift():
+    """The rank-1 forward folds rs into the activations and s into the
+    output — exactly ``x @ (q * rs * s)`` up to float associativity. Pin
+    the ``_mm`` factorization against the explicit dequantized matmul, and
+    bound the end-to-end drift in the grouped-int4 family (gaussian
+    weights have near-rank-1 group-max structure, so rank1 tracks grouped
+    closely here; real-checkpoint quality belongs to the parity drill)."""
+    import probing_rag_tpu.models.gemma as G
+
+    cfg = CFG
+    params = G.init_params(cfg, jax.random.PRNGKey(0))
+    r1 = G.quantize_lm_params(params, bits=4, group_size=16,
+                              int4_scheme="rank1")
+    gr = G.quantize_lm_params(params, bits=4, group_size=16)
+    tokens = jnp.asarray(
+        np.random.default_rng(5).integers(0, cfg.vocab_size, (2, 16)),
+        jnp.int32)
+    ref = np.asarray(forward(params, tokens, cfg)[0])
+    got_r1 = np.asarray(forward(r1, tokens, cfg)[0])
+    got_gr = np.asarray(forward(gr, tokens, cfg)[0])
+    spread = ref.std()
+    rms_r1 = np.sqrt(((got_r1 - ref) ** 2).mean())
+    rms_gr = np.sqrt(((got_gr - ref) ** 2).mean())
+    assert rms_r1 < 0.6 * spread, (rms_r1, spread)
+    assert rms_r1 < 1.5 * rms_gr + 1e-6, (rms_r1, rms_gr)
+
+    # _mm factorization exactness on one family (per-layer 2D leaves)
+    up = G.unpack_int4_params(r1)
+    leaf = {k: jnp.asarray(np.asarray(v)[0])
+            for k, v in up["layers"]["w_gate"].items()}
+    q0 = np.asarray(leaf["q"], np.float32)
+    rs0, s0 = np.asarray(leaf["rs"]), np.asarray(leaf["s"])
+    x = np.asarray(
+        jax.random.normal(jax.random.PRNGKey(2), (4, q0.shape[0]),
+                          jnp.float32))
+    wd = q0 * np.repeat(rs0 * s0, q0.shape[0] // rs0.shape[0], axis=0)
+    got = np.asarray(G._mm(jnp.asarray(x), leaf, jnp.float32))
+    np.testing.assert_allclose(got, x @ wd, rtol=1e-4, atol=1e-4)
+
+
+@pytest.mark.slow
+def test_int4_rank1_decode_loop_runs_with_int8_kv():
+    """The rank-1 int4 matmul must trace inside the decode while_loop with
+    the int8 KV cache (the int4 speed serving stack) and keep the int4
+    weights un-dequantized in the carry."""
+    from probing_rag_tpu.models.decode import StopTables, decode_greedy
+    from probing_rag_tpu.models.gemma import (
+        CaptureSpec, init_params, quantize_lm_params)
+
+    cfg = CFG
+    params = quantize_lm_params(
+        init_params(cfg, jax.random.PRNGKey(0)), bits=4, group_size=16,
+        int4_scheme="rank1")
+    toks = jnp.asarray(
+        np.random.default_rng(0).integers(3, cfg.vocab_size, (2, 12)),
+        jnp.int32)
+    valid = jnp.ones((2, 12), bool)
+    stop = StopTables.disabled(cfg.vocab_size)
+    zeros = jnp.asarray(stop.contains_dbl_nl)
+    out = decode_greedy(
+        params, toks, valid, zeros, zeros, zeros,
+        cfg=cfg, capture=CaptureSpec.for_probing(cfg),
+        max_new_tokens=6, eos_id=-1, kv_int8=True)
+    assert out[0].shape == (2, 6)
+    assert np.all(np.asarray(out[0]) >= 0)
 
 
 @pytest.mark.slow

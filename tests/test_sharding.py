@@ -178,6 +178,31 @@ def test_tp_sharded_int4_forward_matches_unsharded(eight_devices):
 
 
 @pytest.mark.slow
+def test_tp_sharded_int4_rank1_forward_matches_unsharded(eight_devices):
+    """Rank-1 int4 leaves ({"q", "rs", "s"}) inherit the weight's TP rule:
+    rs rides the sharded reduction dim on wo/w_down (its group axis
+    follows the activation reshape GSPMD partitions), s rides the sharded
+    output dim on wq/w_gate/w_up."""
+    from probing_rag_tpu.models.gemma import quantize_lm_params
+
+    mesh = make_mesh((2, 4), eight_devices)
+    params = quantize_lm_params(
+        init_params(CFG, jax.random.PRNGKey(0)), bits=4, group_size=16,
+        int4_scheme="rank1")
+    tokens = jax.random.randint(jax.random.PRNGKey(1), (4, 8), 0, CFG.vocab_size)
+    ref_logits, _, _ = forward(params, tokens, CFG)
+
+    sharded_params = shard_lm_params(params, mesh)
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    tokens_sharded = jax.device_put(tokens, NamedSharding(mesh, P("dp", None)))
+    logits, _, _ = jax.jit(lambda p, t: forward(p, t, CFG))(
+        sharded_params, tokens_sharded)
+    np.testing.assert_allclose(
+        np.asarray(ref_logits), np.asarray(logits), rtol=1e-4, atol=1e-4)
+
+
+@pytest.mark.slow
 def test_tp_sharded_w8a8_forward_matches_unsharded(eight_devices):
     """w8a8 prefill under TP: the s8 x s8 -> s32 dot must survive GSPMD
     partitioning. The int32 partials psum exactly and the per-row
