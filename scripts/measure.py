@@ -85,6 +85,12 @@ PLAN = [
     #     the bf16 tree alone would overflow HBM)
     ("decode_mistral7b_int8_b32", {"BENCH_DECODE_MODEL": "mistral7b", "BENCH_DECODE_INT8": "1", "BENCH_DECODE_KV_INT8": "1", "BENCH_DECODE_BATCH": "32"}, ["python", "bench_decode.py"], 3600),
     ("decode_mistral7b_int8a8_b32", {"BENCH_DECODE_MODEL": "mistral7b", "BENCH_DECODE_INT8": "1", "BENCH_DECODE_KV_INT8": "1", "BENCH_DECODE_ACT8": "512", "BENCH_DECODE_BATCH": "32"}, ["python", "bench_decode.py"], 3600),
+    # 11. rank-1 int4 (one fused-convert dot, true int4 HBM reads in the
+    #     decode loop) — the scheme built to fix grouped int4 measuring
+    #     SLOWER than int8 (ROUND4_NOTES §4)
+    ("decode_int4r1_b32", {"BENCH_DECODE_INT4": "1", "BENCH_DECODE_INT4_SCHEME": "rank1", "BENCH_DECODE_KV_INT8": "1", "BENCH_DECODE_BATCH": "32"}, ["python", "bench_decode.py"], 3600),
+    ("decode_int4r1_b8", {"BENCH_DECODE_INT4": "1", "BENCH_DECODE_INT4_SCHEME": "rank1", "BENCH_DECODE_KV_INT8": "1"}, ["python", "bench_decode.py"], 3600),
+    ("decode_mistral7b_int4r1_b32", {"BENCH_DECODE_MODEL": "mistral7b", "BENCH_DECODE_INT4": "1", "BENCH_DECODE_INT4_SCHEME": "rank1", "BENCH_DECODE_KV_INT8": "1", "BENCH_DECODE_BATCH": "32"}, ["python", "bench_decode.py"], 3600),
 ]
 
 
