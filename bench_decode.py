@@ -87,7 +87,8 @@ def main():
             # embed int8) halves the layer-weight payload again
             params = quantize_lm_params(
                 params, bits=4 if INT4 else 8, int4_scheme=INT4_SCHEME)
-    if ACT8 and INT8:
+    ACT8_ON = ACT8 and (INT8 or (INT4 and INT4_SCHEME == "rank1"))
+    if ACT8_ON:
         import dataclasses
 
         cfg = dataclasses.replace(cfg, act_int8_rows=ACT8)
@@ -161,7 +162,7 @@ def main():
                 + ("_int8" if INT8 else "")
                 + (("_int4r1" if INT4_SCHEME == "rank1" else "_int4")
                    if INT4 else "")
-                + ("_a8" if ACT8 and INT8 else "")
+                + ("_a8" if ACT8_ON else "")
                 + ("_kvint8" if KV_INT8 else "")
                 # smoke runs must never share a metric key with real ones
                 + ("_tiny" if TINY else ""),

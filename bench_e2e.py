@@ -180,15 +180,21 @@ def main():
     int4 = os.environ.get("BENCH_E2E_INT4", "") == "1"  # grouped w4a16
     if int8 and int4:
         sys.exit("set only one of BENCH_E2E_INT8 / BENCH_E2E_INT4")
+    # grouped (default) | rank1 — rank1 factorizes the int4 scale matrix
+    # so the decode matmul is one fused-convert dot with true int4 HBM reads
+    int4_scheme = os.environ.get("BENCH_E2E_INT4_SCHEME", "grouped")
     if int8 or int4:
         from probing_rag_tpu.models.gemma import quantize_lm_params
 
-        params = quantize_lm_params(params, bits=4 if int4 else 8)
-    # w8a8 prefill: int8 weights only (int4 keeps the grouped w4a16 form).
-    # 512 rows = far above any decode step (rows = batch <= 64) and far
-    # below the smallest prefill (batch 32 x 1024 tokens = 32768 rows).
+        params = quantize_lm_params(
+            params, bits=4 if int4 else 8, int4_scheme=int4_scheme)
+    # w8a8 / w4a8 prefill: per-channel int8 or rank-1 int4 weights (grouped
+    # int4 keeps the batched w4a16 form). 512 rows = far above any decode
+    # step (rows = batch <= 64) and far below the smallest prefill
+    # (batch 32 x 1024 tokens = 32768 rows).
     act8 = int(os.environ.get("BENCH_E2E_ACT8", "0"))
-    if act8 and int8:
+    act8_on = act8 and (int8 or (int4 and int4_scheme == "rank1"))
+    if act8_on:
         import dataclasses
 
         cfg = dataclasses.replace(cfg, act_int8_rows=act8)
@@ -282,9 +288,12 @@ def main():
                 "detail": {
                     "model": ("tiny (smoke)" if os.environ.get("BENCH_E2E_TINY") == "1"
                               else "gemma-2b (random "
-                              + ("int4 weights + int8 KV)" if int4
+                              + ((("rank-1 int4" if int4_scheme == "rank1"
+                                   else "int4") + " weights + int8 KV"
+                                  + (" + w4a8 prefill)" if act8_on else ")"))
+                                 if int4
                                  else "int8 weights + int8 KV"
-                                 + (" + w8a8 prefill)" if act8 else ")")
+                                 + (" + w8a8 prefill)" if act8_on else ")")
                                  if int8 else "bf16)")),
                     "retriever": retr,
                     "n_queries": N_QUERIES,

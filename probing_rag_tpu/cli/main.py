@@ -71,10 +71,15 @@ def _load_model(args):
 
 
 def _apply_act8(cfg, args):
-    """w8a8 prefill threshold: only meaningful with --quantize int8 (the
-    per-channel int8 leaves are what the s8 x s8 MXU path consumes)."""
+    """w8a8 / w4a8 prefill threshold: meaningful with --quantize int8
+    (s8 x s8 MXU path) or --quantize int4 --int4-scheme rank1 (s8 x s4 —
+    the rank-1 group scale folds into the activations before they are
+    row-quantized, so the factorization stays exact up to activation
+    rounding). Grouped int4 keeps the batched w4a16 form."""
     rows = int(getattr(args, "act_int8_rows", 0) or 0)
-    if rows and getattr(args, "quantize", "none") == "int8":
+    mode = getattr(args, "quantize", "none")
+    rank1 = getattr(args, "int4_scheme", "grouped") == "rank1"
+    if rows and (mode == "int8" or (mode == "int4" and rank1)):
         return dataclasses.replace(cfg, act_int8_rows=rows)
     return cfg
 

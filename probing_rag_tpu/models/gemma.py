@@ -66,7 +66,10 @@ class GemmaConfig:
     # (PARITY.md decode forensics: ~164 TFLOP at batch 32 x 1024 tokens vs a
     # decode step already at the HBM weight-read bound). Decode (rows =
     # batch) stays below any sane threshold and keeps the exact w8a16 path.
-    # 0 = disabled (default: quality-parity serving).
+    # With rank-1 int4 weights the same gate runs the s8 x s4 analogue
+    # (w4a8 prefill): the group factor folds into the activations BEFORE
+    # row quantization, so the factorization stays exact up to activation
+    # rounding. 0 = disabled (default: quality-parity serving).
     act_int8_rows: int = 0
     # Chunked prefill attention: when >0 and the query length is a larger
     # multiple of it, the attention maps over query chunks of this size so
@@ -586,10 +589,25 @@ def _mm(x: jnp.ndarray, w, dt, act8_rows: int = 0) -> jnp.ndarray:
             d, f = q.shape
             k = rs.shape[0]
             g = d // k
-            xs = (
+            xs32 = (
                 x.astype(jnp.float32).reshape(x.shape[:-1] + (k, g)) * rs
-            ).reshape(x.shape).astype(dt)
-            return (xs @ q.astype(dt)) * s.astype(dt)
+            ).reshape(x.shape)
+            rows = int(np.prod(x.shape[:-1]))
+            if act8_rows and rows >= act8_rows:
+                # w4a8 prefill: per-row int8 activations x int4 weights on
+                # the MXU (s8 x s4 -> s32), both rank-1 scale factors
+                # outside the dot — the rank-1 analogue of the w8a8 path
+                # below; decode steps (rows = batch) never cross the gate
+                xq, xsc = _quant_acts(xs32)
+                out = jax.lax.dot_general(
+                    xq, q,
+                    (((xq.ndim - 1,), (0,)), ((), ())),
+                    preferred_element_type=jnp.int32,
+                )
+                return (
+                    out.astype(jnp.float32) * xsc * s.astype(jnp.float32)
+                ).astype(dt)
+            return (xs32.astype(dt) @ q.astype(dt)) * s.astype(dt)
         if "gs" in w:  # grouped int4: q [D, F], gs [K, F], K = D / group
             q, gs = w["q"], w["gs"]
             d, f = q.shape

@@ -91,6 +91,12 @@ PLAN = [
     ("decode_int4r1_b32", {"BENCH_DECODE_INT4": "1", "BENCH_DECODE_INT4_SCHEME": "rank1", "BENCH_DECODE_KV_INT8": "1", "BENCH_DECODE_BATCH": "32"}, ["python", "bench_decode.py"], 3600),
     ("decode_int4r1_b8", {"BENCH_DECODE_INT4": "1", "BENCH_DECODE_INT4_SCHEME": "rank1", "BENCH_DECODE_KV_INT8": "1"}, ["python", "bench_decode.py"], 3600),
     ("decode_mistral7b_int4r1_b32", {"BENCH_DECODE_MODEL": "mistral7b", "BENCH_DECODE_INT4": "1", "BENCH_DECODE_INT4_SCHEME": "rank1", "BENCH_DECODE_KV_INT8": "1", "BENCH_DECODE_BATCH": "32"}, ["python", "bench_decode.py"], 3600),
+    ("e2e_int4r1", {"BENCH_E2E_INT4": "1", "BENCH_E2E_INT4_SCHEME": "rank1"}, ["python", "bench_e2e.py"], 3600),
+    # 12. batch-scaling rows: decode b64 measured +24% tokens/s over b32
+    #     (decode_int8a8_b64), so the flagship e2e and the 7B ladder get
+    #     their b64 points too
+    ("e2e_int8a8_b64", {"BENCH_E2E_INT8": "1", "BENCH_E2E_ACT8": "512", "BENCH_E2E_BATCH": "64", "BENCH_E2E_QUERIES": "128"}, ["python", "bench_e2e.py"], 3600),
+    ("decode_mistral7b_int8a8_b64", {"BENCH_DECODE_MODEL": "mistral7b", "BENCH_DECODE_INT8": "1", "BENCH_DECODE_KV_INT8": "1", "BENCH_DECODE_ACT8": "512", "BENCH_DECODE_BATCH": "64"}, ["python", "bench_decode.py"], 3600),
 ]
 
 

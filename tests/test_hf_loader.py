@@ -435,6 +435,38 @@ def test_int4_rank1_forward_factorization_and_drift():
 
 
 @pytest.mark.slow
+def test_w4a8_rank1_prefill_gating_and_drift():
+    """``act_int8_rows`` with rank-1 int4 weights: above the row threshold
+    the dot runs s8 x s4 -> s32 (per-row activation scales + both rank-1
+    weight factors outside the dot); below it — every decode step — the
+    path must be BIT-IDENTICAL to the drift-free w4a16-rank1 form."""
+    from probing_rag_tpu.models.gemma import init_params, quantize_lm_params
+
+    cfg = CFG
+    params = init_params(cfg, jax.random.PRNGKey(0))
+    r1 = quantize_lm_params(params, bits=4, group_size=16,
+                            int4_scheme="rank1")
+    tokens = jnp.asarray(
+        np.random.default_rng(7).integers(0, cfg.vocab_size, (2, 16)),
+        jnp.int32)  # 32 activation rows
+
+    w4a16, _, _ = forward(r1, tokens, cfg)  # act_int8_rows=0: disabled
+    gated_off, _, _ = forward(
+        r1, tokens, dataclasses.replace(cfg, act_int8_rows=64))
+    np.testing.assert_array_equal(np.asarray(gated_off), np.asarray(w4a16))
+
+    a8, _, _ = forward(r1, tokens, dataclasses.replace(cfg, act_int8_rows=1))
+    a8, w4a16 = np.asarray(a8), np.asarray(w4a16)
+    assert not np.array_equal(a8, w4a16)  # the s8 x s4 path actually ran
+    ref = np.asarray(forward(params, tokens, cfg)[0])
+    spread = ref.std()
+    # activation rounding adds drift on top of the (already larger) int4
+    # weight rounding; both must stay in the int4 drift family
+    assert np.sqrt(((a8 - w4a16) ** 2).mean()) < 0.15 * spread
+    assert np.sqrt(((a8 - ref) ** 2).mean()) < 0.7 * spread
+
+
+@pytest.mark.slow
 def test_int4_rank1_decode_loop_runs_with_int8_kv():
     """The rank-1 int4 matmul must trace inside the decode while_loop with
     the int8 KV cache (the int4 speed serving stack) and keep the int4
