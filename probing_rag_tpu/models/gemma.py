@@ -358,18 +358,36 @@ def unpack_int4_params(params: Params) -> Params:
     return out
 
 
+def _layer_mapped(core, w: jnp.ndarray, group_size: int) -> Params:
+    """Run a 2-D quantizer over any leading (layer-stack) dims ONE slice at
+    a time. Casting a stacked 7B weight family to f32 wholesale OOMs the
+    chip at quantization time (f32[32, 4096, 14336] = 7 GB HLO temp, twice
+    — the MEASURE_r4 decode_mistral7b_int4r1 OOM,
+    logs/measure_decode_mistral7b_int4r1_b32.err); per-layer slices are
+    ~224 MB. ``lax.map`` keeps one slice's temporaries live at a time."""
+    *lead, d, f = w.shape
+    if not lead:
+        return core(w, group_size)
+    out = jax.lax.map(lambda x: core(x, group_size), w.reshape((-1, d, f)))
+    return jax.tree.map(lambda a: a.reshape(tuple(lead) + a.shape[1:]), out)
+
+
+def _quant_grouped_2d(w: jnp.ndarray, group_size: int) -> Params:
+    w32 = w.astype(jnp.float32)
+    d, f = w32.shape
+    wg = w32.reshape(d // group_size, group_size, f)
+    s = jnp.max(jnp.abs(wg), axis=-2, keepdims=True) / 7.0
+    s = jnp.where(s == 0.0, 1.0, s)
+    q = jnp.clip(jnp.round(wg / s), -7, 7).astype(jnp.int8)
+    return {"qp": _pack_int4(q.reshape(d, f)), "gs": s[..., 0, :]}
+
+
 @partial(jax.jit, static_argnames=("group_size",))
 def _quant_grouped_jit(w: jnp.ndarray, group_size: int) -> Params:
     """Sub-channel grouped int4: one f32 scale per (``group_size`` slice of
     the reduction dim, output channel). Boundary format
     ``{"qp": uint8 [.., D, F/2], "gs": f32 [.., D/group, F]}``."""
-    w32 = w.astype(jnp.float32)
-    *lead, d, f = w32.shape
-    wg = w32.reshape(*lead, d // group_size, group_size, f)
-    s = jnp.max(jnp.abs(wg), axis=-2, keepdims=True) / 7.0
-    s = jnp.where(s == 0.0, 1.0, s)
-    q = jnp.clip(jnp.round(wg / s), -7, 7).astype(jnp.int8)
-    return {"qp": _pack_int4(q.reshape(*lead, d, f)), "gs": s[..., 0, :]}
+    return _layer_mapped(_quant_grouped_2d, w, group_size)
 
 
 @partial(jax.jit, static_argnames=("group_size",))
@@ -401,18 +419,22 @@ def _quant_rank1_jit(w: jnp.ndarray, group_size: int) -> Params:
     Boundary format ``{"qp": uint8 [.., D, F/2], "rs": f32 [.., K, 1],
     "s": f32 [.., 1, F]}``.
     """
+    return _layer_mapped(_quant_rank1_2d, w, group_size)
+
+
+def _quant_rank1_2d(w: jnp.ndarray, group_size: int) -> Params:
     w32 = w.astype(jnp.float32)
-    *lead, d, f = w32.shape
+    d, f = w32.shape
     k = d // group_size
-    wg = w32.reshape(*lead, k, group_size, f)
-    m = jnp.maximum(jnp.max(jnp.abs(wg), axis=-2) / 7.0, 1e-12)  # [.., K, F]
-    rs = jnp.ones((*lead, k, 1), jnp.float32)
+    wg = w32.reshape(k, group_size, f)
+    m = jnp.maximum(jnp.max(jnp.abs(wg), axis=-2) / 7.0, 1e-12)  # [K, F]
+    rs = jnp.ones((k, 1), jnp.float32)
     for _ in range(3):
-        s = jnp.max(m / rs, axis=-2, keepdims=True)  # [.., 1, F]
-        rs = jnp.max(m / s, axis=-1, keepdims=True)  # [.., K, 1]
-    scale4 = rs[..., None] * s[..., None, :, :]  # [.., K, 1, F] >= m
+        s = jnp.max(m / rs, axis=-2, keepdims=True)  # [1, F]
+        rs = jnp.max(m / s, axis=-1, keepdims=True)  # [K, 1]
+    scale4 = rs[..., None] * s[..., None, :, :]  # [K, 1, F] >= m
     q = jnp.clip(jnp.round(wg / scale4), -7, 7).astype(jnp.int8)
-    return {"qp": _pack_int4(q.reshape(*lead, d, f)), "rs": rs, "s": s}
+    return {"qp": _pack_int4(q.reshape(d, f)), "rs": rs, "s": s}
 
 
 def _default_group_size(params: Params, cap: int = 128) -> int:
