@@ -97,6 +97,11 @@ PLAN = [
     #     their b64 points too
     ("e2e_int8a8_b64", {"BENCH_E2E_INT8": "1", "BENCH_E2E_ACT8": "512", "BENCH_E2E_BATCH": "64", "BENCH_E2E_QUERIES": "128"}, ["python", "bench_e2e.py"], 3600),
     ("decode_mistral7b_int8a8_b64", {"BENCH_DECODE_MODEL": "mistral7b", "BENCH_DECODE_INT8": "1", "BENCH_DECODE_KV_INT8": "1", "BENCH_DECODE_ACT8": "512", "BENCH_DECODE_BATCH": "64"}, ["python", "bench_decode.py"], 3600),
+    # 13. rank-1 int4 + w4a8 prefill: e2e_int4r1 already measured 4.187 q/s
+    #     WITHOUT the prefill lever — with it this may be the new flagship
+    ("decode_int4r1a8_b32", {"BENCH_DECODE_INT4": "1", "BENCH_DECODE_INT4_SCHEME": "rank1", "BENCH_DECODE_KV_INT8": "1", "BENCH_DECODE_ACT8": "512", "BENCH_DECODE_BATCH": "32"}, ["python", "bench_decode.py"], 3600),
+    ("e2e_int4r1_a8", {"BENCH_E2E_INT4": "1", "BENCH_E2E_INT4_SCHEME": "rank1", "BENCH_E2E_ACT8": "512"}, ["python", "bench_e2e.py"], 3600),
+    ("decode_mistral7b_int4r1a8_b32", {"BENCH_DECODE_MODEL": "mistral7b", "BENCH_DECODE_INT4": "1", "BENCH_DECODE_INT4_SCHEME": "rank1", "BENCH_DECODE_KV_INT8": "1", "BENCH_DECODE_ACT8": "512", "BENCH_DECODE_BATCH": "32"}, ["python", "bench_decode.py"], 3600),
 ]
 
 
