@@ -149,7 +149,19 @@ def decode_greedy(
     )
     rng = rng if rng is not None else jax.random.PRNGKey(0)
     rng, k1 = jax.random.split(rng)
-    g1 = select_token(logits[:, -1], sampling, k1)
+    # freq_penalty parity (exp_rag.py:58 via transformer_lens sample_logits):
+    # the penalty counts every token of the sequence so far, prompt included
+    # (pad slots excluded); finished rows keep counting their EOS padding,
+    # matching the reference's penalty over the padded running sequence.
+    if sampling.needs_counts:
+        counts = jnp.zeros((b, cfg.vocab_size), jnp.int32).at[
+            jnp.arange(b)[:, None], prompt_tokens
+        ].add(prompt_valid.astype(jnp.int32))
+    else:  # dummy carry: static shape, never read
+        counts = jnp.zeros((b, 1), jnp.int32)
+    g1 = select_token(logits[:, -1], sampling, k1, counts)
+    if sampling.needs_counts:
+        counts = counts.at[jnp.arange(b), g1].add(1)
 
     last_prompt_tok = prompt_tokens[:, -1]
 
@@ -172,7 +184,8 @@ def decode_greedy(
         return (step < max_new_tokens - 1) & ~jnp.all(finished)
 
     def body(state):
-        step, rng, prev, kv, finished, gen_buf, valid_buf, pooled, n_pooled = state
+        (step, rng, prev, kv, finished, gen_buf, valid_buf, pooled,
+         n_pooled, counts) = state
         rope_pos = (prompt_len + step)[:, None]  # prev token's RoPE position
         logits, kv, caps = forward(
             params,
@@ -189,16 +202,20 @@ def decode_greedy(
         n_pooled = n_pooled + cap_ok.astype(jnp.int32)
 
         rng2, step_key = jax.random.split(rng)
-        nxt = select_token(logits[:, -1], sampling, step_key)
+        nxt = select_token(logits[:, -1], sampling, step_key, counts)
         nxt = jnp.where(finished, eos_id, nxt)
+        if sampling.needs_counts:
+            counts = counts.at[jnp.arange(b), nxt].add(1)
         valid_buf = valid_buf.at[:, step + 1].set(~finished)
         gen_buf = gen_buf.at[:, step + 1].set(nxt)
         finished = finished | is_stop(nxt, prev)
-        return step + 1, rng2, nxt, kv, finished, gen_buf, valid_buf, pooled, n_pooled
+        return (step + 1, rng2, nxt, kv, finished, gen_buf, valid_buf,
+                pooled, n_pooled, counts)
 
-    state = (jnp.asarray(0, jnp.int32), rng, g1, kv, finished0, gen_buf, valid_buf, pooled, n_pooled)
+    state = (jnp.asarray(0, jnp.int32), rng, g1, kv, finished0, gen_buf,
+             valid_buf, pooled, n_pooled, counts)
     state = jax.lax.while_loop(cond, body, state)
-    step, _, _, _, _, gen_buf, valid_buf, pooled, n_pooled = state
+    (step, _, _, _, _, gen_buf, valid_buf, pooled, n_pooled, _) = state
     n_generated = jnp.sum(valid_buf.astype(jnp.int32), axis=-1)
     return gen_buf, valid_buf, pooled, n_pooled, n_generated
 

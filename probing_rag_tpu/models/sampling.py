@@ -1,11 +1,13 @@
-"""Token selection for the decode loop: greedy / temperature / top-k / top-p.
+"""Token selection for the decode loop: greedy / temperature / top-k /
+top-p / frequency penalty.
 
 Parity surface: the reference's ``generate`` accepts ``do_sample``, ``top_k``,
-``top_p``, ``temperature`` (exp_rag.py:50-57 via transformer_lens
-``utils.sample_logits``); the main experiment path is greedy
+``top_p``, ``temperature``, ``freq_penalty`` (exp_rag.py:50-58 via
+transformer_lens ``utils.sample_logits``); the main experiment path is greedy
 (``do_sample=False``, exp_rag.py:401). All selectors are jit-safe (static
 config, no data-dependent shapes) so they drop into the ``lax.while_loop``
-decode.
+decode — the freq-penalty token-count carry lives in the decode state and is
+a 1-wide dummy when the penalty is off (``SamplingConfig.needs_counts``).
 """
 
 from __future__ import annotations
@@ -23,16 +25,29 @@ class SamplingConfig:
     temperature: float = 1.0
     top_k: Optional[int] = None
     top_p: Optional[float] = None
+    # transformer_lens sample_logits order: the penalty applies BEFORE
+    # temperature/top-k/top-p (exp_rag.py:58; logits -= p * count(token)
+    # over the whole sequence so far, prompt included)
+    freq_penalty: float = 0.0
+
+    @property
+    def needs_counts(self) -> bool:
+        return self.do_sample and self.freq_penalty != 0.0
 
 
 def select_token(
     logits: jnp.ndarray,  # [B, V]
     config: SamplingConfig,
     key: Optional[jax.Array] = None,
+    token_counts: Optional[jnp.ndarray] = None,  # [B, V] int32
 ) -> jnp.ndarray:
     """Returns [B] int32 token ids."""
     if not config.do_sample:
         return jnp.argmax(logits, axis=-1).astype(jnp.int32)
+
+    if config.needs_counts:
+        assert token_counts is not None, "freq_penalty needs token counts"
+        logits = logits - config.freq_penalty * token_counts.astype(logits.dtype)
 
     logits = logits / jnp.maximum(config.temperature, 1e-6)
 

@@ -51,6 +51,42 @@ def test_temperature_zero_limit_is_sharp():
     assert seen == {1}
 
 
+def test_freq_penalty_shifts_selection():
+    # reference order (transformer_lens sample_logits, exp_rag.py:58):
+    # logits -= penalty * count BEFORE temperature; with a sharp
+    # temperature the penalized favorite loses to the runner-up
+    logits = jnp.asarray([[2.0, 1.5, 0.0]])
+    counts = jnp.asarray([[3, 0, 0]], jnp.int32)
+    cfg = SamplingConfig(do_sample=True, temperature=1e-4, freq_penalty=1.0)
+    out = select_token(logits, cfg, jax.random.PRNGKey(0), counts)
+    assert int(out[0]) == 1
+    # penalty 0.0 => counts ignored (and not required)
+    cfg0 = SamplingConfig(do_sample=True, temperature=1e-4)
+    assert int(select_token(logits, cfg0, jax.random.PRNGKey(0))[0]) == 0
+
+
+@pytest.mark.slow
+def test_freq_penalty_decode_discourages_repeats():
+    """Through the full generate path: a large penalty must produce more
+    distinct tokens than penalty-free sampling from the same seed (the
+    count carry includes the prompt and grows with each generated token)."""
+    params = init_params(CFG, jax.random.PRNGKey(0))
+    tok = ByteTokenizer(CFG.vocab_size)
+    base = SamplingConfig(do_sample=True, temperature=0.3)
+    pen = dataclasses.replace(base, freq_penalty=50.0)
+    _, r0 = generate(params, CFG, tok, ["ababab"], max_new_tokens=12,
+                     sampling=base, seed=3, paragraph_stop=False)
+    _, r1 = generate(params, CFG, tok, ["ababab"], max_new_tokens=12,
+                     sampling=pen, seed=3, paragraph_stop=False)
+    uniq = lambda r: len(set(r.tokens[0, : r.n_generated[0]].tolist()))
+    assert uniq(r1) >= uniq(r0)
+    # with a huge penalty every generated token is distinct until a stop
+    toks = r1.tokens[0, : r1.n_generated[0]][
+        r1.token_valid[0, : r1.n_generated[0]]
+    ].tolist()
+    assert len(set(toks)) == len(toks)
+
+
 @pytest.mark.slow
 def test_sampled_generate_runs_and_is_seeded():
     params = init_params(CFG, jax.random.PRNGKey(0))
