@@ -32,6 +32,14 @@ KV_INT8 = os.environ.get("BENCH_DECODE_KV_INT8", "0") == "1"
 ACT8 = int(os.environ.get("BENCH_DECODE_ACT8", "0"))
 CAPTURE = os.environ.get("BENCH_DECODE_CAPTURE", "1") == "1"
 TINY = os.environ.get("BENCH_DECODE_TINY", "0") == "1"
+# speculative decode: SPEC = k drafts verified per forward (0 = off).
+# SPEC_MODE oracle = drafts are a recorded greedy output of the same model
+# (acceptance 1 — the honest measured CEILING, since random weights give
+# the prompt-lookup drafter nothing to copy); prompt = the production
+# prompt-lookup drafter (acceptance ~0 on random weights — the measured
+# FLOOR, i.e. the overhead of speculating and missing).
+SPEC = int(os.environ.get("BENCH_DECODE_SPEC", "0"))
+SPEC_MODE = os.environ.get("BENCH_DECODE_SPEC_MODE", "oracle")
 # gemma2b (default) | mistral7b — the reference's optional second model
 # family (utils.py:295-297). 7B bf16 (14.5 GB) exceeds one v5e's HBM, so
 # the mistral path inits leafwise straight into the int8 serving format
@@ -111,7 +119,7 @@ def main():
     stop = StopTables.disabled(cfg.vocab_size)  # measure the full-length loop
     zeros = jnp.asarray(stop.contains_dbl_nl)
 
-    def run(toks):
+    def run_greedy(toks):
         # eos_id=-1 never matches: measures the full max_new-length loop
         return decode_greedy(
             params, toks, valid, zeros, zeros, zeros,
@@ -119,11 +127,33 @@ def main():
             kv_int8=KV_INT8,
         )
 
+    spec_stats = None
+    if SPEC:
+        from probing_rag_tpu.models.speculative import decode_speculative
+
+        def run(toks, oracle=None):
+            out = decode_speculative(
+                params, toks, valid, zeros, zeros, zeros, oracle,
+                cfg=cfg, capture=capture, max_new_tokens=MAX_NEW, eos_id=-1,
+                k=SPEC, drafter=SPEC_MODE, kv_int8=KV_INT8,
+            )
+            return out[:5] + (out[5],)
+    else:
+        def run(toks, oracle=None):
+            return run_greedy(toks) + (None,)
+
     def fetch_scalar(x) -> float:
         return float(np.asarray(x))
 
+    def record_oracle(toks):
+        # ceiling mode: the drafts are this model's own greedy output for
+        # the same prompt, which greedy verification then accepts in full
+        if not (SPEC and SPEC_MODE == "oracle"):
+            return None
+        return jnp.asarray(np.asarray(run_greedy(toks)[0]))
+
     t0 = time.time()
-    out = run(tokens)
+    out = run(tokens, record_oracle(tokens))
     fetch_scalar(out[3][0])  # true sync: only a fetch awaits execution here
     compile_s = time.time() - t0
 
@@ -136,19 +166,35 @@ def main():
     # the calibrated fetch cost subtracted
     n_iters = 8
     variants = [jnp.roll(tokens, i + 1, axis=-1) for i in range(n_iters)]
+    # oracle recording happens OUTSIDE the timed loop: the ceiling number
+    # measures the verify path, not the recording greedy pass
+    oracles = [record_oracle(v) for v in variants]
     # settling pass: the FIRST timed block after warmup pays a ~1 s
     # position-dependent tunnel stall regardless of code (see bench.py)
-    out = run(jnp.roll(tokens, n_iters + 1, axis=-1))
+    settle = jnp.roll(tokens, n_iters + 1, axis=-1)
+    out = run(settle, record_oracle(settle))
     fetch_scalar(out[3][0])
     t0 = time.time()
     acc = jnp.zeros((), jnp.float32)
+    rounds = []
     for i in range(n_iters):
-        out = run(variants[i])
+        out = run(variants[i], oracles[i])
         # the sync scalar must depend on every step: generated tokens always
         # do; pooled captures additionally when capture is on
         acc = acc + jnp.sum(out[0].astype(jnp.float32)) + jnp.sum(out[2])
+        if out[5] is not None:
+            rounds.append(out[5]["rounds"])
     fetch_scalar(acc)
     raw_elapsed = time.time() - t0
+    if rounds:
+        r = float(np.mean([int(np.asarray(x)) for x in rounds]))
+        spec_stats = {
+            "k": SPEC,
+            "mode": SPEC_MODE,
+            "verify_rounds_per_decode": round(r, 1),
+            "sequential_rounds": MAX_NEW - 1,
+            "tokens_per_forward": round((MAX_NEW - 1) / max(r, 1), 2),
+        }
     adj = raw_elapsed - fetch_baseline
     elapsed = (adj if adj > 0.05 * raw_elapsed else raw_elapsed) / n_iters
     tok_s = BATCH * MAX_NEW / elapsed
@@ -164,6 +210,8 @@ def main():
                    if INT4 else "")
                 + ("_a8" if ACT8_ON else "")
                 + ("_kvint8" if KV_INT8 else "")
+                + ((f"_spec{SPEC}" if SPEC_MODE == "oracle"
+                    else f"_specpl{SPEC}") if SPEC else "")
                 # smoke runs must never share a metric key with real ones
                 + ("_tiny" if TINY else ""),
                 "value": round(tok_s, 1),
@@ -179,6 +227,7 @@ def main():
                     "capture_sites": capture.n_sites,
                     "kv_int8": KV_INT8,
                     "attn_q_chunk": QCHUNK,
+                    "speculative": spec_stats,
                     "compile_s": round(compile_s, 1),
                     "per_batch_latency_s": round(elapsed, 2),
                     "fetch_baseline_s": round(fetch_baseline, 1),

@@ -233,6 +233,8 @@ def generate(
     sampling: SamplingConfig = SamplingConfig(),
     seed: int = 0,
     kv_int8: bool = False,
+    spec=None,  # Optional[speculative.SpecConfig] — greedy-exact speculation
+    spec_oracle: Optional[jnp.ndarray] = None,  # [B, >=max_new] drafts
 ) -> Tuple[List[str], DecodeResult]:
     """End-to-end batched generation: tokenize, decode on device, detokenize.
 
@@ -250,21 +252,44 @@ def generate(
     prompt_ids = [tokenizer.encode(p, add_bos=True) for p in prompts]
     tokens, valid = _pad_batch(prompt_ids, tokenizer.pad_id)
 
-    gen, gen_valid, pooled, n_pooled, n_gen = decode_greedy(
-        params,
-        jnp.asarray(tokens),
-        jnp.asarray(valid),
-        jnp.asarray(stop_tables.contains_dbl_nl),
-        jnp.asarray(stop_tables.ends_nl),
-        jnp.asarray(stop_tables.starts_nl),
-        jax.random.PRNGKey(seed),
-        cfg=cfg,
-        capture=capture,
-        max_new_tokens=max_new_tokens,
-        eos_id=tokenizer.eos_id,
-        sampling=sampling,
-        kv_int8=kv_int8,
-    )
+    if spec is not None:
+        if sampling.do_sample:
+            raise ValueError("speculative decode is greedy-exact only; "
+                             "disable sampling or speculation")
+        from probing_rag_tpu.models.speculative import decode_speculative
+
+        gen, gen_valid, pooled, n_pooled, n_gen, _ = decode_speculative(
+            params,
+            jnp.asarray(tokens),
+            jnp.asarray(valid),
+            jnp.asarray(stop_tables.contains_dbl_nl),
+            jnp.asarray(stop_tables.ends_nl),
+            jnp.asarray(stop_tables.starts_nl),
+            spec_oracle,
+            cfg=cfg,
+            capture=capture,
+            max_new_tokens=max_new_tokens,
+            eos_id=tokenizer.eos_id,
+            k=spec.k,
+            drafter=spec.drafter,
+            kv_int8=kv_int8,
+        )
+    else:
+        gen, gen_valid, pooled, n_pooled, n_gen = decode_greedy(
+            params,
+            jnp.asarray(tokens),
+            jnp.asarray(valid),
+            jnp.asarray(stop_tables.contains_dbl_nl),
+            jnp.asarray(stop_tables.ends_nl),
+            jnp.asarray(stop_tables.starts_nl),
+            jax.random.PRNGKey(seed),
+            cfg=cfg,
+            capture=capture,
+            max_new_tokens=max_new_tokens,
+            eos_id=tokenizer.eos_id,
+            sampling=sampling,
+            kv_int8=kv_int8,
+        )
     gen = np.asarray(gen)
     gen_valid = np.asarray(gen_valid)
     n_gen = np.asarray(n_gen)

@@ -102,6 +102,14 @@ PLAN = [
     ("decode_int4r1a8_b32", {"BENCH_DECODE_INT4": "1", "BENCH_DECODE_INT4_SCHEME": "rank1", "BENCH_DECODE_KV_INT8": "1", "BENCH_DECODE_ACT8": "512", "BENCH_DECODE_BATCH": "32"}, ["python", "bench_decode.py"], 3600),
     ("e2e_int4r1_a8", {"BENCH_E2E_INT4": "1", "BENCH_E2E_INT4_SCHEME": "rank1", "BENCH_E2E_ACT8": "512"}, ["python", "bench_e2e.py"], 3600),
     ("decode_mistral7b_int4r1a8_b32", {"BENCH_DECODE_MODEL": "mistral7b", "BENCH_DECODE_INT4": "1", "BENCH_DECODE_INT4_SCHEME": "rank1", "BENCH_DECODE_KV_INT8": "1", "BENCH_DECODE_ACT8": "512", "BENCH_DECODE_BATCH": "32"}, ["python", "bench_decode.py"], 3600),
+    # 14. speculative decode on the flagship serving config: oracle mode
+    #     measures the acceptance=1 CEILING (drafts = recorded greedy
+    #     output), prompt mode the acceptance~0 FLOOR (random weights give
+    #     the prompt-lookup drafter nothing to copy) — real-workload
+    #     acceptance lies between; exactness is pinned by tests
+    ("decode_int8a8_spec4_b32", {"BENCH_DECODE_INT8": "1", "BENCH_DECODE_KV_INT8": "1", "BENCH_DECODE_ACT8": "512", "BENCH_DECODE_BATCH": "32", "BENCH_DECODE_SPEC": "4", "BENCH_DECODE_SPEC_MODE": "oracle"}, ["python", "bench_decode.py"], 3600),
+    ("decode_int8a8_specpl4_b32", {"BENCH_DECODE_INT8": "1", "BENCH_DECODE_KV_INT8": "1", "BENCH_DECODE_ACT8": "512", "BENCH_DECODE_BATCH": "32", "BENCH_DECODE_SPEC": "4", "BENCH_DECODE_SPEC_MODE": "prompt"}, ["python", "bench_decode.py"], 3600),
+    ("decode_int4r1_spec4_b8", {"BENCH_DECODE_INT4": "1", "BENCH_DECODE_INT4_SCHEME": "rank1", "BENCH_DECODE_KV_INT8": "1", "BENCH_DECODE_BATCH": "8", "BENCH_DECODE_SPEC": "4", "BENCH_DECODE_SPEC_MODE": "oracle"}, ["python", "bench_decode.py"], 3600),
 ]
 
 
