@@ -109,6 +109,16 @@ def main():
         import dataclasses
 
         cfg = dataclasses.replace(cfg, attn_q_chunk=QCHUNK)
+    # chunked prefill MLP (memory-exact, see GemmaConfig.mlp_t_chunk):
+    # required at 7B batch 64 — the unchunked [64, 1024, 14336] gate/up
+    # temporaries are 3.65 GB of HLO temp next to the int8 KV cache and
+    # weights and OOM the chip (MEASURE_r4 decode_mistral7b_int8a8_b64)
+    MLPCHUNK = int(os.environ.get(
+        "BENCH_DECODE_MLPCHUNK", "256" if MODEL == "mistral7b" else "0"))
+    if MLPCHUNK:
+        import dataclasses
+
+        cfg = dataclasses.replace(cfg, mlp_t_chunk=MLPCHUNK)
     capture = CaptureSpec.for_probing(cfg) if CAPTURE else CaptureSpec()
 
     rng = np.random.default_rng(0)
@@ -199,6 +209,16 @@ def main():
     elapsed = (adj if adj > 0.05 * raw_elapsed else raw_elapsed) / n_iters
     tok_s = BATCH * MAX_NEW / elapsed
 
+    # device HBM after the runs: with SPEC this prices the over-allocated
+    # prompt + max_new*(k+1) speculative cache (speculative.py:31-43)
+    # against the sequential loop's prompt + max_new cache
+    try:
+        ms = jax.local_devices()[0].memory_stats() or {}
+        hbm = {k: int(ms[k]) for k in ("bytes_in_use", "peak_bytes_in_use")
+               if k in ms}
+    except Exception:
+        hbm = {}
+
     print(
         json.dumps(
             {
@@ -227,7 +247,9 @@ def main():
                     "capture_sites": capture.n_sites,
                     "kv_int8": KV_INT8,
                     "attn_q_chunk": QCHUNK,
+                    "mlp_t_chunk": MLPCHUNK,
                     "speculative": spec_stats,
+                    "hbm": hbm,
                     "compile_s": round(compile_s, 1),
                     "per_batch_latency_s": round(elapsed, 2),
                     "fetch_baseline_s": round(fetch_baseline, 1),

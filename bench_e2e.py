@@ -39,6 +39,20 @@ VOCAB_TERMS = 50_000
 N_QUERIES = int(os.environ.get("BENCH_E2E_QUERIES", 64))
 BATCH = int(os.environ.get("BENCH_E2E_BATCH", 32))
 MAX_NEW = int(os.environ.get("BENCH_E2E_NEW", 150))
+# speculative decode inside the composed loop: verify SPEC prompt-lookup
+# drafts per forward (greedy-exact; models/speculative.py). With random
+# weights the drafter has nothing systematic to copy, so this measures the
+# acceptance~0 FLOOR of speculating inside the full pipeline — the oracle
+# CEILING is measured by bench_decode.py's spec rows; real RAG workloads
+# (generations quoting retrieved passages) land between.
+SPEC = int(os.environ.get("BENCH_E2E_SPEC", "0"))
+# gate mode: "forced" (default — the +/-1e6 worst-case/floor pair) or
+# "mid": threshold 0.0 with the random prober stack, whose ensemble scores
+# are ~symmetric per query, so ~half of each round's active set retrieves —
+# the mixed shrinking-active-set regime real traffic runs in (the paper's
+# 57/20/22 no/single/multi step distribution, BASELINE.md). Reports the
+# measured step distribution alongside q/s.
+GATE = os.environ.get("BENCH_E2E_GATE", "forced")
 
 
 class HashWordTokenizer:
@@ -234,7 +248,7 @@ def main():
             params, cfg, tok, engine, store, probers,
             RAGConfig(retr_method="probing", threshold=threshold,
                       batch_size=BATCH, max_new_tokens=MAX_NEW,
-                      kv_int8=int8 or int4),
+                      kv_int8=int8 or int4, spec_k=SPEC),
         )
 
     # warmup at 2 queries: _generate pads every chunk to BATCH, so this
@@ -246,40 +260,75 @@ def main():
     phase.clear()
     calls.clear()
 
-    # no-retrieval floor: gate fires round 0 only. Run twice like the worst
-    # case: the first post-warmup pass absorbs the ~1-10 s position-dependent
-    # tunnel settling stall (one run recorded a 10.4 s gate phase on the
-    # first pass vs 0.33 s steady), the second is the number of record.
-    build(-1e6).run(questions)
-    phase.clear()
-    calls.clear()
-    t0 = time.time()
-    floor = build(-1e6).run(questions)
-    floor_s = time.time() - t0
-    assert all(c == 0 for c in floor.retr_count_list)
-    floor_phase = {k: round(v, 2) for k, v in phase.items()}
-    phase.clear()
-    calls.clear()
+    floor_s = None
+    floor_phase = {}
+    step_dist = None
+    if GATE == "mid":
+        # mixed regime: threshold 0.0, random probers -> ~half of each
+        # round's active set retrieves, exercising the shrinking-active-set
+        # rebatching (rag.py) in the regime real traffic runs in. Two
+        # passes: the first compiles the partial-batch bucket variants the
+        # forced warmup cannot reach, the second is the number of record.
+        # The gate is deterministic (same probers, same pooled captures),
+        # so both passes take identical retrieval paths.
+        t0 = time.time()
+        mid_ref = build(0.0).run(questions)
+        cold_s = time.time() - t0
+        phase.clear()
+        calls.clear()
+        t0 = time.time()
+        out = build(0.0).run(questions)
+        total_s = time.time() - t0
+        assert out.retr_count_list == mid_ref.retr_count_list
+        counts = out.retr_count_list
+        n = len(counts)
+        step_dist = {
+            "no_retrieval_pct": round(100 * sum(c == 0 for c in counts) / n, 1),
+            "single_pct": round(100 * sum(c == 1 for c in counts) / n, 1),
+            "multi_pct": round(100 * sum(c >= 2 for c in counts) / n, 1),
+            "total_retrieval_calls": int(sum(counts)),
+            "retr_count_histogram": {
+                str(v): int(sum(c == v for c in counts)) for v in range(4)
+            },
+        }
+    else:
+        # no-retrieval floor: gate fires round 0 only. Run twice like the
+        # worst case: the first post-warmup pass absorbs the ~1-10 s
+        # position-dependent tunnel settling stall (one run recorded a
+        # 10.4 s gate phase on the first pass vs 0.33 s steady), the second
+        # is the number of record.
+        build(-1e6).run(questions)
+        phase.clear()
+        calls.clear()
+        t0 = time.time()
+        floor = build(-1e6).run(questions)
+        floor_s = time.time() - t0
+        assert all(c == 0 for c in floor.retr_count_list)
+        floor_phase = {k: round(v, 2) for k, v in phase.items()}
+        phase.clear()
+        calls.clear()
 
-    # forced worst case: every query runs all 4 retrieval rounds.
-    # Run twice: the first pass still compiles the full-batch (Qb=64)
-    # retrieval variants the 2-query warmup cannot reach; the second is the
-    # steady-state serving number.
-    t0 = time.time()
-    build(1e6).run(questions)
-    cold_s = time.time() - t0
-    phase.clear()
-    calls.clear()
-    t0 = time.time()
-    out = build(1e6).run(questions)
-    total_s = time.time() - t0
-    assert all(c == 3 for c in out.retr_count_list)
+        # forced worst case: every query runs all 4 retrieval rounds.
+        # Run twice: the first pass still compiles the full-batch (Qb=64)
+        # retrieval variants the 2-query warmup cannot reach; the second is
+        # the steady-state serving number.
+        t0 = time.time()
+        build(1e6).run(questions)
+        cold_s = time.time() - t0
+        phase.clear()
+        calls.clear()
+        t0 = time.time()
+        out = build(1e6).run(questions)
+        total_s = time.time() - t0
+        assert all(c == 3 for c in out.retr_count_list)
 
     other = total_s - sum(phase.values())
     print(
         json.dumps(
             {
                 "metric": "adaptive_rag_e2e_queries_per_sec_per_chip"
+                + ("_midgate" if GATE == "mid" else "")
+                + (f"_specpl{SPEC}" if SPEC else "")
                 # smoke runs must never share a metric key with real ones
                 + ("_tiny" if os.environ.get("BENCH_E2E_TINY") == "1" else ""),
                 "value": round(N_QUERIES / total_s, 3),
@@ -299,15 +348,19 @@ def main():
                     "n_queries": N_QUERIES,
                     "batch": BATCH,
                     "max_new_tokens": MAX_NEW,
-                    "rounds_per_query": 5,
+                    "gate_mode": GATE,
+                    "speculative_k": SPEC or None,
+                    "step_distribution": step_dist,
+                    "rounds_per_query": 5 if GATE != "mid" else None,
                     "generations": calls["generations"],
                     "retrieval_calls": calls["retrievals"],
                     "total_s": round(total_s, 1),
                     "phase_s": {k: round(v, 2) for k, v in phase.items()},
                     "host_other_s": round(other, 2),
                     "tokens_per_sec": round(calls["generations"] * MAX_NEW / phase["generate"], 1),
-                    "no_retrieval_floor_qps": round(N_QUERIES / floor_s, 3),
-                    "floor_phase_s": floor_phase,
+                    "no_retrieval_floor_qps": (
+                        round(N_QUERIES / floor_s, 3) if floor_s else None),
+                    "floor_phase_s": floor_phase or None,
                     "cold_pass_s": round(cold_s, 1),
                     "warmup_compile_s": round(warmup_s, 1),
                     "index": index_detail,

@@ -247,6 +247,9 @@ def _build_pipeline(args, retr_method: str):
         max_new_tokens=args.max_new_tokens,
         batch_size=args.batch_size,
         position=args.position,
+        kv_int8=getattr(args, "kv_int8", False),
+        spec_k=getattr(args, "spec_k", 0) or 0,
+        spec_drafter=getattr(args, "spec_drafter", "prompt"),
     )
     return AdaptiveRAGPipeline(params, cfg, tok, engine, store, probers, rag), cfg
 
@@ -614,6 +617,23 @@ def build_parser() -> argparse.ArgumentParser:
                         "MXU (prefill; decode steps stay w8a16). 512 is "
                         "the measured serving setting (+26%% decode "
                         "ladder, +15%% e2e; MEASURE_r4 decode_int8a8_b32)")
+        sp.add_argument("--kv-int8", action="store_true", dest="kv_int8",
+                        help="int8 KV cache (per-token-per-head scales, "
+                        "dequant fused into the attention read): halves "
+                        "cache HBM traffic; part of the recommended "
+                        "serving config with --quantize int8")
+        sp.add_argument("--spec-k", type=int, default=0, dest="spec_k",
+                        help="speculative decode: verify this many "
+                        "prompt-lookup draft tokens per forward "
+                        "(greedy-exact — committed output is identical to "
+                        "sequential greedy; models/speculative.py). RAG "
+                        "generations quote retrieved passages, the "
+                        "prompt-lookup drafter's best case. 0 = off")
+        sp.add_argument("--spec-drafter", default="prompt",
+                        dest="spec_drafter", choices=["prompt"],
+                        help="speculative draft source (serving exposes "
+                        "the self-drafting prompt-lookup drafter; the "
+                        "oracle drafter is a bench/test harness)")
         sp.add_argument("--dense", action="store_true", help="dense retrieval")
         sp.add_argument("--dense-int8", action="store_true",
                         help="int8 (SQ8) dense store: half the HBM bytes "

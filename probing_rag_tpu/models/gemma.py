@@ -82,6 +82,19 @@ class GemmaConfig:
     # is memory chunking, not an online-softmax approximation. Decode
     # steps (T=1) never chunk. 0 = off.
     attn_q_chunk: int = 0
+    # Chunked prefill MLP: when >0 and the token length is a larger multiple
+    # of it, the block's MLP maps over token chunks of this size so the
+    # [B, T, d_ff] gate/up temporaries are bounded at [B, chunk, d_ff].
+    # At Mistral-7B batch-64 prefill the unchunked w8a8 MLP temporaries are
+    # bf16[64,1024,14336] + f32[64,1024,4096] + s8[64,1024,14336] = 3.65 GB
+    # of HLO temp next to the 4.6 GB int8 KV cache and 6.75 GB weights —
+    # the measured OOM of MEASURE_r4 decode_mistral7b_int8a8_b64
+    # (logs/measure_decode_mistral7b_int8a8_b64.err). Each chunk runs the
+    # identical three matmuls over a token slice, so the result is
+    # mathematically identical; the only cost is re-reading the MLP weights
+    # once per chunk, negligible while prefill is MXU-bound. Decode steps
+    # (T=1) never chunk. 0 = off.
+    mlp_t_chunk: int = 0
 
     @classmethod
     def gemma_2b(cls) -> "GemmaConfig":
@@ -787,9 +800,24 @@ def _block(
         if cfg.mlp_activation == "gelu"
         else jax.nn.silu
     )
-    gate = act(_mm(mlp_in, lp["w_gate"], dt, a8))
-    up = _mm(mlp_in, lp["w_up"], dt, a8)
-    mlp_out = _mm(gate * up, lp["w_down"], dt, a8).astype(cfg.resid_dtype)
+    def mlp(x_in):
+        g = act(_mm(x_in, lp["w_gate"], dt, a8))
+        u = _mm(x_in, lp["w_up"], dt, a8)
+        return _mm(g * u, lp["w_down"], dt, a8)
+
+    mc = cfg.mlp_t_chunk
+    if mc and t > mc and t % mc == 0:
+        # map over token chunks: bounds the [B, T, d_ff] gate/up
+        # temporaries at chunk/T of the full size (see
+        # GemmaConfig.mlp_t_chunk). Chunks of B*mc rows stay far above any
+        # act_int8_rows threshold, so the w8a8/w4a8 prefill gating is
+        # unchanged.
+        nc = t // mc
+        chunks = jnp.moveaxis(mlp_in.reshape(b, nc, mc, d), 1, 0)
+        mlp_out = jnp.moveaxis(jax.lax.map(mlp, chunks), 0, 1)
+        mlp_out = mlp_out.reshape(b, t, d).astype(cfg.resid_dtype)
+    else:
+        mlp_out = mlp(mlp_in).astype(cfg.resid_dtype)
     resid_post = resid_mid + mlp_out
     return resid_mid, resid_post, (ck, cv, ks, vs), probs
 

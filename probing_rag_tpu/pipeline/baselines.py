@@ -127,10 +127,19 @@ def traced_generate(
     if not gen_ids:
         return GenerationTrace("", [], [], [], [])
 
-    ids = jnp.asarray([gen_ids], jnp.int32)
-    logits, _, _, probs = forward_with_attn(lm_params, ids, cfg)
-    probs = np.asarray(probs[0], np.float32)  # [H, T, T]
-    logits = np.asarray(logits[0], np.float32)  # [T, V]
+    # pow2-bucket the trace forward: generation lengths vary per query, and
+    # an exact-length [1, n] forward would compile one 2B executable per
+    # distinct n. Pad slots are masked invalid (attn_valid), so real tokens
+    # never attend to them, and the pad query rows are sliced off — the
+    # traced attention/entropy values are exactly the unpadded ones
+    # (pinned by test_traced_generate_bucketing_is_exact).
+    np2 = 1 << max(len(gen_ids) - 1, 3).bit_length()
+    pad = np2 - len(gen_ids)
+    ids = jnp.asarray([gen_ids + [0] * pad], jnp.int32)
+    valid = jnp.asarray([[True] * len(gen_ids) + [False] * pad])
+    logits, _, _, probs = forward_with_attn(lm_params, ids, valid, cfg)
+    probs = np.asarray(probs[0, :, : len(gen_ids), : len(gen_ids)], np.float32)
+    logits = np.asarray(logits[0, : len(gen_ids)], np.float32)  # [T, V]
 
     # attention received per token: max over query positions, mean over heads
     if attn_solver == "max":
@@ -169,10 +178,11 @@ import functools
 
 
 @functools.partial(jax.jit, static_argnames=("cfg",))
-def forward_with_attn(lm_params, ids: jnp.ndarray, cfg: GemmaConfig):
+def forward_with_attn(lm_params, ids: jnp.ndarray, valid, cfg: GemmaConfig):
     """Jitted forward that also returns the LAST layer's attention probs
-    (the reference reads ``.attentions[-1]``, utils.py:539)."""
-    return forward(lm_params, ids, cfg, attn_probs_layer=-1)
+    (the reference reads ``.attentions[-1]``, utils.py:539). ``valid``
+    masks right-padding so bucketed trace forwards stay exact."""
+    return forward(lm_params, ids, cfg, attn_valid=valid, attn_probs_layer=-1)
 
 
 # ------------------------------------------------------------- baselines
@@ -301,10 +311,17 @@ class DraginRAG(BaselineRAG):
         ids = self.tokenizer.encode(all_text)
         if not ids:
             return prev_text
+        # pow2-bucket like traced_generate: one compiled executable per
+        # bucket instead of per text length; pad slots masked invalid
+        np2 = 1 << max(len(ids) - 1, 3).bit_length()
+        padded = ids + [0] * (np2 - len(ids))
+        valid = jnp.asarray([[True] * len(ids) + [False] * (np2 - len(ids))])
         _, _, _, probs = forward_with_attn(
-            self.lm_params, jnp.asarray([ids], jnp.int32), self.cfg
+            self.lm_params, jnp.asarray([padded], jnp.int32), valid, self.cfg
         )
-        probs = np.asarray(probs[0]).mean(axis=0)  # [T, T] mean over heads
+        probs = np.asarray(
+            probs[0, :, : len(ids), : len(ids)]
+        ).mean(axis=0)  # [T, T] mean over heads
         token_texts = [self.tokenizer.decode([i]) for i in ids]
         ranges = _merge_tokens_to_words(token_texts)
         words = ["".join(token_texts[lo:hi + 1]).strip() for lo, hi in ranges]

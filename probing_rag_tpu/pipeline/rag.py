@@ -49,6 +49,13 @@ class RAGConfig:
     position: str = "resid_post"
     kv_int8: bool = False  # quantize the KV cache (serve with
     # quantize_lm_params for the full int8 configuration)
+    # Speculative decode (greedy-exact, models/speculative.py): verify
+    # spec_k prompt-lookup drafts per forward. RAG generations quote
+    # retrieved passages, which is exactly when the prompt-lookup drafter's
+    # acceptance is high; committed output equals greedy decode token for
+    # token, so quality parity is unconditional. 0 = off.
+    spec_k: int = 0
+    spec_drafter: str = "prompt"
 
 
 @dataclass
@@ -80,6 +87,11 @@ class AdaptiveRAGPipeline:
             tuple((l, rag.position) for l in cfg.probe_layers)
         )
         self.stop_tables = StopTables.from_token_strings(tokenizer.token_strings())
+        self.spec = None
+        if rag.spec_k:
+            from probing_rag_tpu.models.speculative import SpecConfig
+
+            self.spec = SpecConfig(k=rag.spec_k, drafter=rag.spec_drafter)
 
     # ------------------------------------------------------------ helpers
     def _generate(self, prompt_texts: Sequence[str], with_capture: bool):
@@ -103,6 +115,7 @@ class AdaptiveRAGPipeline:
                 capture=capture,
                 stop_tables=self.stop_tables,
                 kv_int8=self.rag.kv_int8,
+                spec=self.spec,
             )
             texts_out.extend(texts[: len(chunk)])
             if with_capture:

@@ -67,7 +67,8 @@ def test_merge_tokens_to_words():
 def test_forward_with_attn_shapes(stack):
     lm, tok, _, _ = stack
     ids = jnp.asarray([tok.encode("hello world")], jnp.int32)
-    logits, _, _, probs = forward_with_attn(lm, ids, CFG)
+    valid = jnp.ones(ids.shape, bool)
+    logits, _, _, probs = forward_with_attn(lm, ids, valid, CFG)
     t = ids.shape[1]
     assert probs.shape == (1, CFG.n_heads, t, t)
     # causal: rows sum to 1, upper triangle zero
@@ -84,6 +85,40 @@ def test_traced_generate(stack):
     if trace.words:
         assert len(trace.words) == len(trace.word_attn) == len(trace.word_entropy)
         assert all(e >= 0 for e in trace.word_entropy)
+
+
+@pytest.mark.slow
+def test_traced_generate_bucketing_is_exact(stack):
+    """The trace forward pow2-buckets the generated ids (one compiled
+    executable per bucket instead of per length) with pad slots masked
+    invalid; the traced attention/entropy/logprob values must equal an
+    exact-length masked forward's."""
+    lm, tok, _, _ = stack
+    trace = traced_generate(lm, CFG, tok, "Question: who?\nAnswer:", 7)
+    assert trace.words, "tiny LM generated nothing; pick another prompt"
+    # recompute at exact length (mask all-valid, no padding)
+    ids = [int(t) for t in tok.encode(trace.text)]
+    # reconstruct the generated ids the trace used: re-run the generator
+    from probing_rag_tpu.models.decode import StopTables, generate as gen_fn
+    from probing_rag_tpu.models.gemma import CaptureSpec as CS
+
+    texts, result = gen_fn(
+        lm, CFG, tok, ["Question: who?\nAnswer:"], max_new_tokens=7,
+        capture=CS(), stop_tables=StopTables.disabled(tok.vocab_size))
+    n = int(result.n_generated[0])
+    gen_ids = [int(t) for t in result.tokens[0, :n]]
+    ids_x = jnp.asarray([gen_ids], jnp.int32)
+    valid_x = jnp.ones(ids_x.shape, bool)
+    logits_x, _, _, probs_x = forward_with_attn(lm, ids_x, valid_x, CFG)
+    received_x = np.asarray(probs_x[0], np.float32).max(axis=1).mean(axis=0)
+    # the bucketed trace's per-word attention must match the exact-length one
+    token_texts = [tok.decode([i]) for i in gen_ids]
+    ranges = _merge_tokens_to_words(token_texts)
+    exact = []
+    for lo, hi in ranges:
+        if "".join(token_texts[lo:hi + 1]).strip():
+            exact.append(float(received_x[lo:hi + 1].sum()))
+    np.testing.assert_allclose(trace.word_attn, exact, rtol=1e-4, atol=1e-5)
 
 
 def test_dragin_modifier_detects_high_entropy(stack):

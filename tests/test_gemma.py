@@ -82,6 +82,37 @@ def test_chunked_prefill_attention_matches_unchunked(params):
 
 
 @pytest.mark.slow
+def test_chunked_prefill_mlp_matches_unchunked(params):
+    """``mlp_t_chunk`` maps the block MLP over token chunks to bound the
+    [B, T, d_ff] gate/up temporaries (the 7B batch-64 w8a8 OOM fix —
+    logs/measure_decode_mistral7b_int8a8_b64.err); each chunk runs the
+    identical matmuls over a token slice, so logits and captures must match
+    the unchunked forward (up to XLA fusion-order f32 rounding).
+    Non-dividing or oversized chunks fall back to unchunked."""
+    tokens = jax.random.randint(jax.random.PRNGKey(7), (2, 16), 0, CFG.vocab_size)
+    capture = CaptureSpec.for_probing(CFG)
+    ref_l, _, ref_c = forward(params, tokens, CFG, capture=capture)
+    for chunk in (4, 8, 5, 16, 64):  # 5: non-dividing; 16/64: >= T
+        cfg_c = dataclasses.replace(CFG, mlp_t_chunk=chunk)
+        got_l, _, got_c = forward(params, tokens, cfg_c, capture=capture)
+        np.testing.assert_allclose(
+            np.asarray(got_l), np.asarray(ref_l), rtol=1e-5, atol=1e-5)
+        np.testing.assert_allclose(
+            np.asarray(got_c), np.asarray(ref_c), rtol=1e-5, atol=1e-5)
+    # combined with chunked attention AND a decode cache: prefill chunks,
+    # steps are T=1 (never chunked) — committed tokens must be identical
+    cfg_c = dataclasses.replace(CFG, mlp_t_chunk=4, attn_q_chunk=4)
+    stop = StopTables.disabled(CFG.vocab_size)
+    zeros = jnp.asarray(stop.contains_dbl_nl)
+    valid = jnp.ones(tokens.shape, bool)
+    ref = decode_greedy(params, tokens, valid, zeros, zeros, zeros,
+                        cfg=CFG, capture=capture, max_new_tokens=4, eos_id=-1)
+    got = decode_greedy(params, tokens, valid, zeros, zeros, zeros,
+                        cfg=cfg_c, capture=capture, max_new_tokens=4, eos_id=-1)
+    np.testing.assert_array_equal(np.asarray(ref[0]), np.asarray(got[0]))
+
+
+@pytest.mark.slow
 def test_kv_cache_matches_full_forward(params):
     tokens = jax.random.randint(jax.random.PRNGKey(1), (2, 10), 0, CFG.vocab_size)
     full_logits, _, _ = forward(params, tokens, CFG)

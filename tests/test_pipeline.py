@@ -83,6 +83,24 @@ def test_probing_method_kv_int8(setup):
 
 
 @pytest.mark.slow
+def test_probing_method_speculative_is_greedy_exact(setup):
+    """RAGConfig(spec_k=...) threads the prompt-lookup speculative decoder
+    through every pipeline generate call; by the speculative exactness
+    contract the full adaptive loop — predictions, retrieval counts AND
+    gate scores (pooled captures feed the gate) — must equal the
+    sequential-greedy run bit for bit."""
+    questions = ["capital of france", "first president", "powerhouse"]
+    ref = _pipeline(setup, retr_method="probing", threshold=0.0).run(questions)
+    for k in (2, 4):
+        got = _pipeline(setup, retr_method="probing", threshold=0.0,
+                        spec_k=k).run(questions)
+        assert got.pred_list == ref.pred_list
+        assert got.retr_count_list == ref.retr_count_list
+        for gs, rs in zip(got.gate_scores, ref.gate_scores):
+            np.testing.assert_allclose(gs, rs, rtol=1e-5, atol=1e-6)
+
+
+@pytest.mark.slow
 def test_probing_method_forced_retrieve(setup):
     # threshold -> +inf forces retrieval every round: hard cap applies
     pipe = _pipeline(setup, retr_method="probing", threshold=1e6)
