@@ -32,6 +32,15 @@ N_DOCS = int(os.environ.get("BENCH_DOCS", 100_000))
 DOC_LEN = int(os.environ.get("BENCH_DOC_LEN", 60))
 VOCAB = int(os.environ.get("BENCH_VOCAB", 50_000))
 N_QUERIES = int(os.environ.get("BENCH_QUERIES", 8192))
+# synthesize the corpus as raw token-id arrays instead of Python token
+# strings: at wiki scale (5M docs x 24 tokens) the string form alone would
+# cost >10 GB of host RAM; with ids the term ids ARE the index vocab ids
+# (BM25Index.build_tokenized_ids), matching bench_wiki_scale.py
+SYNTH_IDS = os.environ.get("BENCH_SYNTH_IDS", "0") == "1"
+# headline-metric suffix for scale variants (e.g. "_5m"): scale rows must
+# never share a metric key with the 100k-doc headline
+SUFFIX = os.environ.get("BENCH_METRIC_SUFFIX", "")
+MAX_PAD = int(os.environ.get("BENCH_MAX_PAD", 1 << 17))
 K = 5
 TARGET_QPS = 10_000.0
 
@@ -65,21 +74,31 @@ def main():
     # terms match ~10% of all docs — a heavy workload relative to real
     # natural-language queries.
     term_ids = (_zipf_tokens(rng, N_DOCS * DOC_LEN) % VOCAB).astype(np.int64)
-    docs_tokens = [
-        [f"t{t}" for t in term_ids[i * DOC_LEN : (i + 1) * DOC_LEN]]
-        for i in range(N_DOCS)
-    ]
     t0 = time.time()
-    index = BM25Index.build_tokenized(
-        docs_tokens, BM25Config(stem=False, remove_stopwords=False)
-    )
+    if SYNTH_IDS:
+        index = BM25Index.build_tokenized_ids(
+            term_ids, np.full(N_DOCS, DOC_LEN, np.int64),
+            BM25Config(stem=False, remove_stopwords=False),
+        )
+        del term_ids
+    else:
+        docs_tokens = [
+            [f"t{t}" for t in term_ids[i * DOC_LEN : (i + 1) * DOC_LEN]]
+            for i in range(N_DOCS)
+        ]
+        index = BM25Index.build_tokenized(
+            docs_tokens, BM25Config(stem=False, remove_stopwords=False)
+        )
     build_s = time.time() - t0
 
-    engine = BM25Engine(index, max_pad=1 << 17)
+    engine = BM25Engine(index, max_pad=MAX_PAD)
     q_terms = (_zipf_tokens(rng, N_QUERIES * 4).reshape(N_QUERIES, 4) % VOCAB).astype(np.int64)
-    query_ids = [
-        index.encode_query([f"t{t}" for t in row]) for row in q_terms
-    ]
+    if SYNTH_IDS:
+        query_ids = [row.astype(np.int32) for row in q_terms]
+    else:
+        query_ids = [
+            index.encode_query([f"t{t}" for t in row]) for row in q_terms
+        ]
 
     # Measurement protocol for this environment: the tunnel backend treats
     # block_until_ready as submission-complete, and ONLY a device->host
@@ -174,7 +193,7 @@ def main():
     print(
         json.dumps(
             {
-                "metric": "bm25_queries_per_sec_per_chip",
+                "metric": "bm25_queries_per_sec_per_chip" + SUFFIX,
                 "value": round(qps, 1),
                 "unit": "queries/s",
                 "vs_baseline": round(qps / TARGET_QPS, 3),

@@ -476,6 +476,57 @@ def cmd_analyze(args):
         print(f"\nreport -> {report}")
 
 
+def _parity_preflight(args, datasets):
+    """Print exactly which parity artifacts are present/missing (VERDICT r4
+    #8: 'a sharper one-command drill for the day weights arrive'). Never
+    aborts — the drill falls back to the synthetic fixture path — but the
+    checklist makes 'which file is still needed' a zero-thought read."""
+    from probing_rag_tpu.data.qa import dataset_path
+
+    rows = []
+
+    def check(label, ok, hint):
+        rows.append((label, ok, hint))
+
+    ckpt = Path(args.checkpoint) if args.checkpoint else None
+    if ckpt is None:
+        check("checkpoint", False,
+              "--checkpoint DIR with google/gemma-2b safetensors "
+              "(RUNBOOK.md §0); without it the drill runs the synthetic "
+              "fixture chain")
+    else:
+        has_st = bool(list(ckpt.glob("*.safetensors"))) if ckpt.is_dir() else False
+        check(f"checkpoint safetensors ({ckpt})", has_st,
+              "download google/gemma-2b and point --checkpoint at it")
+        sp = (Path(args.tokenizer) if args.tokenizer
+              else ckpt / "tokenizer.model")
+        check(f"sentencepiece model ({sp})", sp.exists(),
+              "tokenizer.model from the same checkpoint (pad=eos parity, "
+              "exp_rag.py:304); or pass --tokenizer PATH")
+    raw = Path(args.raw_dir)
+    for ds in datasets:
+        for split in ("train", "dev"):
+            try:
+                p = dataset_path(raw, ds, split)
+            except ValueError:
+                check(f"dataset {ds}/{split}", False, "unknown dataset name")
+                continue
+            check(f"dataset {ds}/{split} ({p})", p.exists(),
+                  "scripts/download_data.sh fetches the reference layout")
+    missing = [r for r in rows if not r[1]]
+    print("[parity preflight] artifact checklist:")
+    for label, ok, hint in rows:
+        mark = "ok " if ok else "MISSING"
+        print(f"  [{mark:7s}] {label}" + ("" if ok else f" -> {hint}"))
+    if missing:
+        print(f"[parity preflight] {len(missing)} artifact(s) missing — "
+              "running the synthetic-fixture drill; the published-number "
+              "reproduction needs every row green (RUNBOOK.md).")
+    else:
+        print("[parity preflight] all artifacts present — this run "
+              "reproduces the BASELINE.md protocol.")
+
+
 def cmd_parity(args):
     """One-command parity drill: the reference's full five-step workflow
     (README.md:35-66 — index build -> prober-dataset make (simple + none) ->
@@ -498,6 +549,7 @@ def cmd_parity(args):
     work = Path(args.workdir)
     work.mkdir(parents=True, exist_ok=True)
     datasets = args.datasets.split(",")
+    _parity_preflight(args, datasets)
     base = ["--platform", args.platform] if args.platform else []
     if args.checkpoint:
         base += ["--checkpoint", args.checkpoint]

@@ -47,6 +47,16 @@ _CARRY_INIT = -2  # matches no doc id and no sentinel
 _ALIGN = 1024  # Mosaic HBM/VMEM memref tiling for 32-bit elements
 
 
+# main-path bitonic row caps: rows up to NARROW_SORT_MAX_PAD sort on the
+# unrolled per-pass network (compile time grows with width — 74 s at 32K,
+# measured); wider rows up to BITONIC_MAX_PAD sort on the while_loop-form
+# wide network (compact compile — 512K in 69 s; 1M crashed the remote
+# compile service, so the cap stays one notch under). Rows beyond
+# BITONIC_MAX_PAD route to the exact over-cap fallback (retrieval/bm25.py).
+NARROW_SORT_MAX_PAD = 1 << 15
+BITONIC_MAX_PAD = 1 << 19
+
+
 def gather_chunk(pad: int) -> int:
     """DMA copy granularity for a given row tile width. 4096-element copies
     are ~3x cheaper per element but need a chunk of in-row slack (see
@@ -790,13 +800,15 @@ def _bitonic_gather_kernel(
 
 @functools.partial(
     jax.jit,
-    static_argnames=("pad", "sentinel_doc", "k", "block", "interpret"),
+    static_argnames=(
+        "pad", "sentinel_doc", "k", "block", "interpret", "narrow_sort_max",
+    ),
 )
 def bm25_search_bitonic(
     doc_e, imp_e, doc_o, imp_o, doc_c, imp_c, doc_r, imp_r,
     src, srcr, slot, rlen, big, wtblk=None,
     *, pad: int, sentinel_doc: int, k: int, block: int = 1024,
-    interpret: bool = False,
+    interpret: bool = False, narrow_sort_max: int = NARROW_SORT_MAX_PAD,
 ):
     """Single-dispatch BM25 search over the bitonic postings store: DMA/roll
     gather (every 1024-block of each row sorted) -> bitonic sort starting at
@@ -815,8 +827,22 @@ def bm25_search_bitonic(
     planner can express "term t was planned once for m occurrences" as
     weight m on every block of t's slot. The multiply fuses into the row-
     tail masking pass that already touches [Q, pad]; unweighted calls
-    compile the variant without it."""
-    from probing_rag_tpu.ops.pallas_sort import sort_pairs_pallas
+    compile the variant without it.
+
+    Row widths above ``NARROW_SORT_MAX_PAD`` (32768) sort on the
+    while_loop-form wide bitonic network (ops/pallas_sort.py::
+    sort_pairs_pallas_wide — compact compile: 512K built in 69 s where the
+    unrolled network took 74 s at 32K and would be pathological beyond)
+    instead of the unrolled per-pass network, raising the main-path row cap
+    from 32768 to 524288 slots. At the reference's 21M-passage corpus scale
+    78%% of queries used to exceed the 32K cap and fall back to the exact
+    two-program over-cap path with its ~30x per-query planning cost
+    (ROUND4_NOTES §7); with the wide sort they ride the single fused
+    bucket-stream dispatch."""
+    from probing_rag_tpu.ops.pallas_sort import (
+        sort_pairs_pallas,
+        sort_pairs_pallas_wide,
+    )
 
     q_in, tq = src.shape
     row_tile = 8
@@ -884,7 +910,20 @@ def bm25_search_bitonic(
         imp = imp * jnp.broadcast_to(
             wtblk[:, :, None], (q, pad // block, block)
         ).reshape(q, pad)
-    doc, imp = sort_pairs_pallas(doc, imp, k_start=2 * block, interpret=interpret)
+    if pad > narrow_sort_max:
+        # k_start stays exactly 2*block: the gather's alternating
+        # asc/desc sorted 1024-blocks satisfy the bitonic network's
+        # stage-2048 precondition and nothing finer. lane_width shrinks
+        # for small pads (tests) so each row still splits into >= 8
+        # sub-rows (Mosaic block rule; the wrapper also self-shrinks).
+        doc, imp = sort_pairs_pallas_wide(
+            doc, imp, lane_width=min(8192, max(pad // 8, 2 * block)),
+            k_start=2 * block, interpret=interpret
+        )
+    else:
+        doc, imp = sort_pairs_pallas(
+            doc, imp, k_start=2 * block, interpret=interpret
+        )
     scores, docs = segment_topk_pallas(
         doc, imp, k=k, sentinel=sentinel_doc, interpret=interpret
     )

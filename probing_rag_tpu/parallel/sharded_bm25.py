@@ -110,7 +110,8 @@ class ShardedBM25Engine:
     def __init__(self, index: BM25Index, mesh: Mesh, max_pad: int = 1 << 20,
                  use_pallas: Optional[bool] = None, mode: Optional[str] = None,
                  interpret: Optional[bool] = None, dedup: bool = True,
-                 q_tile: int = 256):
+                 q_tile: int = 256,
+                 narrow_sort_max: Optional[int] = None):
         self.index = index
         self.mesh = mesh
         self.analyzer = index.config.analyzer()
@@ -134,10 +135,20 @@ class ShardedBM25Engine:
         self._axes = tuple(mesh.axis_names)
         self.last_stats = {"n_queries": 0, "n_fallback": 0, "n_trimmed": 0}
         if mode == "bitonic":
-            # see BM25Engine: row cap from the unrolled sort network; queries
-            # over it (on ANY shard) run the exact XLA fallback per shard
+            # see BM25Engine: rows up to 32768 sort on the unrolled network,
+            # wider rows up to BITONIC_MAX_PAD (524288) on the while_loop-
+            # form wide network; queries over THAT cap (on ANY shard) run
+            # the exact XLA fallback per shard
+            from probing_rag_tpu.ops.pallas_sparse import (
+                BITONIC_MAX_PAD, NARROW_SORT_MAX_PAD,
+            )
+
             self.fallback_max_pad = 1 << 20
-            self.max_pad = min(max_pad, 1 << 15)
+            self.max_pad = min(max_pad, BITONIC_MAX_PAD)
+            self.narrow_sort_max = (
+                narrow_sort_max if narrow_sort_max is not None
+                else NARROW_SORT_MAX_PAD
+            )
             self._init_bitonic(index, mesh)
             return
         offsets, docs, imps = shard_index_by_docs(index, self.n_shards)
@@ -273,6 +284,7 @@ class ShardedBM25Engine:
         axes = self._axes
         block = self.block
         interpret = self.interpret
+        narrow_sort_max = self.narrow_sort_max
 
         def shard_fn(de, ie, do, io, dc, ic, dr, ir, src, srcr, slot, rlen, big,
                      *wt):
@@ -281,7 +293,7 @@ class ShardedBM25Engine:
                 src[0], srcr[0], slot[0], rlen[0], big[0],
                 wt[0][0] if wt else None,
                 pad=pad, sentinel_doc=sentinel, k=k, block=block,
-                interpret=interpret,
+                interpret=interpret, narrow_sort_max=narrow_sort_max,
             )
             return _merge_shard_topk(scores, idx, axes, k)
 

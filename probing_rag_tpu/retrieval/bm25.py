@@ -177,6 +177,7 @@ class BM25Engine:
         mode: Optional[str] = None,  # "bitonic" | "dma" | "xla" (None = auto)
         interpret: Optional[bool] = None,
         dedup: bool = True,  # bitonic mode: collapse repeated query terms
+        narrow_sort_max: Optional[int] = None,  # tests: force the wide sort
     ):
         if index.nnz >= 2**31:
             raise ValueError(
@@ -205,12 +206,23 @@ class BM25Engine:
         self.dedup = dedup and self.mode == "bitonic"
         self.last_stats = {"n_queries": 0, "n_fallback": 0, "n_trimmed": 0}
         if mode == "bitonic":
-            # row width bound: unrolled sort-network compile time grows with
-            # P (74s at 32768, measured); queries over the cap run the exact
-            # XLA fallback over the compact copy (doc_c), whose tile cap is
-            # independent of the bitonic row cap
+            # row width bound: rows up to 32768 sort on the unrolled
+            # network (compile time grows with P — 74s at 32768, measured);
+            # wider rows up to BITONIC_MAX_PAD (524288) sort on the
+            # while_loop-form wide network inside the same fused dispatch
+            # (compact compile — 512K in 69 s). Queries over THAT cap run
+            # the exact XLA fallback over the compact copy (doc_c), whose
+            # tile cap is independent of the bitonic row cap.
+            from probing_rag_tpu.ops.pallas_sparse import (
+                BITONIC_MAX_PAD, NARROW_SORT_MAX_PAD,
+            )
+
             self.fallback_max_pad = 1 << 20
-            self.max_pad = min(max_pad, 1 << 15)
+            self.max_pad = min(max_pad, BITONIC_MAX_PAD)
+            self.narrow_sort_max = (
+                narrow_sort_max if narrow_sort_max is not None
+                else NARROW_SORT_MAX_PAD
+            )
             store = index.bitonic_csr()
             self._store = store
             self._dev_offsets = put(index.term_offsets.astype(np.int32))
@@ -521,6 +533,7 @@ class BM25Engine:
                     jnp.asarray(big[sel]), wtblk,
                     pad=pad, sentinel_doc=self.index.n_docs, k=k,
                     block=st.block, interpret=self.interpret,
+                    narrow_sort_max=self.narrow_sort_max,
                 )
                 if as_numpy:
                     s = np.asarray(scores)

@@ -30,7 +30,61 @@ REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 # (name, env overrides, argv, timeout_s) — ordered by judge-criticality so a
 # mid-session tunnel death still leaves the headline + flagship rows on disk.
-PLAN = [
+#
+# ROUND 5 PLAN (the r4 plan lives in git history; MEASURE_r4.jsonl is the
+# session of record for those rows). Goals, from VERDICT r4 "next round":
+#  #1 speculative-decode hardware evidence (3 decode rows + an e2e row)
+#  #2 close the two failed r4 rows (7B w8a8 b64 OOM -> mlp_t_chunk fix;
+#     decode_int4r1a8_b32 died to the tunnel) + the 2 rows the session
+#     never reached
+#  #3 BM25 headline variance: bm25_rep1..rep5 run the identical bench.py
+#     at five different SESSION POSITIONS (the r4 52,264-vs-31,606 spread
+#     is tunnel/session state, not protocol — both artifacts ran the same
+#     script), so the spread itself gets measured
+#  #4 bm25_5m: the first chip-served BM25 number beyond 100k docs (5M-doc
+#     store ~3.8 GB in HBM, ids-mode synthesis)
+#  #5 e2e_midgate: the composed loop at a ~50% mixed gate (threshold 0,
+#     random probers) with the measured step distribution
+#  #7 baseline_dragin / baseline_flare: hardware rows with the poster
+#     table's retrieval-call accounting
+PLAN_R5 = [
+    # headline + variance position 1
+    ("bm25_rep1", {}, ["python", "bench.py"], 3600),
+    # the failed w4a8 decode row (r4 rc=2: tunnel died mid-session)
+    ("decode_int4r1a8_b32", {"BENCH_DECODE_INT4": "1", "BENCH_DECODE_INT4_SCHEME": "rank1", "BENCH_DECODE_KV_INT8": "1", "BENCH_DECODE_ACT8": "512", "BENCH_DECODE_BATCH": "32"}, ["python", "bench_decode.py"], 3600),
+    # speculative decode: oracle ceiling / prompt floor on the flagship
+    # serving config, + the small-batch int4r1 point (VERDICT r4 #1)
+    ("decode_int8a8_spec4_b32", {"BENCH_DECODE_INT8": "1", "BENCH_DECODE_KV_INT8": "1", "BENCH_DECODE_ACT8": "512", "BENCH_DECODE_BATCH": "32", "BENCH_DECODE_SPEC": "4", "BENCH_DECODE_SPEC_MODE": "oracle"}, ["python", "bench_decode.py"], 3600),
+    ("decode_int8a8_specpl4_b32", {"BENCH_DECODE_INT8": "1", "BENCH_DECODE_KV_INT8": "1", "BENCH_DECODE_ACT8": "512", "BENCH_DECODE_BATCH": "32", "BENCH_DECODE_SPEC": "4", "BENCH_DECODE_SPEC_MODE": "prompt"}, ["python", "bench_decode.py"], 3600),
+    ("decode_int4r1_spec4_b8", {"BENCH_DECODE_INT4": "1", "BENCH_DECODE_INT4_SCHEME": "rank1", "BENCH_DECODE_KV_INT8": "1", "BENCH_DECODE_BATCH": "8", "BENCH_DECODE_SPEC": "4", "BENCH_DECODE_SPEC_MODE": "oracle"}, ["python", "bench_decode.py"], 3600),
+    # variance position 2
+    ("bm25_rep2", {}, ["python", "bench.py"], 3600),
+    # composed-loop speculation (prompt drafter floor; random weights give
+    # the drafter nothing systematic to copy — oracle ceiling is the
+    # decode rows' job) + the mixed-gate regime row
+    ("e2e_int8a8_specpl4", {"BENCH_E2E_INT8": "1", "BENCH_E2E_ACT8": "512", "BENCH_E2E_SPEC": "4"}, ["python", "bench_e2e.py"], 3600),
+    ("e2e_midgate", {"BENCH_E2E_INT8": "1", "BENCH_E2E_ACT8": "512", "BENCH_E2E_GATE": "mid"}, ["python", "bench_e2e.py"], 3600),
+    # variance position 3
+    ("bm25_rep3", {}, ["python", "bench.py"], 3600),
+    # the failed 7B w8a8 b64 OOM row, now with chunked prefill MLP
+    # (GemmaConfig.mlp_t_chunk — bounds the [64,1024,14336] gate/up temps)
+    ("decode_mistral7b_int8a8_b64", {"BENCH_DECODE_MODEL": "mistral7b", "BENCH_DECODE_INT8": "1", "BENCH_DECODE_KV_INT8": "1", "BENCH_DECODE_ACT8": "512", "BENCH_DECODE_BATCH": "64"}, ["python", "bench_decode.py"], 5400),
+    # the two rows the r4 session never reached
+    ("e2e_int4r1_a8", {"BENCH_E2E_INT4": "1", "BENCH_E2E_INT4_SCHEME": "rank1", "BENCH_E2E_ACT8": "512"}, ["python", "bench_e2e.py"], 3600),
+    ("decode_mistral7b_int4r1a8_b32", {"BENCH_DECODE_MODEL": "mistral7b", "BENCH_DECODE_INT4": "1", "BENCH_DECODE_INT4_SCHEME": "rank1", "BENCH_DECODE_KV_INT8": "1", "BENCH_DECODE_ACT8": "512", "BENCH_DECODE_BATCH": "32"}, ["python", "bench_decode.py"], 5400),
+    # baseline methods on chip (poster efficiency-table analogue)
+    ("baseline_dragin", {"BENCH_BASE_METHOD": "dragin"}, ["python", "bench_baselines.py"], 5400),
+    ("baseline_flare", {"BENCH_BASE_METHOD": "flare"}, ["python", "bench_baselines.py"], 5400),
+    # variance position 4
+    ("bm25_rep4", {}, ["python", "bench.py"], 3600),
+    # 5M-doc wiki-scale store served on the real chip (ids-mode synthesis;
+    # host build ~10 min + ~3.8 GB device_put over the tunnel)
+    ("bm25_5m", {"BENCH_DOCS": "5000000", "BENCH_DOC_LEN": "24", "BENCH_VOCAB": "200000", "BENCH_QUERIES": "2048", "BENCH_SYNTH_IDS": "1", "BENCH_METRIC_SUFFIX": "_5m", "BENCH_MAX_PAD": "524288"}, ["python", "bench.py"], 10800),
+    # variance position 5 (end of session)
+    ("bm25_rep5", {}, ["python", "bench.py"], 3600),
+]
+PLAN = PLAN_R5
+PLAN_R4 = [
     # 1. headline BM25 (the BENCH_r04 number)
     ("bm25", {}, ["python", "bench.py"], 3600),
     # 2. composed adaptive-RAG loop at Gemma-2B scale
@@ -152,7 +206,7 @@ def rewrite_without(out_path, names):
 
 def main():
     ap = argparse.ArgumentParser()
-    ap.add_argument("--out", default="MEASURE_r4.jsonl")
+    ap.add_argument("--out", default="MEASURE_r5.jsonl")
     ap.add_argument("--only", default="", help="comma-separated bench names")
     ap.add_argument("--skip-errors", action="store_true",
                     help="do not retry benches that previously errored")

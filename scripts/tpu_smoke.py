@@ -208,6 +208,59 @@ def smoke_bm25_fallback():
         got.doc_indices[:2], oracle.doc_indices[:2])
 
 
+def smoke_bm25_wide_sort_main_path():
+    """The 32K->512K row-cap raise: rows over ``narrow_sort_max`` sort on
+    the while_loop-form wide network INSIDE the main fused dispatch
+    (ops/pallas_sparse.bm25_search_bitonic). Forced small via the test knob
+    so the smoke compiles in seconds; vs the exact XLA engine as oracle.
+    A production-width (65536) compile is exercised separately by
+    smoke_bm25_wide_sort_64k when SMOKE_WIDE64K=1 (it costs ~1 min)."""
+    from probing_rag_tpu.retrieval.bm25 import BM25Engine
+    from probing_rag_tpu.retrieval.bm25_index import BM25Index
+
+    rng = np.random.default_rng(3)
+    n_docs, vocab = 4000, 300
+    texts = [
+        " ".join(
+            f"w{int(v)}" for v in
+            np.minimum(rng.zipf(1.3, rng.integers(8, 30)), vocab)
+        )
+        for _ in range(n_docs)
+    ]
+    index = BM25Index.build(texts)
+    queries = [" ".join(f"w{int(v)}" for v in np.minimum(
+        rng.zipf(1.2, 12), vocab)) for _ in range(16)]
+    eng = BM25Engine(index, mode="bitonic", interpret=False,
+                     narrow_sort_max=1024)
+    got = eng.search(queries, k=5)
+    assert eng.last_stats["n_fallback"] == 0, eng.last_stats
+    oracle = BM25Engine(index, mode="xla").search(queries, k=5)
+    assert np.array_equal(got.doc_indices, oracle.doc_indices), (
+        got.doc_indices[:2], oracle.doc_indices[:2])
+
+
+def smoke_bm25_wide_sort_64k():
+    """Production-threshold wide-sort compile: one genuinely >32768-slot
+    row through the main fused path at pad 65536 (the smallest width the
+    raised cap adds). Compile is the point — a 65536-wide while_loop
+    network + the [8, 8*65536] gather block must lower and run."""
+    from probing_rag_tpu.retrieval.bm25 import BM25Engine
+    from probing_rag_tpu.retrieval.bm25_index import BM25Config, BM25Index
+
+    rng = np.random.default_rng(17)
+    n_docs = 40_000
+    docs = [["hot", f"u{rng.integers(0, 2000)}"] for _ in range(n_docs)]
+    index = BM25Index.build_tokenized(
+        docs, BM25Config(stem=False, remove_stopwords=False))
+    eng = BM25Engine(index, mode="bitonic", interpret=False)
+    q = index.encode_query(["hot", "u7"])
+    res = eng.search_term_ids([q], k=5)
+    assert eng.last_stats["n_fallback"] == 0, eng.last_stats
+    oracle = index.score_all(q)
+    exp = np.sort(oracle)[::-1][:5]
+    assert np.allclose(np.sort(res.scores[0])[::-1], exp, rtol=1e-4, atol=1e-3)
+
+
 def smoke_ivf():
     from probing_rag_tpu.retrieval.ivf import IVFDenseIndex, IVFEngine
 
@@ -241,6 +294,9 @@ def main():
     check("dense int8 segs=4", lambda: smoke_dense(4, True))
     check("dense int8 rerank", lambda: smoke_dense(1, True, rerank=True))
     check("bm25 over-cap fallback", smoke_bm25_fallback)
+    check("bm25 wide-sort main path", smoke_bm25_wide_sort_main_path)
+    if os.environ.get("SMOKE_WIDE64K") == "1":
+        check("bm25 wide-sort 64k row", smoke_bm25_wide_sort_64k)
     check("ivf probed search", smoke_ivf)
     check("int4 decode boundary", smoke_int4_decode)
     check("w8a8 prefill boundary", smoke_w8a8_prefill)

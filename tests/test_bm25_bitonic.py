@@ -130,6 +130,66 @@ def test_bitonic_single_highdf_term_returns_hits(zipf_index):
                        rtol=1e-4, atol=1e-3)
 
 
+@pytest.mark.slow
+def test_bitonic_wide_sort_main_path_matches_oracle(zipf_index):
+    """Row widths over ``narrow_sort_max`` sort on the while_loop-form wide
+    bitonic network INSIDE the main fused path (the 32K->512K row-cap
+    raise, VERDICT r4 #4b). Forced small via the test knob: every query
+    stays on the main path (no fallback) and must match the oracle
+    exactly."""
+    idx, rng = zipf_index
+    eng = BM25Engine(idx, mode="bitonic", interpret=True,
+                     narrow_sort_max=1024)
+    lens = idx.term_offsets[1:] - idx.term_offsets[:-1]
+    heavy = np.argsort(lens)[-6:].astype(np.int32)
+    # mixed stream: wide-sorted rows (heavy multi-term) + narrow rows
+    qids = [
+        heavy[:3], heavy[3:], heavy[::2],
+        idx.encode_query(
+            [f"t{t}" for t in (rng.zipf(1.2, 3) % 400)]),
+    ]
+    res = eng.search_term_ids(qids, k=5)
+    assert eng.last_stats["n_fallback"] == 0
+    for i, ids in enumerate(qids):
+        if len(ids) == 0:
+            continue
+        oracle = idx.score_all(ids)
+        got = res.scores[i][res.doc_indices[i] >= 0]
+        exp = np.sort(oracle)[::-1][: len(got)]
+        assert np.allclose(np.sort(got)[::-1], exp, rtol=1e-4, atol=1e-3), i
+        for d, s in zip(res.doc_indices[i], res.scores[i]):
+            if d >= 0:
+                assert oracle[d] == pytest.approx(s, rel=1e-4, abs=1e-3)
+
+
+@pytest.mark.slow
+def test_bitonic_over32k_row_rides_main_path():
+    """A genuinely >32768-slot row (the regime that used to fall back —
+    78% of queries at the 21M corpus, ROUND4_NOTES §7) now rides the main
+    fused path with the wide sort at the PRODUCTION threshold, and scores
+    exactly."""
+    rng = np.random.default_rng(11)
+    n_docs = 40_000
+    # one hot term in every doc (40k postings -> ~40960 aligned slots,
+    # over the 32768 narrow cap) + per-doc filler terms
+    docs = [["hot", f"u{rng.integers(0, 2000)}"] for _ in range(n_docs)]
+    idx = BM25Index.build_tokenized(
+        docs, BM25Config(stem=False, remove_stopwords=False)
+    )
+    eng = BM25Engine(idx, mode="bitonic", interpret=True)
+    assert eng.max_pad > 1 << 15  # the cap raise is live
+    q = idx.encode_query(["hot", "u7"])
+    st = idx.bitonic_csr()
+    assert int(st.aligned_len[q[0]]) > 1 << 15  # row really is over 32k
+    res = eng.search_term_ids([q], k=5)
+    assert eng.last_stats["n_fallback"] == 0
+    oracle = idx.score_all(q)
+    exp = np.sort(oracle)[::-1][:5]
+    assert np.allclose(np.sort(res.scores[0])[::-1], exp, rtol=1e-4, atol=1e-3)
+    for d, s in zip(res.doc_indices[0], res.scores[0]):
+        assert d >= 0 and oracle[d] == pytest.approx(s, rel=1e-4, abs=1e-3)
+
+
 def test_bitonic_mixed_stream_overcap_and_normal(zipf_index):
     """A stream mixing over-cap and normal queries: every row exact, stats
     split correctly, order preserved."""

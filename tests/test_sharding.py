@@ -314,6 +314,31 @@ def test_sharded_bm25_bitonic_equals_single_device(eight_devices, corpus):
 
 
 @pytest.mark.slow
+def test_sharded_bm25_bitonic_wide_sort_equals_single(eight_devices, corpus):
+    """Per-shard rows over ``narrow_sort_max`` sort on the while_loop-form
+    wide network inside the sharded fused dispatch (the 32K->512K row-cap
+    raise); forced small via the test knob, the sharded result must still
+    equal the single-device engine (which here keeps the narrow sort) —
+    the two sort forms must be interchangeable under the all_gather
+    merge."""
+    index = BM25Index.build(corpus, PLAIN)
+    mesh = make_mesh(None, jax.devices()[:8])
+    sharded = ShardedBM25Engine(index, mesh, mode="bitonic", interpret=True,
+                                narrow_sort_max=1024)
+    single = BM25Engine(index, mode="bitonic", interpret=True)
+    # heavy queries so per-shard slot totals cross the forced 1024 threshold
+    queries = [corpus[3] + " " + corpus[5], "w1 w2 w3 w4 w5 w6 w7 w8",
+               corpus[77] + " w3 w5"]
+    rs = sharded.search(queries, k=5)
+    r1 = single.search(queries, k=5)
+    assert sharded.last_stats["n_fallback"] == 0
+    for i in range(len(queries)):
+        assert np.allclose(
+            np.sort(rs.scores[i]), np.sort(r1.scores[i]), atol=1e-4
+        ), i
+
+
+@pytest.mark.slow
 def test_sharded_bm25_bitonic_on_two_level_mesh(eight_devices, corpus):
     index = BM25Index.build(corpus, PLAIN)
     mesh = jax.sharding.Mesh(
