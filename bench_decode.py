@@ -81,10 +81,13 @@ def main():
 
         cfg = GemmaConfig.mistral_7b()
         # leafwise init+quantize on device: peak HBM = quantized tree + 1
-        # bf16 leaf
+        # bf16 leaf. UNSTACKED layers: stacked [L, ...] weights cost a
+        # full hoisted slice-temp copy of the layer weights inside the
+        # decode jit (~6 GB at 7B int8, 8x-padded for s4 — the MEASURE_r5
+        # decode_mistral7b_* OOMs); per-layer trees are plain arguments
         params = init_quantized_lm_params(
             cfg, jax.random.PRNGKey(0), bits=4 if INT4 else 8,
-            int4_scheme=INT4_SCHEME)
+            int4_scheme=INT4_SCHEME, unstacked=True)
     else:
         cfg = GemmaConfig.gemma_2b()
         params = init_params(cfg, jax.random.PRNGKey(0), dtype=jnp.bfloat16)
@@ -155,12 +158,34 @@ def main():
     def fetch_scalar(x) -> float:
         return float(np.asarray(x))
 
+    oracle_fixpoint = []  # (iters, converged) per recorded oracle
+
     def record_oracle(toks):
-        # ceiling mode: the drafts are this model's own greedy output for
-        # the same prompt, which greedy verification then accepts in full
+        # ceiling mode: drafts must be what THE SPEC PATH's own verify
+        # forward would greedily emit. Seeding with the sequential greedy
+        # output is not enough: the verify forward runs k+1 tokens/row with
+        # a larger physical cache, so its bf16 logits differ from the
+        # 1-token recorder's in the low bits, and with random weights one
+        # argmax near-tie flip early in the sequence derails the oracle
+        # permanently (MEASURE_r5 decode_int8a8_spec4_b32 measured
+        # tokens_per_forward 1.0 this way). Iterating o <- committed(o)
+        # converges to the spec path's own greedy fixpoint: committed == o
+        # elementwise iff every draft was accepted (a rejected draft is
+        # replaced by a differing bonus token), and a full-acceptance
+        # oracle reproduces itself deterministically.
         if not (SPEC and SPEC_MODE == "oracle"):
             return None
-        return jnp.asarray(np.asarray(run_greedy(toks)[0]))
+        o = run_greedy(toks)[0]
+        iters, converged = 0, False
+        for _ in range(25):
+            committed = run(toks, o)[0]
+            iters += 1
+            if np.array_equal(np.asarray(committed), np.asarray(o)):
+                converged = True
+                break
+            o = committed
+        oracle_fixpoint.append((iters, converged))
+        return jnp.asarray(np.asarray(o))
 
     t0 = time.time()
     out = run(tokens, record_oracle(tokens))
@@ -205,6 +230,13 @@ def main():
             "sequential_rounds": MAX_NEW - 1,
             "tokens_per_forward": round((MAX_NEW - 1) / max(r, 1), 2),
         }
+        if oracle_fixpoint:
+            spec_stats["oracle_fixpoint"] = {
+                "mean_iters": round(
+                    float(np.mean([i for i, _ in oracle_fixpoint])), 1),
+                "max_iters": max(i for i, _ in oracle_fixpoint),
+                "all_converged": all(c for _, c in oracle_fixpoint),
+            }
     adj = raw_elapsed - fetch_baseline
     elapsed = (adj if adj > 0.05 * raw_elapsed else raw_elapsed) / n_iters
     tok_s = BATCH * MAX_NEW / elapsed

@@ -216,6 +216,7 @@ def init_quantized_lm_params(
     bits: int = 8,
     group_size: Optional[int] = None,
     int4_scheme: str = "grouped",
+    unstacked: bool = False,
 ) -> Params:
     """Random init directly into the quantized serving format (int8
     per-channel, or int4 grouped / rank-1 — see ``quantize_lm_params``),
@@ -276,10 +277,26 @@ def init_quantized_lm_params(
             jax.block_until_ready(out["q"])  # free the bf16 leaf first
         return out
 
-    params: Params = {
-        "embed": dense_quant(keys[0], -1, cfg.vocab_size, d),
-        "final_norm": norm_init(d),
-        "layers": {
+    if unstacked:
+        # per-layer trees (see unstack_layer_params): same peak-HBM
+        # discipline — one bf16 leaf live at a time — with per-layer keys
+        def one_layer(i: int) -> Params:
+            lk = [jax.random.fold_in(keys[j], i) for j in range(8)]
+            return {
+                "attn_norm": norm_init(d),
+                "wq": dense_quant(lk[1], -2, d, h * hd),
+                "wk": dense_quant(lk[2], -2, d, kv * hd),
+                "wv": dense_quant(lk[3], -2, d, kv * hd),
+                "wo": dense_quant(lk[4], -2, h * hd, d),
+                "mlp_norm": norm_init(d),
+                "w_gate": dense_quant(lk[5], -2, d, f),
+                "w_up": dense_quant(lk[6], -2, d, f),
+                "w_down": dense_quant(lk[7], -2, f, d),
+            }
+
+        layers: Any = tuple(one_layer(i) for i in range(L))
+    else:
+        layers = {
             "attn_norm": norm_init(L, d),
             "wq": dense_quant(keys[1], -2, L, d, h * hd),
             "wk": dense_quant(keys[2], -2, L, d, kv * hd),
@@ -289,7 +306,11 @@ def init_quantized_lm_params(
             "w_gate": dense_quant(keys[5], -2, L, d, f),
             "w_up": dense_quant(keys[6], -2, L, d, f),
             "w_down": dense_quant(keys[7], -2, L, f, d),
-        },
+        }
+    params: Params = {
+        "embed": dense_quant(keys[0], -1, cfg.vocab_size, d),
+        "final_norm": norm_init(d),
+        "layers": layers,
     }
     if not cfg.tied_head:
         params["lm_head"] = dense_quant(keys[8], -2, d, cfg.vocab_size)
@@ -368,6 +389,43 @@ def unpack_int4_params(params: Params) -> Params:
         out["lm_head"] = fix(out["lm_head"])
     if isinstance(out.get("layers"), dict):
         out["layers"] = {k: fix(v) for k, v in out["layers"].items()}
+    elif isinstance(out.get("layers"), (list, tuple)):  # unstacked format
+        out["layers"] = tuple(
+            {k: fix(v) for k, v in lp.items()} for lp in out["layers"]
+        )
+    return out
+
+
+def unstack_layer_params(params: Params) -> Params:
+    """Convert the stacked layer tree (every leaf ``[L, ...]``) to the
+    UNSTACKED serving format: ``params["layers"]`` becomes a tuple of L
+    per-layer trees. Mathematically identical — :func:`forward`'s layer
+    loop is Python-unrolled either way — but the memory behavior under jit
+    differs decisively at 7B scale: with stacked weights every unrolled
+    layer holds ``lax.squeeze(w[layer])`` slice temporaries that XLA hoists
+    out of the decode ``while_loop`` and keeps live SIMULTANEOUSLY — a full
+    extra copy of the layer weights as HLO temp (~6 GB for int8 Mistral-7B,
+    and 8x worse per slice for packed-layout s4: the MEASURE_r5
+    decode_mistral7b_int8a8_b64 / _int4r1a8_b32 OOMs). Unstacked, each
+    layer's weights are plain jit ARGUMENTS referenced in place: zero
+    slice temps. Conversion peaks at 2x the tree's bytes (old stacked +
+    new slices both live) — init directly unstacked at 7B scale instead
+    (``init_quantized_lm_params(..., unstacked=True)``).
+
+    TP sharding specs and checkpoints keep the stacked layout; unstack at
+    serving time.
+    """
+    layers = params.get("layers")
+    if not isinstance(layers, dict):
+        return params  # already unstacked (or no layer stack)
+    n = None
+    for leaf in jax.tree.leaves(layers):
+        n = leaf.shape[0]
+        break
+    out = dict(params)
+    out["layers"] = tuple(
+        jax.tree.map(lambda a: a[i], layers) for i in range(n)
+    )
     return out
 
 
@@ -887,8 +945,13 @@ def forward(
     ks = kv_cache.get("k_scale") if kv_cache is not None else None
     vs = kv_cache.get("v_scale") if kv_cache is not None else None
     lp_all = params["layers"]
+    lp_unstacked = isinstance(lp_all, (list, tuple))
     for layer in range(cfg.n_layers):
-        lp = jax.tree.map(lambda a: a[layer], lp_all)
+        # unstacked trees index a per-layer subtree (plain jit arguments,
+        # no temps); stacked trees slice every leaf — see
+        # unstack_layer_params for why the distinction matters at 7B
+        lp = (lp_all[layer] if lp_unstacked
+              else jax.tree.map(lambda a: a[layer], lp_all))
         cache = None
         if kv_cache is not None:
             cache = (ck, cv, ks, vs, layer, kv_cache["pos"])

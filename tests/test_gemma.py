@@ -300,3 +300,63 @@ def test_stop_tables_decode_byte_fallback_newlines():
     )
     assert st.ends_nl[1] and st.starts_nl[1]
     assert not st.ends_nl[0] and not st.ends_nl[2]
+
+
+def test_unstacked_layers_exact_and_quantized_decode(params):
+    """The unstacked serving format (params["layers"] as a tuple of
+    per-layer trees — the 7B OOM fix, see gemma.unstack_layer_params) is
+    bit-identical to the stacked tree: same forward logits, same greedy
+    decode through every quantization scheme's unpack path."""
+    from probing_rag_tpu.models.gemma import (
+        init_quantized_lm_params,
+        quantize_lm_params,
+        unstack_layer_params,
+    )
+
+    rng = np.random.default_rng(7)
+    toks = jnp.asarray(rng.integers(3, CFG.vocab_size, (2, 12)), jnp.int32)
+    valid = jnp.ones((2, 12), bool)
+    capture = CaptureSpec.for_probing(CFG)
+
+    un = unstack_layer_params(params)
+    assert isinstance(un["layers"], tuple) and len(un["layers"]) == CFG.n_layers
+    assert unstack_layer_params(un) is un  # idempotent passthrough
+    lo, _, _ = forward(params, toks, CFG, capture=capture)
+    lu, _, _ = forward(un, toks, CFG, capture=capture)
+    np.testing.assert_array_equal(np.asarray(lo), np.asarray(lu))
+
+    stop = StopTables.disabled(CFG.vocab_size)
+    zeros = jnp.asarray(stop.contains_dbl_nl)
+    for scheme_kw in ({"bits": 8}, {"bits": 4, "int4_scheme": "grouped"},
+                      {"bits": 4, "int4_scheme": "rank1"}):
+        qp = quantize_lm_params(params, **scheme_kw)
+        qu = unstack_layer_params(qp)
+        outs = []
+        for p in (qp, qu):
+            g = decode_greedy(
+                p, toks, valid, zeros, zeros, zeros,
+                cfg=CFG, capture=capture, max_new_tokens=6, eos_id=-1,
+            )
+            outs.append(g)
+        np.testing.assert_array_equal(np.asarray(outs[0][0]), np.asarray(outs[1][0]))
+        np.testing.assert_array_equal(
+            np.asarray(outs[0][2]), np.asarray(outs[1][2]))
+
+
+def test_init_quantized_unstacked_structure():
+    """init_quantized_lm_params(unstacked=True) emits the tuple-of-layers
+    format with per-layer shapes matching a stacked init's slices, for
+    both int8 and rank-1 int4."""
+    from probing_rag_tpu.models.gemma import init_quantized_lm_params
+
+    for kw in ({"bits": 8}, {"bits": 4, "int4_scheme": "rank1"}):
+        pu = init_quantized_lm_params(CFG, jax.random.PRNGKey(1),
+                                      unstacked=True, **kw)
+        ps = init_quantized_lm_params(CFG, jax.random.PRNGKey(1), **kw)
+        assert isinstance(pu["layers"], tuple)
+        assert len(pu["layers"]) == CFG.n_layers
+        flat_u = jax.tree.leaves(pu["layers"][0])
+        flat_s = jax.tree.leaves(
+            jax.tree.map(lambda a: a[0], ps["layers"]))
+        assert [l.shape for l in flat_u] == [l.shape for l in flat_s]
+        assert [l.dtype for l in flat_u] == [l.dtype for l in flat_s]
