@@ -172,6 +172,23 @@ def main():
     qps = n_passes * N_QUERIES / elapsed
     stats = dict(engine.last_stats)  # over-cap routing counts for one pass
 
+    # per-pass samples (ADDITIVE — the headline protocol above is
+    # unchanged): four more single passes, each individually fetch-synced,
+    # to expose the within-run spread the shared-fetch block hides. The
+    # MIN pass approximates the least-tunnel-contended device capability;
+    # the spread across these is the within-run noise floor the r4
+    # 52,264-vs-31,606 headline discrepancy must be judged against.
+    pass_qps = []
+    for _ in range(4):
+        perm = rng.permutation(N_QUERIES)
+        shuffled = [query_ids[i] for i in perm]
+        t0 = time.time()
+        fetch_scalar(fold(engine.search_stream(
+            shuffled, k=K, as_numpy=False).parts))
+        dt = time.time() - t0
+        adj = dt - min(fetch_baseline, fetch_after)
+        pass_qps.append(round(N_QUERIES / (adj if adj > 0.05 * dt else dt), 1))
+
     # recall@10 vs the exact host oracle on a sampled subset (untimed):
     # score-threshold recall so ties at the k-th score don't penalize
     rk = 10
@@ -210,6 +227,7 @@ def main():
                     "warmup_compile_s": round(warmup_s, 1),
                     "settle_pass_s": round(settle_s, 2),
                     "raw_elapsed_s": round(raw_elapsed, 2),
+                    "pass_qps_samples": pass_qps,
                     "fetch_baseline_s": round(fetch_baseline, 2),
                     "fetch_after_s": round(fetch_after, 2),
                     "device": str(jax.devices()[0]),

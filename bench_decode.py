@@ -188,9 +188,48 @@ def main():
         return jnp.asarray(np.asarray(o))
 
     t0 = time.time()
-    out = run(tokens, record_oracle(tokens))
+    oracle_warm = record_oracle(tokens)
+    out = run(tokens, oracle_warm)
     fetch_scalar(out[3][0])  # true sync: only a fetch awaits execution here
     compile_s = time.time() - t0
+
+    def hbm_breakdown():
+        # AOT memory analysis of the measured executable: axon's
+        # device.memory_stats() returns nothing (every MEASURE_r4/r5 row
+        # recorded "hbm": {}), so the speculative cache's over-allocation
+        # (prompt + max_new*(k+1) slots, speculative.py:31-43) is priced
+        # from the compiled program itself. The persistent compilation
+        # cache makes this lower+compile a cache hit, not a second build.
+        try:
+            if SPEC:
+                from probing_rag_tpu.models.speculative import (
+                    decode_speculative as fn,
+                )
+
+                lowered = fn.lower(
+                    params, tokens, valid, zeros, zeros, zeros, oracle_warm,
+                    cfg=cfg, capture=capture, max_new_tokens=MAX_NEW,
+                    eos_id=-1, k=SPEC, drafter=SPEC_MODE, kv_int8=KV_INT8,
+                )
+            else:
+                lowered = decode_greedy.lower(
+                    params, tokens, valid, zeros, zeros, zeros,
+                    cfg=cfg, capture=capture, max_new_tokens=MAX_NEW,
+                    eos_id=-1, kv_int8=KV_INT8,
+                )
+            ma = lowered.compile().memory_analysis()
+            out = {}
+            for key, short in (
+                ("argument_size_in_bytes", "args_gib"),
+                ("temp_size_in_bytes", "temps_gib"),
+                ("output_size_in_bytes", "output_gib"),
+                ("alias_size_in_bytes", "alias_gib"),
+            ):
+                if hasattr(ma, key):
+                    out[short] = round(getattr(ma, key) / 2**30, 3)
+            return out
+        except Exception as e:  # never fail the bench over introspection
+            return {"error": str(e)[:160]}
 
     t0 = time.time()
     fetch_scalar(jnp.sum(jnp.zeros((8, 128))))
@@ -250,6 +289,7 @@ def main():
                if k in ms}
     except Exception:
         hbm = {}
+    hbm["program"] = hbm_breakdown()
 
     print(
         json.dumps(

@@ -82,6 +82,19 @@ PLAN_R5 = [
     ("bm25_5m", {"BENCH_DOCS": "5000000", "BENCH_DOC_LEN": "24", "BENCH_VOCAB": "200000", "BENCH_QUERIES": "2048", "BENCH_SYNTH_IDS": "1", "BENCH_METRIC_SUFFIX": "_5m", "BENCH_MAX_PAD": "524288"}, ["python", "bench.py"], 10800),
     # variance position 5 (end of session)
     ("bm25_rep5", {}, ["python", "bench.py"], 3600),
+    # --- follow-ups added mid-session (resume skips everything above) ---
+    # the spec oracle-ceiling rows re-measured with the FIXPOINT oracle:
+    # the first pass seeded the oracle from the sequential greedy recorder,
+    # whose bf16 logits differ from the k+1-token verify forward's in the
+    # low bits — one argmax near-tie flip on random weights derailed the
+    # oracle permanently (decode_int8a8_spec4_b32 measured
+    # tokens_per_forward 1.0). bench_decode now iterates o<-committed(o)
+    # to the spec path's own greedy fixpoint (acceptance=1 by definition).
+    ("decode_int8a8_spec4fix_b32", {"BENCH_DECODE_INT8": "1", "BENCH_DECODE_KV_INT8": "1", "BENCH_DECODE_ACT8": "512", "BENCH_DECODE_BATCH": "32", "BENCH_DECODE_SPEC": "4", "BENCH_DECODE_SPEC_MODE": "oracle"}, ["python", "bench_decode.py"], 3600),
+    ("decode_int4r1_spec4fix_b8", {"BENCH_DECODE_INT4": "1", "BENCH_DECODE_INT4_SCHEME": "rank1", "BENCH_DECODE_KV_INT8": "1", "BENCH_DECODE_BATCH": "8", "BENCH_DECODE_SPEC": "4", "BENCH_DECODE_SPEC_MODE": "oracle"}, ["python", "bench_decode.py"], 3600),
+    # (the two decode_mistral7b_* error rows retry automatically on resume,
+    # now in the UNSTACKED per-layer serving format — the stacked tree's
+    # hoisted slice temps were the OOM; see gemma.unstack_layer_params)
 ]
 PLAN = PLAN_R5
 PLAN_R4 = [
