@@ -850,15 +850,21 @@ def _block(
     attn_out = _mm(attn.astype(dt), lp["wo"], dt, a8).astype(cfg.resid_dtype)
     resid_mid = x + attn_out
 
-    mlp_in = rms_norm(
-        resid_mid, lp["mlp_norm"], cfg.norm_eps, cfg.norm_plus_one
-    ).astype(dt)
     act = (
         (lambda g: jax.nn.gelu(g, approximate=True))
         if cfg.mlp_activation == "gelu"
         else jax.nn.silu
     )
-    def mlp(x_in):
+
+    def mlp(x_res):
+        # the pre-MLP norm lives INSIDE the (possibly chunked) function:
+        # rms_norm is per-token, so chunking it is exact, and keeping it
+        # outside materializes full-size [B, T, D] f32+bf16 temps (1.5 GB
+        # at 7B b64 — part of the MEASURE_r5 decode_mistral7b_int8a8_b64
+        # OOM) that the chunked map exists to avoid.
+        x_in = rms_norm(
+            x_res, lp["mlp_norm"], cfg.norm_eps, cfg.norm_plus_one
+        ).astype(dt)
         g = act(_mm(x_in, lp["w_gate"], dt, a8))
         u = _mm(x_in, lp["w_up"], dt, a8)
         return _mm(g * u, lp["w_down"], dt, a8)
@@ -871,11 +877,11 @@ def _block(
         # act_int8_rows threshold, so the w8a8/w4a8 prefill gating is
         # unchanged.
         nc = t // mc
-        chunks = jnp.moveaxis(mlp_in.reshape(b, nc, mc, d), 1, 0)
+        chunks = jnp.moveaxis(resid_mid.reshape(b, nc, mc, d), 1, 0)
         mlp_out = jnp.moveaxis(jax.lax.map(mlp, chunks), 0, 1)
         mlp_out = mlp_out.reshape(b, t, d).astype(cfg.resid_dtype)
     else:
-        mlp_out = mlp(mlp_in).astype(cfg.resid_dtype)
+        mlp_out = mlp(resid_mid).astype(cfg.resid_dtype)
     resid_post = resid_mid + mlp_out
     return resid_mid, resid_post, (ck, cv, ks, vs), probs
 
