@@ -264,25 +264,40 @@ def main():
     floor_phase = {}
     step_dist = None
     if GATE == "mid":
-        # mixed regime: threshold 0.0, random probers -> ~half of each
-        # round's active set retrieves, exercising the shrinking-active-set
-        # rebatching (rag.py) in the regime real traffic runs in. Two
-        # passes: the first compiles the partial-batch bucket variants the
-        # forced warmup cannot reach, the second is the number of record.
-        # The gate is deterministic (same probers, same pooled captures),
-        # so both passes take identical retrieval paths.
+        # mixed regime exercising the shrinking-active-set rebatching
+        # (rag.py) in the regime real traffic runs in. threshold 0.0 does
+        # NOT split a random prober stack (MEASURE_r5 e2e_midgate measured
+        # 100% no-retrieval: the untrained ensemble's S1-S0 margins all
+        # land on one side of 0) — so CALIBRATE: one floor pass records
+        # every query's round-0 gate scores, and theta is set to the
+        # median margin S1-S0, which by construction sends ~half of round
+        # 0 down the retrieval path (gate.py: retrieve iff theta >=
+        # S1-S0). Two timed-side passes: the first compiles the
+        # partial-batch bucket variants the forced warmup cannot reach,
+        # the second is the number of record. The gate is deterministic
+        # (same probers, same pooled captures), so both passes take
+        # identical retrieval paths.
+        calib = build(-1e6).run(questions)
+        margins = [float(s[1] - s[0]) for s in calib.gate_scores
+                   if s is not None]
+        theta_mid = float(np.median(np.asarray(margins)))
+        phase.clear()
+        calls.clear()
         t0 = time.time()
-        mid_ref = build(0.0).run(questions)
+        mid_ref = build(theta_mid).run(questions)
         cold_s = time.time() - t0
         phase.clear()
         calls.clear()
         t0 = time.time()
-        out = build(0.0).run(questions)
+        out = build(theta_mid).run(questions)
         total_s = time.time() - t0
         assert out.retr_count_list == mid_ref.retr_count_list
         counts = out.retr_count_list
         n = len(counts)
         step_dist = {
+            "theta_mid": round(theta_mid, 6),
+            "round0_margin_spread": [round(min(margins), 6),
+                                     round(max(margins), 6)],
             "no_retrieval_pct": round(100 * sum(c == 0 for c in counts) / n, 1),
             "single_pct": round(100 * sum(c == 1 for c in counts) / n, 1),
             "multi_pct": round(100 * sum(c >= 2 for c in counts) / n, 1),

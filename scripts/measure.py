@@ -95,6 +95,12 @@ PLAN_R5 = [
     # (the two decode_mistral7b_* error rows retry automatically on resume,
     # now in the UNSTACKED per-layer serving format — the stacked tree's
     # hoisted slice temps were the OOM; see gemma.unstack_layer_params)
+    # mixed-gate e2e, CALIBRATED: the first e2e_midgate row's theta=0.0
+    # sent 0/64 queries down the retrieval path (random-prober margins all
+    # one-sided) — this one sets theta to the measured median round-0
+    # margin so ~half of round 0 retrieves (the regime VERDICT #5 asked
+    # for). The original row stays as the no-retrieval-bias datapoint.
+    ("e2e_midgate_cal", {"BENCH_E2E_INT8": "1", "BENCH_E2E_ACT8": "512", "BENCH_E2E_GATE": "mid"}, ["python", "bench_e2e.py"], 3600),
 ]
 PLAN = PLAN_R5
 PLAN_R4 = [
