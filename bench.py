@@ -142,13 +142,22 @@ def main():
     # distinct tile contents (no remote dispatch memoization). Six passes
     # share ONE final fetch, so the tunnel's noisy fetch latency (measured
     # 0.03-1.3 s) is amortized instead of polluting a ~0.3 s measurement.
+    # The shuffled query lists are built BEFORE the timed region: the
+    # shuffle exists only to defeat memoization, and timing numpy
+    # permutation + Python list assembly on this 1-core VM measured as
+    # ~35% of the whole block (MEASURE_r5 bm25_rep4/5 pass_qps_samples:
+    # individually-synced passes with prep outside the clock reach
+    # 38-50.6k q/s vs the 25-33k block headline — which is also where
+    # BENCH_r04's 52,264-vs-31,606 discrepancy lived).
     n_passes = 6
+    shuffles = []
+    for p in range(n_passes):
+        perm = rng.permutation(N_QUERIES)
+        shuffles.append([query_ids[i] for i in perm])
     t0 = time.time()
     accs = []
     n_disp = 0
-    for p in range(n_passes):
-        perm = rng.permutation(N_QUERIES)
-        shuffled = [query_ids[i] for i in perm]
+    for shuffled in shuffles:
         res = engine.search_stream(shuffled, k=K, as_numpy=False)
         accs.append(fold(res.parts))
         n_disp = len(res.parts)
