@@ -40,6 +40,10 @@ TINY = os.environ.get("BENCH_DECODE_TINY", "0") == "1"
 # FLOOR, i.e. the overhead of speculating and missing).
 SPEC = int(os.environ.get("BENCH_DECODE_SPEC", "0"))
 SPEC_MODE = os.environ.get("BENCH_DECODE_SPEC_MODE", "oracle")
+# two-program serving (prefill jit -> donated-cache decode jit): identical
+# output, lower peak HBM — the fused program OOMs at 7B batch 64 on XLA
+# compressed-remat copies of the KV cache (decode.py::decode_greedy_split)
+SPLIT = os.environ.get("BENCH_DECODE_SPLIT", "0") == "1"
 # gemma2b (default) | mistral7b — the reference's optional second model
 # family (utils.py:295-297). 7B bf16 (14.5 GB) exceeds one v5e's HBM, so
 # the mistral path inits leafwise straight into the int8 serving format
@@ -59,7 +63,11 @@ def main():
     jax.config.update("jax_compilation_cache_dir", cache_dir)
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
-    from probing_rag_tpu.models.decode import StopTables, decode_greedy
+    from probing_rag_tpu.models.decode import (
+        StopTables,
+        decode_greedy,
+        decode_greedy_split,
+    )
     from probing_rag_tpu.models.gemma import CaptureSpec, GemmaConfig, init_params
 
     if TINY:  # CPU smoke of the harness
@@ -132,9 +140,11 @@ def main():
     stop = StopTables.disabled(cfg.vocab_size)  # measure the full-length loop
     zeros = jnp.asarray(stop.contains_dbl_nl)
 
+    greedy_fn = decode_greedy_split if SPLIT else decode_greedy
+
     def run_greedy(toks):
         # eos_id=-1 never matches: measures the full max_new-length loop
-        return decode_greedy(
+        return greedy_fn(
             params, toks, valid, zeros, zeros, zeros,
             cfg=cfg, capture=capture, max_new_tokens=MAX_NEW, eos_id=-1,
             kv_int8=KV_INT8,
@@ -200,23 +210,7 @@ def main():
         # (prompt + max_new*(k+1) slots, speculative.py:31-43) is priced
         # from the compiled program itself. The persistent compilation
         # cache makes this lower+compile a cache hit, not a second build.
-        try:
-            if SPEC:
-                from probing_rag_tpu.models.speculative import (
-                    decode_speculative as fn,
-                )
-
-                lowered = fn.lower(
-                    params, tokens, valid, zeros, zeros, zeros, oracle_warm,
-                    cfg=cfg, capture=capture, max_new_tokens=MAX_NEW,
-                    eos_id=-1, k=SPEC, drafter=SPEC_MODE, kv_int8=KV_INT8,
-                )
-            else:
-                lowered = decode_greedy.lower(
-                    params, tokens, valid, zeros, zeros, zeros,
-                    cfg=cfg, capture=capture, max_new_tokens=MAX_NEW,
-                    eos_id=-1, kv_int8=KV_INT8,
-                )
+        def analyze(lowered):
             ma = lowered.compile().memory_analysis()
             out = {}
             for key, short in (
@@ -228,6 +222,50 @@ def main():
                 if hasattr(ma, key):
                     out[short] = round(getattr(ma, key) / 2**30, 3)
             return out
+
+        try:
+            if SPEC:
+                from probing_rag_tpu.models.speculative import (
+                    decode_speculative as fn,
+                )
+
+                return analyze(fn.lower(
+                    params, tokens, valid, zeros, zeros, zeros, oracle_warm,
+                    cfg=cfg, capture=capture, max_new_tokens=MAX_NEW,
+                    eos_id=-1, k=SPEC, drafter=SPEC_MODE, kv_int8=KV_INT8,
+                ))
+            if SPLIT:
+                # price each of the two programs: the split exists exactly
+                # to bound per-program peak HBM, so report both
+                from probing_rag_tpu.models.decode import (
+                    _decode_loop_jit,
+                    _prefill_jit,
+                )
+                from probing_rag_tpu.models.sampling import SamplingConfig
+
+                samp = SamplingConfig()
+                pre = _prefill_jit.lower(
+                    params, tokens, valid, zeros, zeros, zeros, None,
+                    cfg=cfg, max_new_tokens=MAX_NEW, eos_id=-1,
+                    sampling=samp, kv_int8=KV_INT8,
+                )
+                kv, g1, fin, counts, rng = _prefill_jit(
+                    params, tokens, valid, zeros, zeros, zeros, None,
+                    cfg=cfg, max_new_tokens=MAX_NEW, eos_id=-1,
+                    sampling=samp, kv_int8=KV_INT8,
+                )
+                loop = _decode_loop_jit.lower(
+                    params, kv, g1, fin, counts, valid,
+                    zeros, zeros, zeros, rng,
+                    cfg=cfg, capture=capture, max_new_tokens=MAX_NEW,
+                    eos_id=-1, sampling=samp,
+                )
+                return {"prefill": analyze(pre), "decode_loop": analyze(loop)}
+            return analyze(decode_greedy.lower(
+                params, tokens, valid, zeros, zeros, zeros,
+                cfg=cfg, capture=capture, max_new_tokens=MAX_NEW,
+                eos_id=-1, kv_int8=KV_INT8,
+            ))
         except Exception as e:  # never fail the bench over introspection
             return {"error": str(e)[:160]}
 
@@ -318,6 +356,7 @@ def main():
                     "max_new": MAX_NEW,
                     "capture_sites": capture.n_sites,
                     "kv_int8": KV_INT8,
+                    "split_prefill": SPLIT,
                     "attn_q_chunk": QCHUNK,
                     "mlp_t_chunk": MLPCHUNK,
                     "speculative": spec_stats,

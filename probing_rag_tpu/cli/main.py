@@ -250,6 +250,7 @@ def _build_pipeline(args, retr_method: str):
         kv_int8=getattr(args, "kv_int8", False),
         spec_k=getattr(args, "spec_k", 0) or 0,
         spec_drafter=getattr(args, "spec_drafter", "prompt"),
+        split_prefill=getattr(args, "split_prefill", False),
     )
     return AdaptiveRAGPipeline(params, cfg, tok, engine, store, probers, rag), cfg
 
@@ -686,6 +687,13 @@ def build_parser() -> argparse.ArgumentParser:
                         help="speculative draft source (serving exposes "
                         "the self-drafting prompt-lookup drafter; the "
                         "oracle drafter is a bench/test harness)")
+        sp.add_argument("--split-prefill", action="store_true",
+                        dest="split_prefill",
+                        help="serve generation as two programs (prefill "
+                        "jit -> donated-cache decode jit) instead of one "
+                        "fused program: identical output, lower peak HBM "
+                        "— required for 7B at batch 64 "
+                        "(models/decode.py::decode_greedy_split)")
         sp.add_argument("--dense", action="store_true", help="dense retrieval")
         sp.add_argument("--dense-int8", action="store_true",
                         help="int8 (SQ8) dense store: half the HBM bytes "

@@ -98,26 +98,34 @@ def _pad_batch(
     return tokens, valid
 
 
-@functools.partial(
-    jax.jit,
-    static_argnames=("cfg", "capture", "max_new_tokens", "eos_id", "sampling", "kv_int8"),
-)
-def decode_greedy(
+def _is_stop(cur, prev, stop_contains, stop_ends, stop_starts, eos_id):
+    return (
+        (cur == eos_id)
+        | stop_contains[cur]
+        | (stop_ends[prev] & stop_starts[cur])
+    )
+
+
+def _prefill_impl(
     params: Params,
     prompt_tokens: jnp.ndarray,  # [B, T] int32, left-padded
     prompt_valid: jnp.ndarray,  # [B, T] bool
     stop_contains: jnp.ndarray,  # [V] bool
     stop_ends: jnp.ndarray,  # [V] bool
     stop_starts: jnp.ndarray,  # [V] bool
-    rng: Optional[jnp.ndarray] = None,  # PRNG key, only used when sampling
+    rng: Optional[jnp.ndarray],
     *,
     cfg: GemmaConfig,
-    capture: CaptureSpec,
     max_new_tokens: int,
     eos_id: int,
-    sampling: SamplingConfig = SamplingConfig(),
-    kv_int8: bool = False,
+    sampling: SamplingConfig,
+    kv_int8: bool,
 ):
+    """Prompt forward: builds the KV cache, selects the first token.
+
+    Returns ``(kv, g1, finished0, counts, rng)`` — the hand-off state the
+    decode loop consumes (either fused in one program, or across the
+    two-program split boundary)."""
     # Unpack boundary-format int4 weights ONCE, outside the while_loop: the
     # loop closes over the unpacked S4 arrays, so every decode step reads
     # int4-width HBM while the host boundary only ever carries uint8
@@ -135,7 +143,6 @@ def decode_greedy(
         [prompt_valid, jnp.ones((b, max_new_tokens), bool)], axis=-1
     )
     rope_prompt = jnp.maximum(jnp.cumsum(prompt_valid.astype(jnp.int32), axis=-1) - 1, 0)
-    prompt_len = jnp.sum(prompt_valid.astype(jnp.int32), axis=-1)  # [B]
 
     logits, kv, _ = forward(
         params,
@@ -163,16 +170,37 @@ def decode_greedy(
     if sampling.needs_counts:
         counts = counts.at[jnp.arange(b), g1].add(1)
 
-    last_prompt_tok = prompt_tokens[:, -1]
+    finished0 = _is_stop(
+        g1, prompt_tokens[:, -1], stop_contains, stop_ends, stop_starts, eos_id
+    )
+    return kv, g1, finished0, counts, rng
 
-    def is_stop(cur: jnp.ndarray, prev: jnp.ndarray) -> jnp.ndarray:
-        return (
-            (cur == eos_id)
-            | stop_contains[cur]
-            | (stop_ends[prev] & stop_starts[cur])
-        )
 
-    finished0 = is_stop(g1, last_prompt_tok)
+def _decode_loop_impl(
+    params: Params,
+    kv,  # KV cache from _prefill_impl (donated in the split path)
+    g1: jnp.ndarray,  # [B] first generated token
+    finished0: jnp.ndarray,  # [B] bool
+    counts: jnp.ndarray,  # freq-penalty carry from prefill
+    prompt_valid: jnp.ndarray,  # [B, T] bool
+    stop_contains: jnp.ndarray,
+    stop_ends: jnp.ndarray,
+    stop_starts: jnp.ndarray,
+    rng: jnp.ndarray,
+    *,
+    cfg: GemmaConfig,
+    capture: CaptureSpec,
+    max_new_tokens: int,
+    eos_id: int,
+    sampling: SamplingConfig,
+):
+    """The decode while_loop over a prefilled cache."""
+    params = unpack_int4_params(params)
+    b = g1.shape[0]
+    slot_valid = jnp.concatenate(
+        [prompt_valid, jnp.ones((b, max_new_tokens), bool)], axis=-1
+    )
+    prompt_len = jnp.sum(prompt_valid.astype(jnp.int32), axis=-1)  # [B]
 
     gen_buf = jnp.full((b, max_new_tokens), eos_id, jnp.int32).at[:, 0].set(g1)
     valid_buf = jnp.zeros((b, max_new_tokens), bool).at[:, 0].set(True)
@@ -208,16 +236,111 @@ def decode_greedy(
             counts = counts.at[jnp.arange(b), nxt].add(1)
         valid_buf = valid_buf.at[:, step + 1].set(~finished)
         gen_buf = gen_buf.at[:, step + 1].set(nxt)
-        finished = finished | is_stop(nxt, prev)
+        finished = finished | _is_stop(
+            nxt, prev, stop_contains, stop_ends, stop_starts, eos_id
+        )
         return (step + 1, rng2, nxt, kv, finished, gen_buf, valid_buf,
                 pooled, n_pooled, counts)
 
     state = (jnp.asarray(0, jnp.int32), rng, g1, kv, finished0, gen_buf,
              valid_buf, pooled, n_pooled, counts)
     state = jax.lax.while_loop(cond, body, state)
-    (step, _, _, _, _, gen_buf, valid_buf, pooled, n_pooled, _) = state
+    (step, _, _, kv, _, gen_buf, valid_buf, pooled, n_pooled, _) = state
     n_generated = jnp.sum(valid_buf.astype(jnp.int32), axis=-1)
-    return gen_buf, valid_buf, pooled, n_pooled, n_generated
+    # kv is returned so the SPLIT path's donated cache argument has an
+    # output to alias with — without input->output aliasing XLA keeps the
+    # donated input read-only and allocates a second cache for the loop
+    # carry, which is exactly the copy the split exists to avoid. The
+    # fused decode_greedy discards it (dead at its program boundary).
+    return gen_buf, valid_buf, pooled, n_pooled, n_generated, kv
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("cfg", "capture", "max_new_tokens", "eos_id", "sampling", "kv_int8"),
+)
+def decode_greedy(
+    params: Params,
+    prompt_tokens: jnp.ndarray,  # [B, T] int32, left-padded
+    prompt_valid: jnp.ndarray,  # [B, T] bool
+    stop_contains: jnp.ndarray,  # [V] bool
+    stop_ends: jnp.ndarray,  # [V] bool
+    stop_starts: jnp.ndarray,  # [V] bool
+    rng: Optional[jnp.ndarray] = None,  # PRNG key, only used when sampling
+    *,
+    cfg: GemmaConfig,
+    capture: CaptureSpec,
+    max_new_tokens: int,
+    eos_id: int,
+    sampling: SamplingConfig = SamplingConfig(),
+    kv_int8: bool = False,
+):
+    kv, g1, finished0, counts, rng = _prefill_impl(
+        params, prompt_tokens, prompt_valid,
+        stop_contains, stop_ends, stop_starts, rng,
+        cfg=cfg, max_new_tokens=max_new_tokens, eos_id=eos_id,
+        sampling=sampling, kv_int8=kv_int8,
+    )
+    return _decode_loop_impl(
+        params, kv, g1, finished0, counts, prompt_valid,
+        stop_contains, stop_ends, stop_starts, rng,
+        cfg=cfg, capture=capture, max_new_tokens=max_new_tokens,
+        eos_id=eos_id, sampling=sampling,
+    )[:5]
+
+
+# Two-program split serving path. In the fused ``decode_greedy`` program the
+# KV cache's live range crosses the prefill->while_loop boundary inside ONE
+# executable, and at 7B batch-64 geometry XLA's compressed-remat pass holds
+# compressed + uncompressed relayout copies of the 2.3 GB int8 K and V caches
+# simultaneously — 17.01 G > 15.75 G HBM (MEASURE_r5
+# decode_mistral7b_int8a8_b64, logs/measure_decode_mistral7b_int8a8_b64.err).
+# Splitting at exactly that boundary makes the cache a program OUTPUT of
+# prefill and a DONATED argument of the decode loop: buffer donation lets the
+# loop update the cache in place, so each program holds at most one copy.
+# Same math, same results; two dispatches instead of one per generate call.
+_prefill_jit = jax.jit(
+    _prefill_impl,
+    static_argnames=("cfg", "max_new_tokens", "eos_id", "sampling", "kv_int8"),
+)
+_decode_loop_jit = jax.jit(
+    _decode_loop_impl,
+    static_argnames=("cfg", "capture", "max_new_tokens", "eos_id", "sampling"),
+    donate_argnames=("kv",),
+)
+
+
+def decode_greedy_split(
+    params: Params,
+    prompt_tokens: jnp.ndarray,
+    prompt_valid: jnp.ndarray,
+    stop_contains: jnp.ndarray,
+    stop_ends: jnp.ndarray,
+    stop_starts: jnp.ndarray,
+    rng: Optional[jnp.ndarray] = None,
+    *,
+    cfg: GemmaConfig,
+    capture: CaptureSpec,
+    max_new_tokens: int,
+    eos_id: int,
+    sampling: SamplingConfig = SamplingConfig(),
+    kv_int8: bool = False,
+):
+    """``decode_greedy`` as two programs with a donated cache hand-off —
+    identical results, lower peak HBM (required at 7B batch 64)."""
+    kv, g1, finished0, counts, rng = _prefill_jit(
+        params, prompt_tokens, prompt_valid,
+        stop_contains, stop_ends, stop_starts, rng,
+        cfg=cfg, max_new_tokens=max_new_tokens, eos_id=eos_id,
+        sampling=sampling, kv_int8=kv_int8,
+    )
+    out = _decode_loop_jit(
+        params, kv, g1, finished0, counts, prompt_valid,
+        stop_contains, stop_ends, stop_starts, rng,
+        cfg=cfg, capture=capture, max_new_tokens=max_new_tokens,
+        eos_id=eos_id, sampling=sampling,
+    )
+    return out[:5]  # the final cache only exists to receive the donation
 
 
 def generate(
@@ -233,6 +356,7 @@ def generate(
     sampling: SamplingConfig = SamplingConfig(),
     seed: int = 0,
     kv_int8: bool = False,
+    split_prefill: bool = False,  # two-program serving path (see decode_greedy_split)
     spec=None,  # Optional[speculative.SpecConfig] — greedy-exact speculation
     spec_oracle: Optional[jnp.ndarray] = None,  # [B, >=max_new] drafts
 ) -> Tuple[List[str], DecodeResult]:
@@ -275,7 +399,8 @@ def generate(
             kv_int8=kv_int8,
         )
     else:
-        gen, gen_valid, pooled, n_pooled, n_gen = decode_greedy(
+        decode_fn = decode_greedy_split if split_prefill else decode_greedy
+        gen, gen_valid, pooled, n_pooled, n_gen = decode_fn(
             params,
             jnp.asarray(tokens),
             jnp.asarray(valid),

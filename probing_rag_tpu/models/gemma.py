@@ -743,18 +743,29 @@ def rope(x: jnp.ndarray, positions: jnp.ndarray, theta: float) -> jnp.ndarray:
 
 def _attn_core(
     q: jnp.ndarray,  # [B, T, KV, G, hd]
-    k: jnp.ndarray,  # [B, S, KV, hd]
-    v: jnp.ndarray,  # [B, S, KV, hd]
+    k: jnp.ndarray,  # [B, S, KV, hd] (kv_major=False) | [B, KV, S, hd] (True)
+    v: jnp.ndarray,  # same layout as k
     mask: jnp.ndarray,  # [B, 1, T, S] bool (True = attend)
     return_probs: bool,
+    kv_major: bool = False,
 ):
+    """kv_major is the KV cache's attention-native layout ([B, KV, S, hd]):
+    row-major order of that logical shape IS the layout XLA picks for the
+    cache inside the decode while_loop, so feeding it end to end removes
+    the 2.3 GB-per-tensor relayout copies XLA otherwise inserts at the
+    loop boundary (the 7B batch-64 OOM —
+    logs/measure_decode_mistral7b_int8a8_b64.err). The einsum subscripts
+    absorb the layout difference; no physical transpose either way."""
     b, t, kv, groups, hd = q.shape
-    scores = jnp.einsum("btkgh,bskh->bkgts", q, k, preferred_element_type=jnp.float32)
+    k_sub = "bksh" if kv_major else "bskh"
+    scores = jnp.einsum(
+        f"btkgh,{k_sub}->bkgts", q, k, preferred_element_type=jnp.float32)
     scores = scores / np.sqrt(hd)
     scores = jnp.where(mask[:, :, None], scores, -1e30)  # mask: [B,1,T,S]->[B,1,1,T,S]
     probs = jax.nn.softmax(scores, axis=-1)
     out = jnp.einsum(
-        "bkgts,bskh->btkgh", probs.astype(v.dtype), v, preferred_element_type=jnp.float32
+        f"bkgts,{k_sub}->btkgh", probs.astype(v.dtype), v,
+        preferred_element_type=jnp.float32,
     )
     out = out.reshape(b, t, kv * groups * hd)
     if return_probs:
@@ -764,14 +775,15 @@ def _attn_core(
 
 def _attention(
     q: jnp.ndarray,  # [B, T, H, hd]
-    k: jnp.ndarray,  # [B, S, KV, hd]
-    v: jnp.ndarray,  # [B, S, KV, hd]
+    k: jnp.ndarray,  # [B, S, KV, hd] (kv_major=False) | [B, KV, S, hd] (True)
+    v: jnp.ndarray,  # same layout as k
     mask: jnp.ndarray,  # [B, 1, T, S] bool (True = attend)
     return_probs: bool = False,
     q_chunk: int = 0,
+    kv_major: bool = False,
 ):
     b, t, h, hd = q.shape
-    kv = k.shape[2]
+    kv = k.shape[1] if kv_major else k.shape[2]
     groups = h // kv
     q = q.reshape(b, t, kv, groups, hd)
     if q_chunk and not return_probs and t > q_chunk and t % q_chunk == 0:
@@ -785,11 +797,11 @@ def _attention(
 
         def one(args):
             qq, mm = args
-            return _attn_core(qq, k, v, mm, False)[0]  # [B, q_chunk, H*hd]
+            return _attn_core(qq, k, v, mm, False, kv_major)[0]  # [B, q_chunk, H*hd]
 
         out = jax.lax.map(one, (qc, mc))
         return jnp.moveaxis(out, 0, 1).reshape(b, t, h * hd), None
-    return _attn_core(q, k, v, mask, return_probs)
+    return _attn_core(q, k, v, mask, return_probs, kv_major)
 
 
 def _block(
@@ -798,7 +810,7 @@ def _block(
     positions: jnp.ndarray,
     mask: jnp.ndarray,
     cfg: GemmaConfig,
-    cache: Optional[Tuple],  # (ck [L,B,S,KV,hd], cv, layer, pos) | None
+    cache: Optional[Tuple],  # (ck [L,B,KV,S,hd], cv, ks, vs, layer, pos) | None
     return_attn_probs: bool = False,
 ):
     """One transformer block. Returns (resid_mid, resid_post, (ck, cv), probs).
@@ -822,30 +834,43 @@ def _block(
     k = rope(k, positions, cfg.rope_theta)
 
     ck = cv = ks = vs = None
+    kv_major = cache is not None
     if cache is not None:
+        # the cache is attention-native [L, B, KV, S, hd] (kv_major): its
+        # row-major layout is the layout XLA picks for the loop-carried
+        # cache, so no relayout copies appear at program or loop
+        # boundaries. New tokens' K/V swap to [B, KV, T, hd] (T is 1 at
+        # decode; at prefill the swap fuses into the quant/convert).
         ck, cv, ks, vs, layer, cache_pos = cache
+        k_n = jnp.swapaxes(k, 1, 2)
+        v_n = jnp.swapaxes(v, 1, 2)
         if ck.dtype == jnp.int8:
-            qk, sk = _quant_kv(k)
-            qv, sv = _quant_kv(v)
-            ck = jax.lax.dynamic_update_slice(ck, qk[None], (layer, 0, cache_pos, 0, 0))
-            cv = jax.lax.dynamic_update_slice(cv, qv[None], (layer, 0, cache_pos, 0, 0))
-            ks = jax.lax.dynamic_update_slice(ks, sk[None], (layer, 0, cache_pos, 0, 0))
-            vs = jax.lax.dynamic_update_slice(vs, sv[None], (layer, 0, cache_pos, 0, 0))
+            qk, sk = _quant_kv(k_n)  # scales [B, KV, T, 1]
+            qv, sv = _quant_kv(v_n)
+            ck = jax.lax.dynamic_update_slice(ck, qk[None], (layer, 0, 0, cache_pos, 0))
+            cv = jax.lax.dynamic_update_slice(cv, qv[None], (layer, 0, 0, cache_pos, 0))
+            # scales live as [L, B, KV, S] — no trailing singleton: a
+            # minormost size-1 dim costs 16x tile padding (1.07 GB of pad
+            # at 7B b64, measured in the OOM dump)
+            ks = jax.lax.dynamic_update_slice(
+                ks, sk[None, ..., 0], (layer, 0, 0, cache_pos))
+            vs = jax.lax.dynamic_update_slice(
+                vs, sv[None, ..., 0], (layer, 0, 0, cache_pos))
             # dequant (convert + broadcast multiply) fuses into the
             # attention einsum's cache read: HBM reads stay int8
-            k = ck[layer].astype(dt) * ks[layer].astype(dt)
-            v = cv[layer].astype(dt) * vs[layer].astype(dt)
+            k = ck[layer].astype(dt) * ks[layer][..., None].astype(dt)
+            v = cv[layer].astype(dt) * vs[layer][..., None].astype(dt)
         else:
             ck = jax.lax.dynamic_update_slice(
-                ck, k[None].astype(ck.dtype), (layer, 0, cache_pos, 0, 0))
+                ck, k_n[None].astype(ck.dtype), (layer, 0, 0, cache_pos, 0))
             cv = jax.lax.dynamic_update_slice(
-                cv, v[None].astype(cv.dtype), (layer, 0, cache_pos, 0, 0))
+                cv, v_n[None].astype(cv.dtype), (layer, 0, 0, cache_pos, 0))
             k = ck[layer]
             v = cv[layer]
 
     attn, probs = _attention(
         q, k.astype(dt), v.astype(dt), mask, return_attn_probs,
-        q_chunk=cfg.attn_q_chunk)
+        q_chunk=cfg.attn_q_chunk, kv_major=kv_major)
     del k, v
     attn_out = _mm(attn.astype(dt), lp["wo"], dt, a8).astype(cfg.resid_dtype)
     resid_mid = x + attn_out
@@ -892,7 +917,7 @@ def forward(
     cfg: GemmaConfig,
     *,
     capture: CaptureSpec = CaptureSpec(),
-    kv_cache: Optional[Params] = None,  # {"k": [L,B,S,KV,hd], "v": ..., "pos": int32}
+    kv_cache: Optional[Params] = None,  # {"k": [L,B,KV,S,hd], "v": ..., "pos": int32}
     positions: Optional[jnp.ndarray] = None,  # [B, T] RoPE positions
     attn_valid: Optional[jnp.ndarray] = None,  # no-cache: [B,T]; cache: [B,S] slot validity
     attn_probs_layer: Optional[int] = None,  # also return this layer's attn probs
@@ -920,7 +945,7 @@ def forward(
 
     if kv_cache is not None:
         base = kv_cache["pos"]
-        s = kv_cache["k"].shape[2]
+        s = kv_cache["k"].shape[3]
         buf_idx = base + jnp.arange(t, dtype=jnp.int32)[None, :]  # [1, T]
         if positions is None:
             positions = jnp.broadcast_to(buf_idx, (b, t))
@@ -1005,25 +1030,34 @@ def forward(
 
 
 def init_kv_cache(cfg: GemmaConfig, batch: int, max_len: int, dtype: Any = jnp.bfloat16) -> Params:
-    """KV cache. ``dtype=jnp.int8`` stores K/V quantized per (token, kv-head)
-    with f32 scales alongside — halves the decode step's KV HBM traffic; the
-    dequant (convert + broadcast multiply) fuses into the attention einsum's
-    cache read so HBM reads stay int8."""
-    shape = (cfg.n_layers, batch, max_len, cfg.n_kv_heads, cfg.head_dim)
+    """KV cache, attention-native layout [L, B, KV, S, hd]. Row-major order
+    of this logical shape is the physical layout XLA chooses for the cache
+    inside the decode while_loop (it relayouted the previous [L, B, S, KV,
+    hd] shape into exactly this order and held compressed+uncompressed
+    copies across the prefill boundary — the 7B batch-64 OOM,
+    logs/measure_decode_mistral7b_int8a8_b64.err), so storing it this way
+    end to end removes those copies on both the fused and split paths.
+
+    ``dtype=jnp.int8`` stores K/V quantized per (token, kv-head) with f32
+    scales alongside — halves the decode step's KV HBM traffic; the
+    dequant (convert + broadcast multiply) fuses into the attention
+    einsum's cache read so HBM reads stay int8. Scales are [L, B, KV, S]
+    (no trailing singleton: a minormost size-1 dim costs 16x tile
+    padding — 1.07 GB of pure pad per scale tensor at 7B b64)."""
+    shape = (cfg.n_layers, batch, cfg.n_kv_heads, max_len, cfg.head_dim)
     cache = {
         "k": jnp.zeros(shape, dtype),
         "v": jnp.zeros(shape, dtype),
         "pos": jnp.asarray(0, jnp.int32),
     }
     if dtype == jnp.int8:
-        sshape = shape[:-1] + (1,)
-        cache["k_scale"] = jnp.zeros(sshape, jnp.float32)
-        cache["v_scale"] = jnp.zeros(sshape, jnp.float32)
+        cache["k_scale"] = jnp.zeros(shape[:-1], jnp.float32)
+        cache["v_scale"] = jnp.zeros(shape[:-1], jnp.float32)
     return cache
 
 
 def _quant_kv(x: jnp.ndarray):
-    """[B, T, KV, hd] -> (int8 values, f32 scales [B, T, KV, 1])."""
+    """[..., hd] -> (int8 values, f32 scales [..., 1]); scale per hd row."""
     s = jnp.max(jnp.abs(x.astype(jnp.float32)), axis=-1, keepdims=True) / 127.0
     s = jnp.where(s == 0.0, 1.0, s)
     q = jnp.clip(jnp.round(x.astype(jnp.float32) / s), -127, 127).astype(jnp.int8)

@@ -56,6 +56,12 @@ class RAGConfig:
     # token, so quality parity is unconditional. 0 = off.
     spec_k: int = 0
     spec_drafter: str = "prompt"
+    # Two-program serving (prefill jit -> donated-cache decode jit,
+    # models/decode.py::decode_greedy_split): identical results, lower peak
+    # HBM — required for 7B at batch 64 where the fused program OOMs on
+    # XLA compressed-remat copies of the KV cache. Ignored when spec_k is
+    # set (the speculative decoder has its own program structure).
+    split_prefill: bool = False
 
 
 @dataclass
@@ -115,6 +121,7 @@ class AdaptiveRAGPipeline:
                 capture=capture,
                 stop_tables=self.stop_tables,
                 kv_int8=self.rag.kv_int8,
+                split_prefill=self.rag.split_prefill,
                 spec=self.spec,
             )
             texts_out.extend(texts[: len(chunk)])

@@ -66,9 +66,11 @@ PLAN_R5 = [
     ("e2e_midgate", {"BENCH_E2E_INT8": "1", "BENCH_E2E_ACT8": "512", "BENCH_E2E_GATE": "mid"}, ["python", "bench_e2e.py"], 3600),
     # variance position 3
     ("bm25_rep3", {}, ["python", "bench.py"], 3600),
-    # the failed 7B w8a8 b64 OOM row, now with chunked prefill MLP
-    # (GemmaConfig.mlp_t_chunk — bounds the [64,1024,14336] gate/up temps)
-    ("decode_mistral7b_int8a8_b64", {"BENCH_DECODE_MODEL": "mistral7b", "BENCH_DECODE_INT8": "1", "BENCH_DECODE_KV_INT8": "1", "BENCH_DECODE_ACT8": "512", "BENCH_DECODE_BATCH": "64"}, ["python", "bench_decode.py"], 5400),
+    # the failed 7B w8a8 b64 OOM row: after unstacked weights + chunked
+    # MLP/attention still OOMed on compressed-remat cache copies, the fix
+    # is the two-program split serving path (decode_greedy_split) — the
+    # donated cache hand-off guarantees <=1 cache copy per program
+    ("decode_mistral7b_int8a8_b64", {"BENCH_DECODE_MODEL": "mistral7b", "BENCH_DECODE_INT8": "1", "BENCH_DECODE_KV_INT8": "1", "BENCH_DECODE_ACT8": "512", "BENCH_DECODE_BATCH": "64", "BENCH_DECODE_SPLIT": "1"}, ["python", "bench_decode.py"], 5400),
     # the two rows the r4 session never reached
     ("e2e_int4r1_a8", {"BENCH_E2E_INT4": "1", "BENCH_E2E_INT4_SCHEME": "rank1", "BENCH_E2E_ACT8": "512"}, ["python", "bench_e2e.py"], 3600),
     ("decode_mistral7b_int4r1a8_b32", {"BENCH_DECODE_MODEL": "mistral7b", "BENCH_DECODE_INT4": "1", "BENCH_DECODE_INT4_SCHEME": "rank1", "BENCH_DECODE_KV_INT8": "1", "BENCH_DECODE_ACT8": "512", "BENCH_DECODE_BATCH": "32"}, ["python", "bench_decode.py"], 5400),
@@ -101,6 +103,14 @@ PLAN_R5 = [
     # margin so ~half of round 0 retrieves (the regime VERDICT #5 asked
     # for). The original row stays as the no-retrieval-bias datapoint.
     ("e2e_midgate_cal", {"BENCH_E2E_INT8": "1", "BENCH_E2E_ACT8": "512", "BENCH_E2E_GATE": "mid"}, ["python", "bench_e2e.py"], 3600),
+    # the split path's dispatch/aliasing overhead at 2B, priced against
+    # the fused decode_int8a8_b32 ladder row (identical config otherwise):
+    # quantifies what the default fused path saves when HBM is NOT tight
+    ("decode_int8a8_split_b32", {"BENCH_DECODE_INT8": "1", "BENCH_DECODE_KV_INT8": "1", "BENCH_DECODE_ACT8": "512", "BENCH_DECODE_BATCH": "32", "BENCH_DECODE_SPLIT": "1"}, ["python", "bench_decode.py"], 3600),
+    # the fused ladder top re-pinned after the attention-native cache
+    # layout change ([L,B,KV,S,hd] + singleton-free scales): same config
+    # as the r4 decode_int8a8_b32 row (3,893 tok/s) — regression check
+    ("decode_int8a8_b32_kvnative", {"BENCH_DECODE_INT8": "1", "BENCH_DECODE_KV_INT8": "1", "BENCH_DECODE_ACT8": "512", "BENCH_DECODE_BATCH": "32"}, ["python", "bench_decode.py"], 3600),
 ]
 PLAN = PLAN_R5
 PLAN_R4 = [

@@ -113,6 +113,50 @@ def test_chunked_prefill_mlp_matches_unchunked(params):
 
 
 @pytest.mark.slow
+def test_split_prefill_decode_matches_fused(params):
+    """``decode_greedy_split`` (two programs, donated-cache hand-off — the
+    7B batch-64 OOM fix, logs/measure_decode_mistral7b_int8a8_b64.err) runs
+    the exact same prefill and loop graphs as the fused ``decode_greedy``,
+    so every output must be identical: tokens, validity, pooled captures,
+    counts — across left-padding, paragraph stops, int8 KV, sampling, and
+    boundary-format int4 weights."""
+    from probing_rag_tpu.models.decode import decode_greedy_split
+    from probing_rag_tpu.models.gemma import quantize_lm_params
+    from probing_rag_tpu.models.sampling import SamplingConfig
+
+    tok = ByteTokenizer(CFG.vocab_size)
+    stop = StopTables.from_token_strings(tok.token_strings())
+    tabs = tuple(jnp.asarray(x) for x in
+                 (stop.contains_dbl_nl, stop.ends_nl, stop.starts_nl))
+    capture = CaptureSpec.for_probing(CFG)
+    rng = jax.random.PRNGKey(11)
+    tokens = jax.random.randint(rng, (3, 16), 3, CFG.vocab_size)
+    valid = jnp.asarray(np.array([[False] * 4 + [True] * 12,
+                                  [True] * 16,
+                                  [False] * 9 + [True] * 7]))
+    cases = [
+        dict(kv_int8=False, sampling=SamplingConfig(), p=params),
+        dict(kv_int8=True, sampling=SamplingConfig(), p=params),
+        dict(kv_int8=False,
+             sampling=SamplingConfig(do_sample=True, top_k=4, freq_penalty=0.5),
+             p=params),
+        dict(kv_int8=True, sampling=SamplingConfig(),
+             p=quantize_lm_params(params, bits=4, int4_scheme="rank1")),
+    ]
+    for case in cases:
+        kw = dict(cfg=CFG, capture=capture, max_new_tokens=10,
+                  eos_id=tok.eos_id, sampling=case["sampling"],
+                  kv_int8=case["kv_int8"])
+        key = jax.random.PRNGKey(5)
+        ref = decode_greedy(case["p"], tokens, valid, *tabs, key, **kw)
+        got = decode_greedy_split(case["p"], tokens, valid, *tabs, key, **kw)
+        for r, g, name in zip(ref, got,
+                              ("tokens", "valid", "pooled", "n_pooled", "n_gen")):
+            np.testing.assert_array_equal(
+                np.asarray(r), np.asarray(g), err_msg=f"{name} ({case})")
+
+
+@pytest.mark.slow
 def test_kv_cache_matches_full_forward(params):
     tokens = jax.random.randint(jax.random.PRNGKey(1), (2, 10), 0, CFG.vocab_size)
     full_logits, _, _ = forward(params, tokens, CFG)

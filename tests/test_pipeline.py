@@ -101,6 +101,22 @@ def test_probing_method_speculative_is_greedy_exact(setup):
 
 
 @pytest.mark.slow
+def test_probing_method_split_prefill_is_exact(setup):
+    """RAGConfig(split_prefill=True) serves every generate call as two
+    programs (prefill jit -> donated-cache decode jit, the 7B batch-64 OOM
+    fix); same graphs, so the full adaptive loop must match the fused run
+    bit for bit."""
+    questions = ["capital of france", "first president", "powerhouse"]
+    ref = _pipeline(setup, retr_method="probing", threshold=0.0).run(questions)
+    got = _pipeline(setup, retr_method="probing", threshold=0.0,
+                    split_prefill=True).run(questions)
+    assert got.pred_list == ref.pred_list
+    assert got.retr_count_list == ref.retr_count_list
+    for gs, rs in zip(got.gate_scores, ref.gate_scores):
+        np.testing.assert_array_equal(gs, rs)
+
+
+@pytest.mark.slow
 def test_probing_method_forced_retrieve(setup):
     # threshold -> +inf forces retrieval every round: hard cap applies
     pipe = _pipeline(setup, retr_method="probing", threshold=1e6)
