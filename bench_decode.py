@@ -96,6 +96,12 @@ def main():
         params = init_quantized_lm_params(
             cfg, jax.random.PRNGKey(0), bits=4 if INT4 else 8,
             int4_scheme=INT4_SCHEME, unstacked=True)
+        # per-layer cache for the same reason as per-layer weights: the
+        # stacked 2.3 GB K/V carries defeat XLA's in-place while_loop
+        # buffer reuse at this scale (GemmaConfig.kv_unstacked)
+        import dataclasses
+
+        cfg = dataclasses.replace(cfg, kv_unstacked=True)
     else:
         cfg = GemmaConfig.gemma_2b()
         params = init_params(cfg, jax.random.PRNGKey(0), dtype=jnp.bfloat16)

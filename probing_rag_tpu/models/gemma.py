@@ -95,6 +95,17 @@ class GemmaConfig:
     # once per chunk, negligible while prefill is MXU-bound. Decode steps
     # (T=1) never chunk. 0 = off.
     mlp_t_chunk: int = 0
+    # Per-layer (unstacked) KV cache: the cache is a tuple of 32 per-layer
+    # {"k","v",scales} dicts instead of one stacked [L, ...] tensor pair.
+    # At 7B batch 64 the stacked 2.3 GB K/V carries defeat XLA's in-place
+    # while_loop buffer reuse — it keeps compressed-remat DUS copies of
+    # the FULL cache at peak (~4.6-6.9 GB of temps, the
+    # decode_mistral7b_int8a8_b64 OOM; probed to persist under AUTO
+    # layouts too — scripts/probe_auto_layout.py). Per-layer 73 MB leaves
+    # bound any copy XLA makes at one layer's cache. Mirrors the
+    # unstacked-weights treatment (unstack_layer_params) that fixed the
+    # stacked-weight slice temps at the same scale. Semantics identical.
+    kv_unstacked: bool = False
 
     @classmethod
     def gemma_2b(cls) -> "GemmaConfig":
@@ -836,37 +847,44 @@ def _block(
     ck = cv = ks = vs = None
     kv_major = cache is not None
     if cache is not None:
-        # the cache is attention-native [L, B, KV, S, hd] (kv_major): its
-        # row-major layout is the layout XLA picks for the loop-carried
-        # cache, so no relayout copies appear at program or loop
-        # boundaries. New tokens' K/V swap to [B, KV, T, hd] (T is 1 at
-        # decode; at prefill the swap fuses into the quant/convert).
+        # the cache is attention-native [L, B, KV, S, hd] (kv_major) —
+        # or per-layer [B, KV, S, hd] when layer is None (kv_unstacked).
+        # New tokens' K/V swap to [B, KV, T, hd] (T is 1 at decode; at
+        # prefill the swap fuses into the quant/convert).
         ck, cv, ks, vs, layer, cache_pos = cache
         k_n = jnp.swapaxes(k, 1, 2)
         v_n = jnp.swapaxes(v, 1, 2)
+        if layer is not None:  # stacked [L, ...] cache: index the L axis
+            kv_at = (layer, 0, 0, cache_pos, 0)
+            sc_at = (layer, 0, 0, cache_pos)
+            expand = lambda u: u[None]
+            read = lambda buf: buf[layer]
+        else:  # per-layer cache: the arrays ARE this layer's slice
+            kv_at = (0, 0, cache_pos, 0)
+            sc_at = (0, 0, cache_pos)
+            expand = lambda u: u
+            read = lambda buf: buf
         if ck.dtype == jnp.int8:
             qk, sk = _quant_kv(k_n)  # scales [B, KV, T, 1]
             qv, sv = _quant_kv(v_n)
-            ck = jax.lax.dynamic_update_slice(ck, qk[None], (layer, 0, 0, cache_pos, 0))
-            cv = jax.lax.dynamic_update_slice(cv, qv[None], (layer, 0, 0, cache_pos, 0))
-            # scales live as [L, B, KV, S] — no trailing singleton: a
-            # minormost size-1 dim costs 16x tile padding (1.07 GB of pad
-            # at 7B b64, measured in the OOM dump)
-            ks = jax.lax.dynamic_update_slice(
-                ks, sk[None, ..., 0], (layer, 0, 0, cache_pos))
-            vs = jax.lax.dynamic_update_slice(
-                vs, sv[None, ..., 0], (layer, 0, 0, cache_pos))
+            ck = jax.lax.dynamic_update_slice(ck, expand(qk), kv_at)
+            cv = jax.lax.dynamic_update_slice(cv, expand(qv), kv_at)
+            # scales live without the trailing singleton: a minormost
+            # size-1 dim costs 16x tile padding (1.07 GB of pad at 7B
+            # b64, measured in the OOM dump)
+            ks = jax.lax.dynamic_update_slice(ks, expand(sk[..., 0]), sc_at)
+            vs = jax.lax.dynamic_update_slice(vs, expand(sv[..., 0]), sc_at)
             # dequant (convert + broadcast multiply) fuses into the
             # attention einsum's cache read: HBM reads stay int8
-            k = ck[layer].astype(dt) * ks[layer][..., None].astype(dt)
-            v = cv[layer].astype(dt) * vs[layer][..., None].astype(dt)
+            k = read(ck).astype(dt) * read(ks)[..., None].astype(dt)
+            v = read(cv).astype(dt) * read(vs)[..., None].astype(dt)
         else:
             ck = jax.lax.dynamic_update_slice(
-                ck, k_n[None].astype(ck.dtype), (layer, 0, 0, cache_pos, 0))
+                ck, expand(k_n).astype(ck.dtype), kv_at)
             cv = jax.lax.dynamic_update_slice(
-                cv, v_n[None].astype(cv.dtype), (layer, 0, 0, cache_pos, 0))
-            k = ck[layer]
-            v = cv[layer]
+                cv, expand(v_n).astype(cv.dtype), kv_at)
+            k = read(ck)
+            v = read(cv)
 
     attn, probs = _attention(
         q, k.astype(dt), v.astype(dt), mask, return_attn_probs,
@@ -943,9 +961,11 @@ def forward(
     if cfg.scale_embeddings:
         x = x * np.sqrt(cfg.d_model)
 
+    kv_unstacked = kv_cache is not None and "layers" in kv_cache
     if kv_cache is not None:
         base = kv_cache["pos"]
-        s = kv_cache["k"].shape[3]
+        s = (kv_cache["layers"][0]["k"].shape[2] if kv_unstacked
+             else kv_cache["k"].shape[3])
         buf_idx = base + jnp.arange(t, dtype=jnp.int32)[None, :]  # [1, T]
         if positions is None:
             positions = jnp.broadcast_to(buf_idx, (b, t))
@@ -971,10 +991,14 @@ def forward(
 
     caps = [None] * capture.n_sites
     attn_probs = None
-    ck = kv_cache["k"] if kv_cache is not None else None
-    cv = kv_cache["v"] if kv_cache is not None else None
-    ks = kv_cache.get("k_scale") if kv_cache is not None else None
-    vs = kv_cache.get("v_scale") if kv_cache is not None else None
+    if kv_unstacked:
+        kv_layers = list(kv_cache["layers"])
+        ck = cv = ks = vs = None
+    else:
+        ck = kv_cache["k"] if kv_cache is not None else None
+        cv = kv_cache["v"] if kv_cache is not None else None
+        ks = kv_cache.get("k_scale") if kv_cache is not None else None
+        vs = kv_cache.get("v_scale") if kv_cache is not None else None
     lp_all = params["layers"]
     lp_unstacked = isinstance(lp_all, (list, tuple))
     for layer in range(cfg.n_layers):
@@ -984,14 +1008,24 @@ def forward(
         lp = (lp_all[layer] if lp_unstacked
               else jax.tree.map(lambda a: a[layer], lp_all))
         cache = None
-        if kv_cache is not None:
+        if kv_unstacked:
+            lkv = kv_layers[layer]
+            cache = (lkv["k"], lkv["v"], lkv.get("k_scale"),
+                     lkv.get("v_scale"), None, kv_cache["pos"])
+        elif kv_cache is not None:
             cache = (ck, cv, ks, vs, layer, kv_cache["pos"])
         resid_mid, resid_post, (ck2, cv2, ks2, vs2), probs = _block(
             lp, x, positions, mask, cfg, cache,
             return_attn_probs=(attn_probs_layer is not None
                                and layer == attn_probs_layer % cfg.n_layers),
         )
-        if kv_cache is not None:
+        if kv_unstacked:
+            nl = {"k": ck2, "v": cv2}
+            if ks2 is not None:
+                nl["k_scale"] = ks2
+                nl["v_scale"] = vs2
+            kv_layers[layer] = nl
+        elif kv_cache is not None:
             ck, cv, ks, vs = ck2, cv2, ks2, vs2
         if probs is not None:
             attn_probs = probs
@@ -1018,7 +1052,9 @@ def forward(
     logits = logits.astype(jnp.float32)
 
     new_cache = None
-    if kv_cache is not None:
+    if kv_unstacked:
+        new_cache = {"layers": tuple(kv_layers), "pos": kv_cache["pos"] + t}
+    elif kv_cache is not None:
         new_cache = {"k": ck, "v": cv, "pos": kv_cache["pos"] + t}
         if ks is not None:
             new_cache["k_scale"] = ks
@@ -1044,6 +1080,20 @@ def init_kv_cache(cfg: GemmaConfig, batch: int, max_len: int, dtype: Any = jnp.b
     einsum's cache read so HBM reads stay int8. Scales are [L, B, KV, S]
     (no trailing singleton: a minormost size-1 dim costs 16x tile
     padding — 1.07 GB of pure pad per scale tensor at 7B b64)."""
+    if cfg.kv_unstacked:
+        lshape = (batch, cfg.n_kv_heads, max_len, cfg.head_dim)
+
+        def one_layer():
+            d = {"k": jnp.zeros(lshape, dtype), "v": jnp.zeros(lshape, dtype)}
+            if dtype == jnp.int8:
+                d["k_scale"] = jnp.zeros(lshape[:-1], jnp.float32)
+                d["v_scale"] = jnp.zeros(lshape[:-1], jnp.float32)
+            return d
+
+        return {
+            "layers": tuple(one_layer() for _ in range(cfg.n_layers)),
+            "pos": jnp.asarray(0, jnp.int32),
+        }
     shape = (cfg.n_layers, batch, cfg.n_kv_heads, max_len, cfg.head_dim)
     cache = {
         "k": jnp.zeros(shape, dtype),

@@ -111,6 +111,15 @@ PLAN_R5 = [
     # layout change ([L,B,KV,S,hd] + singleton-free scales): same config
     # as the r4 decode_int8a8_b32 row (3,893 tok/s) — regression check
     ("decode_int8a8_b32_kvnative", {"BENCH_DECODE_INT8": "1", "BENCH_DECODE_KV_INT8": "1", "BENCH_DECODE_ACT8": "512", "BENCH_DECODE_BATCH": "32"}, ["python", "bench_decode.py"], 3600),
+    # second sample of the same config (kvnative measured 3,658 vs r4's
+    # 3,893 — one sample can't separate a layout regression from session
+    # noise; BM25 reps spread 32% across positions)
+    ("decode_int8a8_b32_kvnative2", {"BENCH_DECODE_INT8": "1", "BENCH_DECODE_KV_INT8": "1", "BENCH_DECODE_ACT8": "512", "BENCH_DECODE_BATCH": "32"}, ["python", "bench_decode.py"], 3600),
+    # 7B batch-64 serving answer: w8a8 b64 is structurally ~0.4 GB over
+    # one v5e's HBM (args 11.49 G + XLA's one while_loop cache copy
+    # 4.66 G = 16.15 G > 15.75 G — probe_auto_layout.py 'unstacked'),
+    # so the b64 recipe is w4a8: rank-1 int4 weights (3.44 G) + a8 + KV8
+    ("decode_mistral7b_int4r1a8_b64", {"BENCH_DECODE_MODEL": "mistral7b", "BENCH_DECODE_INT4": "1", "BENCH_DECODE_INT4_SCHEME": "rank1", "BENCH_DECODE_KV_INT8": "1", "BENCH_DECODE_ACT8": "512", "BENCH_DECODE_BATCH": "64", "BENCH_DECODE_SPLIT": "1"}, ["python", "bench_decode.py"], 5400),
 ]
 PLAN = PLAN_R5
 PLAN_R4 = [

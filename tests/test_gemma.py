@@ -134,6 +134,7 @@ def test_split_prefill_decode_matches_fused(params):
     valid = jnp.asarray(np.array([[False] * 4 + [True] * 12,
                                   [True] * 16,
                                   [False] * 9 + [True] * 7]))
+    cfg_unstacked = dataclasses.replace(CFG, kv_unstacked=True)
     cases = [
         dict(kv_int8=False, sampling=SamplingConfig(), p=params),
         dict(kv_int8=True, sampling=SamplingConfig(), p=params),
@@ -142,9 +143,15 @@ def test_split_prefill_decode_matches_fused(params):
              p=params),
         dict(kv_int8=True, sampling=SamplingConfig(),
              p=quantize_lm_params(params, bits=4, int4_scheme="rank1")),
+        # per-layer (kv_unstacked) cache: the 7B big-batch serving form
+        dict(kv_int8=True, sampling=SamplingConfig(), p=params,
+             cfg=cfg_unstacked),
+        dict(kv_int8=False, sampling=SamplingConfig(), p=params,
+             cfg=cfg_unstacked),
     ]
     for case in cases:
-        kw = dict(cfg=CFG, capture=capture, max_new_tokens=10,
+        kw = dict(cfg=case.get("cfg", CFG), capture=capture,
+                  max_new_tokens=10,
                   eos_id=tok.eos_id, sampling=case["sampling"],
                   kv_int8=case["kv_int8"])
         key = jax.random.PRNGKey(5)
@@ -154,6 +161,32 @@ def test_split_prefill_decode_matches_fused(params):
                               ("tokens", "valid", "pooled", "n_pooled", "n_gen")):
             np.testing.assert_array_equal(
                 np.asarray(r), np.asarray(g), err_msg=f"{name} ({case})")
+
+
+@pytest.mark.slow
+def test_unstacked_kv_cache_matches_stacked(params):
+    """GemmaConfig(kv_unstacked=True) stores the cache as per-layer
+    {"k","v",scales} dicts (the 7B big-batch serving form — stacked 2.3 GB
+    carries defeat XLA's in-place while_loop reuse); committed tokens and
+    captures must equal the stacked-cache decode exactly."""
+    tok = ByteTokenizer(CFG.vocab_size)
+    stop = StopTables.disabled(CFG.vocab_size)
+    tabs = tuple(jnp.asarray(x) for x in
+                 (stop.contains_dbl_nl, stop.ends_nl, stop.starts_nl))
+    capture = CaptureSpec.for_probing(CFG)
+    tokens = jax.random.randint(jax.random.PRNGKey(21), (2, 12), 3, CFG.vocab_size)
+    valid = jnp.ones(tokens.shape, bool)
+    cfg_u = dataclasses.replace(CFG, kv_unstacked=True)
+    for kv_int8 in (False, True):
+        ref = decode_greedy(params, tokens, valid, *tabs,
+                            cfg=CFG, capture=capture, max_new_tokens=8,
+                            eos_id=tok.eos_id, kv_int8=kv_int8)
+        got = decode_greedy(params, tokens, valid, *tabs,
+                            cfg=cfg_u, capture=capture, max_new_tokens=8,
+                            eos_id=tok.eos_id, kv_int8=kv_int8)
+        np.testing.assert_array_equal(np.asarray(ref[0]), np.asarray(got[0]))
+        np.testing.assert_allclose(np.asarray(ref[2]), np.asarray(got[2]),
+                                   rtol=1e-5, atol=1e-5)
 
 
 @pytest.mark.slow
