@@ -26,6 +26,12 @@ if INT8 and INT4:
     # both — poisoning the int8-vs-int4 comparison this bench exists for
     sys.exit("set only one of BENCH_DECODE_INT8 / BENCH_DECODE_INT4")
 KV_INT8 = os.environ.get("BENCH_DECODE_KV_INT8", "0") == "1"
+# int4 KV cache (sub-channel group scales, gemma._quant_kv4): quarters the
+# cache — the batch-64 7B w8a8 single-chip enabler (the int8 cache misses
+# that budget by ~2.5% even split + per-layer, ROUND5_NOTES §10)
+KV_INT4 = os.environ.get("BENCH_DECODE_KV_INT4", "0") == "1"
+if KV_INT8 and KV_INT4:
+    sys.exit("set only one of BENCH_DECODE_KV_INT8 / BENCH_DECODE_KV_INT4")
 # w8a8 prefill row threshold (0 = off). Only meaningful with INT8: the
 # prompt forward (rows = B * prompt_len) crosses it, decode steps
 # (rows = B) never do, so the decode loop keeps the exact w8a16 form.
@@ -153,7 +159,7 @@ def main():
         return greedy_fn(
             params, toks, valid, zeros, zeros, zeros,
             cfg=cfg, capture=capture, max_new_tokens=MAX_NEW, eos_id=-1,
-            kv_int8=KV_INT8,
+            kv_int8=KV_INT8, kv_int4=KV_INT4,
         )
 
     spec_stats = None
@@ -164,7 +170,7 @@ def main():
             out = decode_speculative(
                 params, toks, valid, zeros, zeros, zeros, oracle,
                 cfg=cfg, capture=capture, max_new_tokens=MAX_NEW, eos_id=-1,
-                k=SPEC, drafter=SPEC_MODE, kv_int8=KV_INT8,
+                k=SPEC, drafter=SPEC_MODE, kv_int8=KV_INT8, kv_int4=KV_INT4,
             )
             return out[:5] + (out[5],)
     else:
@@ -238,7 +244,8 @@ def main():
                 return analyze(fn.lower(
                     params, tokens, valid, zeros, zeros, zeros, oracle_warm,
                     cfg=cfg, capture=capture, max_new_tokens=MAX_NEW,
-                    eos_id=-1, k=SPEC, drafter=SPEC_MODE, kv_int8=KV_INT8,
+                    eos_id=-1, k=SPEC, drafter=SPEC_MODE,
+                    kv_int8=KV_INT8, kv_int4=KV_INT4,
                 ))
             if SPLIT:
                 # price each of the two programs: the split exists exactly
@@ -253,12 +260,12 @@ def main():
                 pre = _prefill_jit.lower(
                     params, tokens, valid, zeros, zeros, zeros, None,
                     cfg=cfg, max_new_tokens=MAX_NEW, eos_id=-1,
-                    sampling=samp, kv_int8=KV_INT8,
+                    sampling=samp, kv_int8=KV_INT8, kv_int4=KV_INT4,
                 )
                 kv, g1, fin, counts, rng = _prefill_jit(
                     params, tokens, valid, zeros, zeros, zeros, None,
                     cfg=cfg, max_new_tokens=MAX_NEW, eos_id=-1,
-                    sampling=samp, kv_int8=KV_INT8,
+                    sampling=samp, kv_int8=KV_INT8, kv_int4=KV_INT4,
                 )
                 loop = _decode_loop_jit.lower(
                     params, kv, g1, fin, counts, valid,
@@ -270,7 +277,7 @@ def main():
             return analyze(decode_greedy.lower(
                 params, tokens, valid, zeros, zeros, zeros,
                 cfg=cfg, capture=capture, max_new_tokens=MAX_NEW,
-                eos_id=-1, kv_int8=KV_INT8,
+                eos_id=-1, kv_int8=KV_INT8, kv_int4=KV_INT4,
             ))
         except Exception as e:  # never fail the bench over introspection
             return {"error": str(e)[:160]}
@@ -346,6 +353,7 @@ def main():
                    if INT4 else "")
                 + ("_a8" if ACT8_ON else "")
                 + ("_kvint8" if KV_INT8 else "")
+                + ("_kvint4" if KV_INT4 else "")
                 + ((f"_spec{SPEC}" if SPEC_MODE == "oracle"
                     else f"_specpl{SPEC}") if SPEC else "")
                 # smoke runs must never share a metric key with real ones
@@ -362,6 +370,7 @@ def main():
                     "max_new": MAX_NEW,
                     "capture_sites": capture.n_sites,
                     "kv_int8": KV_INT8,
+                    "kv_int4": KV_INT4,
                     "split_prefill": SPLIT,
                     "attn_q_chunk": QCHUNK,
                     "mlp_t_chunk": MLPCHUNK,

@@ -248,6 +248,7 @@ def _build_pipeline(args, retr_method: str):
         batch_size=args.batch_size,
         position=args.position,
         kv_int8=getattr(args, "kv_int8", False),
+        kv_int4=getattr(args, "kv_int4", False),
         spec_k=getattr(args, "spec_k", 0) or 0,
         spec_drafter=getattr(args, "spec_drafter", "prompt"),
         split_prefill=getattr(args, "split_prefill", False),
@@ -675,6 +676,12 @@ def build_parser() -> argparse.ArgumentParser:
                         "dequant fused into the attention read): halves "
                         "cache HBM traffic; part of the recommended "
                         "serving config with --quantize int8")
+        sp.add_argument("--kv-int4", action="store_true", dest="kv_int4",
+                        help="int4 KV cache (sub-channel group scales, "
+                        "32 lanes per scale): quarters cache HBM traffic "
+                        "and footprint — the batch-64 7B single-chip "
+                        "serving enabler (ROUND5_NOTES §10); mutually "
+                        "exclusive with --kv-int8")
         sp.add_argument("--spec-k", type=int, default=0, dest="spec_k",
                         help="speculative decode: verify this many "
                         "prompt-lookup draft tokens per forward "

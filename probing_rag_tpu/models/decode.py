@@ -98,6 +98,19 @@ def _pad_batch(
     return tokens, valid
 
 
+def _kv_dtype(cfg: GemmaConfig, kv_int8: bool, kv_int4: bool = False):
+    """Cache element type for the (kv_int8, kv_int4) knob pair. int4
+    (quarter-width cache + sub-channel scales — gemma._quant_kv4) is the
+    big-batch 7B enabler: the int8 cache misses the batch-64 w8a8 HBM
+    budget by ~2.5% even on the split + per-layer path (ROUND5_NOTES §10);
+    int4 halves both the cache and XLA's one-copy while-loop floor."""
+    if kv_int8 and kv_int4:
+        raise ValueError("kv_int8 and kv_int4 are mutually exclusive")
+    if kv_int4:
+        return jnp.int4
+    return jnp.int8 if kv_int8 else cfg.compute_dtype
+
+
 def _is_stop(cur, prev, stop_contains, stop_ends, stop_starts, eos_id):
     return (
         (cur == eos_id)
@@ -120,6 +133,7 @@ def _prefill_impl(
     eos_id: int,
     sampling: SamplingConfig,
     kv_int8: bool,
+    kv_int4: bool = False,
 ):
     """Prompt forward: builds the KV cache, selects the first token.
 
@@ -133,9 +147,7 @@ def _prefill_impl(
     params = unpack_int4_params(params)
     b, t = prompt_tokens.shape
     total = t + max_new_tokens
-    kv = init_kv_cache(
-        cfg, b, total, dtype=jnp.int8 if kv_int8 else cfg.compute_dtype
-    )
+    kv = init_kv_cache(cfg, b, total, dtype=_kv_dtype(cfg, kv_int8, kv_int4))
 
     # Cache-slot validity: prompt pad slots never attendable; generated slots
     # become attendable as the causal buffer index advances.
@@ -257,7 +269,8 @@ def _decode_loop_impl(
 
 @functools.partial(
     jax.jit,
-    static_argnames=("cfg", "capture", "max_new_tokens", "eos_id", "sampling", "kv_int8"),
+    static_argnames=("cfg", "capture", "max_new_tokens", "eos_id", "sampling",
+                     "kv_int8", "kv_int4"),
 )
 def decode_greedy(
     params: Params,
@@ -274,12 +287,13 @@ def decode_greedy(
     eos_id: int,
     sampling: SamplingConfig = SamplingConfig(),
     kv_int8: bool = False,
+    kv_int4: bool = False,
 ):
     kv, g1, finished0, counts, rng = _prefill_impl(
         params, prompt_tokens, prompt_valid,
         stop_contains, stop_ends, stop_starts, rng,
         cfg=cfg, max_new_tokens=max_new_tokens, eos_id=eos_id,
-        sampling=sampling, kv_int8=kv_int8,
+        sampling=sampling, kv_int8=kv_int8, kv_int4=kv_int4,
     )
     return _decode_loop_impl(
         params, kv, g1, finished0, counts, prompt_valid,
@@ -301,7 +315,8 @@ def decode_greedy(
 # Same math, same results; two dispatches instead of one per generate call.
 _prefill_jit = jax.jit(
     _prefill_impl,
-    static_argnames=("cfg", "max_new_tokens", "eos_id", "sampling", "kv_int8"),
+    static_argnames=("cfg", "max_new_tokens", "eos_id", "sampling",
+                     "kv_int8", "kv_int4"),
 )
 _decode_loop_jit = jax.jit(
     _decode_loop_impl,
@@ -325,6 +340,7 @@ def decode_greedy_split(
     eos_id: int,
     sampling: SamplingConfig = SamplingConfig(),
     kv_int8: bool = False,
+    kv_int4: bool = False,
 ):
     """``decode_greedy`` as two programs with a donated cache hand-off —
     identical results, lower peak HBM (required at 7B batch 64)."""
@@ -332,7 +348,7 @@ def decode_greedy_split(
         params, prompt_tokens, prompt_valid,
         stop_contains, stop_ends, stop_starts, rng,
         cfg=cfg, max_new_tokens=max_new_tokens, eos_id=eos_id,
-        sampling=sampling, kv_int8=kv_int8,
+        sampling=sampling, kv_int8=kv_int8, kv_int4=kv_int4,
     )
     out = _decode_loop_jit(
         params, kv, g1, finished0, counts, prompt_valid,
@@ -356,6 +372,7 @@ def generate(
     sampling: SamplingConfig = SamplingConfig(),
     seed: int = 0,
     kv_int8: bool = False,
+    kv_int4: bool = False,
     split_prefill: bool = False,  # two-program serving path (see decode_greedy_split)
     spec=None,  # Optional[speculative.SpecConfig] — greedy-exact speculation
     spec_oracle: Optional[jnp.ndarray] = None,  # [B, >=max_new] drafts
@@ -397,6 +414,7 @@ def generate(
             k=spec.k,
             drafter=spec.drafter,
             kv_int8=kv_int8,
+            kv_int4=kv_int4,
         )
     else:
         decode_fn = decode_greedy_split if split_prefill else decode_greedy
@@ -414,6 +432,7 @@ def generate(
             eos_id=tokenizer.eos_id,
             sampling=sampling,
             kv_int8=kv_int8,
+            kv_int4=kv_int4,
         )
     gen = np.asarray(gen)
     gen_valid = np.asarray(gen_valid)

@@ -857,14 +857,33 @@ def _block(
         if layer is not None:  # stacked [L, ...] cache: index the L axis
             kv_at = (layer, 0, 0, cache_pos, 0)
             sc_at = (layer, 0, 0, cache_pos)
+            sc4_at = (layer, 0, 0, cache_pos)  # int4 scales: [L,B,KV*G,S]
             expand = lambda u: u[None]
             read = lambda buf: buf[layer]
         else:  # per-layer cache: the arrays ARE this layer's slice
             kv_at = (0, 0, cache_pos, 0)
             sc_at = (0, 0, cache_pos)
+            sc4_at = (0, 0, cache_pos)
             expand = lambda u: u
             read = lambda buf: buf
-        if ck.dtype == jnp.int8:
+        if ck.dtype == jnp.int4:
+            # int4 KV: sub-channel group scales (see _quant_kv4); the
+            # unpack + scale multiply fuses into the attention einsum's
+            # cache read, so HBM cache reads stay 4-bit
+            qk, sk = _quant_kv4(k_n)  # sk [B, KV, T, G]
+            qv, sv = _quant_kv4(v_n)
+            ck = jax.lax.dynamic_update_slice(ck, expand(qk), kv_at)
+            cv = jax.lax.dynamic_update_slice(cv, expand(qv), kv_at)
+
+            def merge_kvg(u):  # [B, KV, T, G] -> [B, KV*G, T]
+                bm, kvm, tm, gm = u.shape
+                return jnp.swapaxes(u, -1, -2).reshape(bm, kvm * gm, tm)
+
+            ks = jax.lax.dynamic_update_slice(ks, expand(merge_kvg(sk)), sc4_at)
+            vs = jax.lax.dynamic_update_slice(vs, expand(merge_kvg(sv)), sc4_at)
+            k = _dequant_kv4(read(ck), read(ks), dt)
+            v = _dequant_kv4(read(cv), read(vs), dt)
+        elif ck.dtype == jnp.int8:
             qk, sk = _quant_kv(k_n)  # scales [B, KV, T, 1]
             qv, sv = _quant_kv(v_n)
             ck = jax.lax.dynamic_update_slice(ck, expand(qk), kv_at)
@@ -1079,15 +1098,39 @@ def init_kv_cache(cfg: GemmaConfig, batch: int, max_len: int, dtype: Any = jnp.b
     dequant (convert + broadcast multiply) fuses into the attention
     einsum's cache read so HBM reads stay int8. Scales are [L, B, KV, S]
     (no trailing singleton: a minormost size-1 dim costs 16x tile
-    padding — 1.07 GB of pure pad per scale tensor at 7B b64)."""
+    padding — 1.07 GB of pure pad per scale tensor at 7B b64).
+
+    ``dtype=jnp.int4`` quarters the cache: per (token, kv-head,
+    32-lane-group) sub-channel scales (``_quant_kv4``), stored
+    [L, B, KV*G, S] — S minormost with the (KV, G) axes merged so the
+    second-minor dim is 32 (Mistral GQA) / 8 (Gemma MQA): f32 (8, 128)
+    tiles pad a lone G of 4 to 8 (2x, ~0.7 GB at 7B b64) and a minormost
+    G 16-32x. The 7B batch-64 w8a8 recipe needs it:
+    the int8 cache leaves 16.15 G > 15.75 G HBM even on the split +
+    per-layer path (ROUND5_NOTES §10); int4 shrinks cache + XLA's
+    one-copy while-loop floor by 2x together."""
+    g = cfg.head_dim // _kv4_group(cfg.head_dim)
+
+    def zeros_kv(shp):
+        # int4 via an int8 convert: an eager S4 jnp.zeros trips a
+        # RecursionError in this runtime's scalar-constant path (same
+        # class of S4-boundary fragility as gemma._pack_int4's note)
+        if dtype == jnp.int4:
+            return jnp.zeros(shp, jnp.int8).astype(jnp.int4)
+        return jnp.zeros(shp, dtype)
+
     if cfg.kv_unstacked:
         lshape = (batch, cfg.n_kv_heads, max_len, cfg.head_dim)
 
         def one_layer():
-            d = {"k": jnp.zeros(lshape, dtype), "v": jnp.zeros(lshape, dtype)}
+            d = {"k": zeros_kv(lshape), "v": zeros_kv(lshape)}
             if dtype == jnp.int8:
                 d["k_scale"] = jnp.zeros(lshape[:-1], jnp.float32)
                 d["v_scale"] = jnp.zeros(lshape[:-1], jnp.float32)
+            elif dtype == jnp.int4:
+                sshape = (batch, cfg.n_kv_heads * g, max_len)
+                d["k_scale"] = jnp.zeros(sshape, jnp.float32)
+                d["v_scale"] = jnp.zeros(sshape, jnp.float32)
             return d
 
         return {
@@ -1096,13 +1139,17 @@ def init_kv_cache(cfg: GemmaConfig, batch: int, max_len: int, dtype: Any = jnp.b
         }
     shape = (cfg.n_layers, batch, cfg.n_kv_heads, max_len, cfg.head_dim)
     cache = {
-        "k": jnp.zeros(shape, dtype),
-        "v": jnp.zeros(shape, dtype),
+        "k": zeros_kv(shape),
+        "v": zeros_kv(shape),
         "pos": jnp.asarray(0, jnp.int32),
     }
     if dtype == jnp.int8:
         cache["k_scale"] = jnp.zeros(shape[:-1], jnp.float32)
         cache["v_scale"] = jnp.zeros(shape[:-1], jnp.float32)
+    elif dtype == jnp.int4:
+        sshape = (cfg.n_layers, batch, cfg.n_kv_heads * g, max_len)
+        cache["k_scale"] = jnp.zeros(sshape, jnp.float32)
+        cache["v_scale"] = jnp.zeros(sshape, jnp.float32)
     return cache
 
 
@@ -1112,3 +1159,43 @@ def _quant_kv(x: jnp.ndarray):
     s = jnp.where(s == 0.0, 1.0, s)
     q = jnp.clip(jnp.round(x.astype(jnp.float32) / s), -127, 127).astype(jnp.int8)
     return q, s
+
+
+# Sub-channel group width for the int4 KV cache: one scale per 32 head-dim
+# lanes (per token, per kv-head). 32 divides every production head_dim
+# (Gemma 256, Mistral 128); smaller heads fall back to one group per head.
+KV4_GROUP = 32
+
+
+def _kv4_group(head_dim: int) -> int:
+    return KV4_GROUP if head_dim % KV4_GROUP == 0 else head_dim
+
+
+def _quant_kv4(x: jnp.ndarray):
+    """[..., hd] -> (int4 values [..., hd], f32 scales [..., G]); one
+    symmetric max-abs scale per ``_kv4_group`` slice of the head dim (the
+    sub-channel scheme int4 weights use — a single per-head scale at 4 bits
+    loses the small-magnitude lanes entirely)."""
+    hd = x.shape[-1]
+    g = _kv4_group(hd)
+    xg = x.astype(jnp.float32).reshape(x.shape[:-1] + (hd // g, g))
+    s = jnp.max(jnp.abs(xg), axis=-1) / 7.0  # [..., G]
+    s = jnp.where(s == 0.0, 1.0, s)
+    q = jnp.clip(jnp.round(xg / s[..., None]), -7, 7)
+    return q.reshape(x.shape).astype(jnp.int4), s
+
+
+def _dequant_kv4(q: jnp.ndarray, s_m: jnp.ndarray, dt) -> jnp.ndarray:
+    """q [..., KV, S, hd] int4, s_m [..., KV*G, S] f32 -> [..., KV, S, hd]
+    in dt. The scale store merges the (KV, G) axes so the second-minor dim
+    is KV*G (32 at Mistral GQA, 8 at Gemma MQA) — an f32 (8, 128) tile
+    pads a second-minor G of 4 to 8 (2x, ~0.7 GB at 7B b64) and a
+    minormost G would pad 16-32x; merged, the store is tile-exact."""
+    hd = q.shape[-1]
+    g = _kv4_group(hd)
+    ng = hd // g
+    kv, s_len = q.shape[-3], q.shape[-2]
+    s = s_m.reshape(s_m.shape[:-2] + (kv, ng, s_len))
+    s = jnp.swapaxes(s, -1, -2)[..., None]  # [..., KV, S, G, 1]
+    xg = q.reshape(q.shape[:-1] + (ng, g)).astype(dt) * s.astype(dt)
+    return xg.reshape(q.shape)

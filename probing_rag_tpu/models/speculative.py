@@ -107,7 +107,8 @@ def _prompt_lookup_drafts(
 @functools.partial(
     jax.jit,
     static_argnames=(
-        "cfg", "capture", "max_new_tokens", "eos_id", "k", "drafter", "kv_int8",
+        "cfg", "capture", "max_new_tokens", "eos_id", "k", "drafter",
+        "kv_int8", "kv_int4",
     ),
 )
 def decode_speculative(
@@ -126,6 +127,7 @@ def decode_speculative(
     k: int = 4,
     drafter: str = "prompt",
     kv_int8: bool = False,
+    kv_int4: bool = False,
 ):
     """Greedy decode with k-token speculation. Returns
     ``decode.decode_greedy``'s tuple (gen_buf, valid_buf, pooled, n_pooled,
@@ -141,9 +143,9 @@ def decode_speculative(
     blk = k + 1
     # worst case: one committed token per round, <= max_new rounds
     s_phys = t + max_new_tokens * blk
-    kv = init_kv_cache(
-        cfg, b, s_phys, dtype=jnp.int8 if kv_int8 else cfg.compute_dtype
-    )
+    from probing_rag_tpu.models.decode import _kv_dtype
+
+    kv = init_kv_cache(cfg, b, s_phys, dtype=_kv_dtype(cfg, kv_int8, kv_int4))
 
     # slot validity is per-row state now: prompt slots from the pad mask,
     # generation slots become valid only when a round commits them

@@ -49,6 +49,8 @@ class RAGConfig:
     position: str = "resid_post"
     kv_int8: bool = False  # quantize the KV cache (serve with
     # quantize_lm_params for the full int8 configuration)
+    kv_int4: bool = False  # int4 KV cache (sub-channel group scales):
+    # quarters cache HBM; the batch-64 7B single-chip enabler
     # Speculative decode (greedy-exact, models/speculative.py): verify
     # spec_k prompt-lookup drafts per forward. RAG generations quote
     # retrieved passages, which is exactly when the prompt-lookup drafter's
@@ -121,6 +123,7 @@ class AdaptiveRAGPipeline:
                 capture=capture,
                 stop_tables=self.stop_tables,
                 kv_int8=self.rag.kv_int8,
+                kv_int4=self.rag.kv_int4,
                 split_prefill=self.rag.split_prefill,
                 spec=self.spec,
             )

@@ -235,6 +235,81 @@ def test_int8_kv_cache_bounded_logit_drift(params):
 
 
 @pytest.mark.slow
+def test_int4_kv_cache_bounded_logit_drift(params):
+    """int4 KV cache (sub-channel group scales, unpack + dequant fused into
+    the attention read — the batch-64 7B w8a8 enabler, ROUND5_NOTES §10):
+    quantization must be within half a quantization step elementwise, and
+    the end-to-end logits must stay bounded relative to the logit scale.
+    (4-bit carries ~8x the int8 error, so exact-argmax is only asserted at
+    the quantizer level, not on this random near-tied-logit tiny model.)"""
+    from probing_rag_tpu.models.gemma import _dequant_kv4, _quant_kv4
+
+    # quantizer contract: round-trip within half a step of the group scale
+    x = jax.random.normal(jax.random.PRNGKey(7), (2, 3, 5, 32), jnp.float32)
+    q, s = _quant_kv4(x)
+    assert q.dtype == jnp.int4 and s.shape == (2, 3, 5, 1)
+    # merged-store layout: q [B, KV, S, hd], scales [B, KV*G, S]
+    s_m = jnp.swapaxes(s, -1, -2).reshape(2, 3, 5)
+    back = np.asarray(_dequant_kv4(q, s_m, jnp.float32))
+    err = np.abs(back - np.asarray(x))
+    assert np.all(err <= np.asarray(s)[..., :] * 0.5 + 1e-6)
+
+    tokens = jax.random.randint(jax.random.PRNGKey(3), (2, 10), 0, CFG.vocab_size)
+    full_logits, _, _ = forward(params, tokens, CFG)
+    kv = init_kv_cache(CFG, 2, 10, dtype=jnp.int4)
+    assert kv["k"].dtype == jnp.int4
+    # scale layout [L, B, KV*G, S]: S minormost, merged KV*G second-minor
+    # (a minormost or second-minor G of 1-8 would tile-pad 2-32x)
+    assert kv["k_scale"].shape == (CFG.n_layers, 2, CFG.n_kv_heads, 10)
+    logits_a, kv, _ = forward(params, tokens[:, :6], CFG, kv_cache=kv)
+    outs = [logits_a]
+    for i in range(6, 10):
+        step_logits, kv, _ = forward(params, tokens[:, i : i + 1], CFG, kv_cache=kv)
+        outs.append(step_logits)
+    inc = np.asarray(jnp.concatenate(outs, axis=1))
+    ref = np.asarray(full_logits)
+    # ~8x the int8 test's 0.05 bound (4-bit step is 8x wider); measured
+    # 0.26 on this fixture
+    assert np.max(np.abs(inc - ref)) < 0.35 * np.max(np.abs(ref))
+
+
+@pytest.mark.slow
+def test_int4_kv_decode_paths_agree(params):
+    """Every serving form of the int4 KV cache — fused, two-program split,
+    per-layer (unstacked), and speculative prompt-lookup — quantizes
+    identically, so committed tokens and pooled captures must be EXACTLY
+    equal across all four."""
+    from probing_rag_tpu.models.decode import decode_greedy_split
+    from probing_rag_tpu.models.speculative import decode_speculative
+
+    stop = StopTables.disabled(CFG.vocab_size)
+    tabs = tuple(jnp.asarray(x) for x in
+                 (stop.contains_dbl_nl, stop.ends_nl, stop.starts_nl))
+    capture = CaptureSpec.for_probing(CFG)
+    tokens = jax.random.randint(jax.random.PRNGKey(13), (2, 12), 3, CFG.vocab_size)
+    valid = jnp.ones(tokens.shape, bool)
+    kw = dict(capture=capture, max_new_tokens=8, eos_id=-1, kv_int4=True)
+
+    ref = decode_greedy(params, tokens, valid, *tabs, cfg=CFG, **kw)
+    split = decode_greedy_split(params, tokens, valid, *tabs, cfg=CFG, **kw)
+    cfg_u = dataclasses.replace(CFG, kv_unstacked=True)
+    unstacked = decode_greedy(params, tokens, valid, *tabs, cfg=cfg_u, **kw)
+    spec = decode_speculative(params, tokens, valid, *tabs, cfg=CFG,
+                              capture=capture, max_new_tokens=8, eos_id=-1,
+                              k=2, drafter="prompt", kv_int4=True)
+    for got, name in ((split, "split"), (unstacked, "unstacked"), (spec, "spec")):
+        np.testing.assert_array_equal(
+            np.asarray(ref[0]), np.asarray(got[0]), err_msg=name)
+        np.testing.assert_allclose(
+            np.asarray(ref[2]), np.asarray(got[2]), rtol=1e-5, atol=1e-5,
+            err_msg=name)
+
+    with pytest.raises(ValueError):
+        decode_greedy(params, tokens, valid, *tabs, cfg=CFG, capture=capture,
+                      max_new_tokens=4, eos_id=-1, kv_int8=True, kv_int4=True)
+
+
+@pytest.mark.slow
 def test_left_padding_invariance(params):
     ids = jax.random.randint(jax.random.PRNGKey(2), (1, 7), 0, CFG.vocab_size)
     logits_plain, _, _ = forward(params, ids, CFG)

@@ -83,6 +83,18 @@ def test_probing_method_kv_int8(setup):
 
 
 @pytest.mark.slow
+def test_probing_method_kv_int4(setup):
+    """RAGConfig(kv_int4=True) threads the int4 KV cache (sub-channel group
+    scales) through the pipeline's generate calls; loop semantics must be
+    unchanged."""
+    pipe = _pipeline(setup, retr_method="probing", threshold=-1e6,
+                     kv_int4=True)
+    res = pipe.run(["capital of france"])
+    assert res.retr_count_list == [0]
+    assert "capital of france" in res.pred_list[0]
+
+
+@pytest.mark.slow
 def test_probing_method_speculative_is_greedy_exact(setup):
     """RAGConfig(spec_k=...) threads the prompt-lookup speculative decoder
     through every pipeline generate call; by the speculative exactness

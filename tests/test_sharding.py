@@ -548,17 +548,18 @@ def test_sharded_ivf_int8_matches_single_device_int8(eight_devices):
     np.testing.assert_allclose(r2.scores, r1.scores, rtol=1e-2, atol=1e-2)
 
 
-@pytest.mark.parametrize("kv_int8", [False, True])
+@pytest.mark.parametrize("kv_mode", ["bf16", "int8", "int4"])
 @pytest.mark.slow
-def test_tp_sharded_decode_matches_unsharded(eight_devices, kv_int8):
+def test_tp_sharded_decode_matches_unsharded(eight_devices, kv_mode):
     """The cached decode loop (while_loop + in-place KV cache + fused
     capture) must produce the same tokens and pooled captures with
     TP-sharded weights on the mesh as unsharded — the multi-chip SERVING
-    path, not just the prefill forward the test above covers. kv_int8
-    pins the quantized-cache carry (values + scales) under GSPMD too."""
+    path, not just the prefill forward the test above covers. int8/int4
+    pin the quantized-cache carry (values + group scales) under GSPMD."""
     from probing_rag_tpu.models.decode import generate
     from probing_rag_tpu.models.tokenizer import ByteTokenizer
 
+    kv_kw = dict(kv_int8=kv_mode == "int8", kv_int4=kv_mode == "int4")
     mesh = make_mesh((2, 4), eight_devices)
     params = init_params(CFG, jax.random.PRNGKey(0))
     tok = ByteTokenizer(CFG.vocab_size)
@@ -567,13 +568,13 @@ def test_tp_sharded_decode_matches_unsharded(eight_devices, kv_int8):
 
     ref_texts, ref_res = generate(
         params, CFG, tok, prompts, max_new_tokens=8, capture=capture,
-        kv_int8=kv_int8,
+        **kv_kw,
     )
     sharded_params = shard_lm_params(params, mesh)
     with mesh:
         texts, res = generate(
             sharded_params, CFG, tok, prompts, max_new_tokens=8,
-            capture=capture, kv_int8=kv_int8,
+            capture=capture, **kv_kw,
         )
     assert texts == ref_texts
     np.testing.assert_array_equal(
