@@ -120,6 +120,17 @@ PLAN_R5 = [
     # 4.66 G = 16.15 G > 15.75 G — probe_auto_layout.py 'unstacked'),
     # so the b64 recipe is w4a8: rank-1 int4 weights (3.44 G) + a8 + KV8
     ("decode_mistral7b_int4r1a8_b64", {"BENCH_DECODE_MODEL": "mistral7b", "BENCH_DECODE_INT4": "1", "BENCH_DECODE_INT4_SCHEME": "rank1", "BENCH_DECODE_KV_INT8": "1", "BENCH_DECODE_ACT8": "512", "BENCH_DECODE_BATCH": "64", "BENCH_DECODE_SPLIT": "1"}, ["python", "bench_decode.py"], 5400),
+    # --- int4 KV cache (gemma._quant_kv4) rows ---
+    # the w8a8 b64 single-chip answer, revised: quartering the cache to
+    # int4 clears the 16.15 G > 15.75 G budget the int8 cache missed
+    # (args 6.75 weights + ~2.6 cache/scales + one while_loop cache copy
+    # ~2.6 = ~12 G); fused program, no split needed if the budget holds
+    ("decode_mistral7b_int8a8_kv4_b64", {"BENCH_DECODE_MODEL": "mistral7b", "BENCH_DECODE_INT8": "1", "BENCH_DECODE_KV_INT4": "1", "BENCH_DECODE_ACT8": "512", "BENCH_DECODE_BATCH": "64"}, ["python", "bench_decode.py"], 5400),
+    # 2B ladder context for the int4 cache: at 2B decode is weight-bound,
+    # so the int4 dequant VPU work costs throughput (first sample 2,757
+    # vs int8-KV's 3,893 tok/s) — kv4 is the big-model HBM knob, not a
+    # 2B speed knob; this row pins that honestly with the shipped layout
+    ("decode_int8a8_kv4_b32", {"BENCH_DECODE_INT8": "1", "BENCH_DECODE_KV_INT4": "1", "BENCH_DECODE_ACT8": "512", "BENCH_DECODE_BATCH": "32"}, ["python", "bench_decode.py"], 3600),
 ]
 PLAN = PLAN_R5
 PLAN_R4 = [

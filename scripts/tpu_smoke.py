@@ -146,6 +146,35 @@ def smoke_int4_decode():
     assert toks.shape == (2, 8) and np.all(toks >= 0)
 
 
+def smoke_kv4_decode():
+    """decode_greedy with the int4 KV cache at tiny geometry — S4 cache
+    carry + merged [.., KV*G, S] scale layout through the TPU runtime's
+    while_loop (the same runtime whose host-boundary S4 handling crashed
+    r4's int4-weight rows; the cache stays jit-internal on the fused
+    path, but the lowering itself is what this smoke pins)."""
+    import dataclasses
+
+    from probing_rag_tpu.models.decode import StopTables, decode_greedy
+    from probing_rag_tpu.models.gemma import (
+        CaptureSpec, GemmaConfig, init_params,
+    )
+
+    cfg = dataclasses.replace(GemmaConfig.tiny(512), compute_dtype=jnp.bfloat16)
+    params = init_params(cfg, jax.random.PRNGKey(0), dtype=jnp.bfloat16)
+    rng = np.random.default_rng(11)
+    tokens = jnp.asarray(rng.integers(3, cfg.vocab_size, (2, 16)), jnp.int32)
+    valid = jnp.ones((2, 16), bool)
+    stop = StopTables.disabled(cfg.vocab_size)
+    zeros = jnp.asarray(stop.contains_dbl_nl)
+    out = decode_greedy(
+        params, tokens, valid, zeros, zeros, zeros, cfg=cfg,
+        capture=CaptureSpec.for_probing(cfg), max_new_tokens=8, eos_id=-1,
+        kv_int4=True,
+    )
+    toks = np.asarray(out[0])
+    assert toks.shape == (2, 8) and np.all(toks >= 0)
+
+
 def smoke_w8a8_prefill():
     """decode_greedy with int8 weights and the w8a8 prefill path active
     (act_int8_rows below the prompt's row count): the s8 x s8 -> s32
@@ -299,6 +328,7 @@ def main():
         check("bm25 wide-sort 64k row", smoke_bm25_wide_sort_64k)
     check("ivf probed search", smoke_ivf)
     check("int4 decode boundary", smoke_int4_decode)
+    check("int4 KV-cache decode", smoke_kv4_decode)
     check("w8a8 prefill boundary", smoke_w8a8_prefill)
 
     if FAILURES:
