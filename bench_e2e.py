@@ -197,6 +197,10 @@ def main():
     # grouped (default) | rank1 — rank1 factorizes the int4 scale matrix
     # so the decode matmul is one fused-convert dot with true int4 HBM reads
     int4_scheme = os.environ.get("BENCH_E2E_INT4_SCHEME", "grouped")
+    # int4 KV cache for the composed loop (an HBM-capacity knob — see
+    # RUNBOOK "Serving-quantization recipes"); overrides the default
+    # int8 cache the quantized configs serve with
+    kv4 = os.environ.get("BENCH_E2E_KV4", "") == "1"
     if int8 or int4:
         from probing_rag_tpu.models.gemma import quantize_lm_params
 
@@ -248,7 +252,8 @@ def main():
             params, cfg, tok, engine, store, probers,
             RAGConfig(retr_method="probing", threshold=threshold,
                       batch_size=BATCH, max_new_tokens=MAX_NEW,
-                      kv_int8=int8 or int4, spec_k=SPEC),
+                      kv_int8=(int8 or int4) and not kv4, kv_int4=kv4,
+                      spec_k=SPEC),
         )
 
     # warmup at 2 queries: _generate pads every chunk to BATCH, so this
@@ -342,6 +347,7 @@ def main():
         json.dumps(
             {
                 "metric": "adaptive_rag_e2e_queries_per_sec_per_chip"
+                + ("_kv4" if kv4 else "")
                 + ("_midgate" if GATE == "mid" else "")
                 + (f"_specpl{SPEC}" if SPEC else "")
                 # smoke runs must never share a metric key with real ones
