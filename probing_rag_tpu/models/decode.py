@@ -343,7 +343,15 @@ def decode_greedy_split(
     kv_int4: bool = False,
 ):
     """``decode_greedy`` as two programs with a donated cache hand-off —
-    identical results, lower peak HBM (required at 7B batch 64)."""
+    identical results, lower peak HBM at 7B big batch.
+
+    Runtime caveat: with ``kv_int4`` the cache crosses the program
+    boundary as device-resident S4 arrays. That is exact and tested on
+    the CPU backend, but the axon TPU runtime's S4 argument handling has
+    a history of recursing (gemma._pack_int4's note; an eager S4
+    dispatch reproduces it) — on that runtime prefer the FUSED
+    ``decode_greedy`` for int4-KV serving (the int4 cache's budget fits
+    fused at 7B b64: ROUND5_NOTES §11), or int8-KV with the split."""
     kv, g1, finished0, counts, rng = _prefill_jit(
         params, prompt_tokens, prompt_valid,
         stop_contains, stop_ends, stop_starts, rng,
